@@ -1,0 +1,144 @@
+"""Text-analysis column expressions for LLM-data-pipeline operators
+(SURVEY.md §2.3 E6, north-star "text analysis").
+
+Everything is a pure Catalyst expression — no Python UDFs — so these run
+inside whole-stage codegen over a 100 TB documents table. The reference's
+only string op is a regex path rewrite (``Nomic MultiModal Retrieval.py``:162);
+the rest of this module is the extended surface mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(v: Column | str) -> Column:
+    return F.col(v) if isinstance(v, str) else v
+
+
+def tokenize(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    return F.filter(F.split(_c(text), sep), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+# A BPE-ish segmentation: runs of letters, runs of digits, or a single
+# other non-space char. Kept to syntax shared by Java regex and RE2 so the
+# DuckDB oracle can reproduce it exactly.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    return F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct sliding word n-grams — the dedup unit for MinHash/Jaccard.
+
+    Docs shorter than ``n`` words contribute their full text as the single
+    shingle (so they can still match exact copies of themselves).
+    """
+    ws = tokenize(text)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(joined)
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    """Exact Jaccard similarity of two array columns (as float64)."""
+    inter = F.size(F.array_intersect(_c(a), _c(b))).cast("double")
+    union = F.size(F.array_union(_c(a), _c(b))).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint (md5 hex — identical in Spark and
+    DuckDB, so it doubles as the cross-engine dedup key)."""
+    return F.md5(_c(text))
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Fingerprint of the canonical bag-of-words (sorted distinct tokens) —
+    catches re-orderings/repetitions that raw-text equality misses."""
+    bag = F.array_sort(F.array_distinct(tokenize(text)))
+    return F.md5(F.concat_ws(" ", bag))
+
+
+# --------------------------------------------------------------------- #
+# quality scoring
+# --------------------------------------------------------------------- #
+
+def char_class_ratio(text: Column | str, pattern: str) -> Column:
+    """Fraction of characters matching a regex character class."""
+    t = _c(text)
+    kept = F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        kept.cast("double") / F.length(t).cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards alphabetic content and
+    moderate token length, penalizes digits/punctuation soup. A composite
+    of pure column expressions so the DuckDB oracle can restate it
+    verbatim (see registry.ORACLE['text_quality'])."""
+    t = _c(text)
+    alpha = char_class_ratio(t, "[A-Za-z ]")
+    digit = char_class_ratio(t, "[0-9]")
+    toks = token_count(t)
+    avg_wlen = F.when(toks == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, " ", "")).cast("double") / toks.cast("double")
+    )
+    # plausible-word-length bonus: 1 at avg length 5, fading linearly
+    wlen_bonus = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.abs(avg_wlen - F.lit(5.0)) / F.lit(5.0)
+    )
+    raw = alpha * F.lit(0.6) + wlen_bonus * F.lit(0.3) + (F.lit(1.0) - digit) * F.lit(0.1)
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), raw))
+
+
+# --------------------------------------------------------------------- #
+# language identification (n-gram/stopword heuristic)
+# --------------------------------------------------------------------- #
+
+# Minimal public stopword markers per language. On real text the argmax of
+# marker-hit ratios is a serviceable cheap lang-id; here it doubles as a
+# deterministic, SQL-restatable operator.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "es": ("el", "los", "las", "y", "un", "es"),
+}
+
+
+def lang_marker_score(text: Column | str, lang: str) -> Column:
+    ws = tokenize(text)
+    markers = LANG_MARKERS[lang]
+    hits = F.size(F.filter(ws, lambda w: w.isin(*markers)))
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(ws).cast("double")
+    )
+
+
+def lang_id(text: Column | str, min_score: float = 0.05) -> Column:
+    """Predicted language = argmax marker ratio (ties → lexicographic
+    language order), or 'und' when no language clears ``min_score``.
+    CJK content short-circuits to 'zh' on any CJK codepoint."""
+    t = _c(text)
+    scores = [(lang, lang_marker_score(t, lang)) for lang in sorted(LANG_MARKERS)]
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so the first (lexicographically smallest) lang wins ties
+    for lang, s in reversed(scores):
+        pred = F.when((s == best_score) & (s >= min_score), F.lit(lang)).otherwise(pred)
+    has_cjk = F.regexp_like(t, F.lit("[\\x{4e00}-\\x{9fff}]"))
+    return F.when(has_cjk, F.lit("zh")).otherwise(pred)

@@ -1,0 +1,366 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.3 E3–E5; north-star "dedup" surface).
+
+Five families, each scale-designed:
+
+- **Exact** (`dedup_exact`, `duplicate_groups`): hash-groupBy on a key.
+  One shuffle on the dedup key; AQE handles skew.
+- **Exact Jaccard pair join** (`near_dup_pairs_jaccard`): *inverted-index*
+  self-join on shingles — NOT an O(n²) cross join. Each shingle is a join
+  key; pairs sharing no shingle are never materialized. At 100 TB the only
+  hazard is ultra-frequent shingles (hot join keys) — cap them with
+  ``max_shingle_df`` (standard practice: a shingle in >X% of docs carries
+  no dedup signal).
+- **MinHash + LSH banding** (`minhash_signatures`, `lsh_candidate_pairs`,
+  `near_dedup_minhash`): native implementation with JVM built-ins only
+  (xxhash64 / array_min / transform) — no Python in the hot path. Banding
+  turns near-dup detection into an equi-join on (band, band_hash): linear
+  shuffle, no pairwise work outside candidate buckets.
+- **SimHash** (`simhash`, `near_dup_pairs_simhash`): 64-bit signature via
+  bit-vote aggregation, Hamming-≤τ candidate pairs via the pigeonhole band
+  trick (τ+1 bands ⇒ near pairs share ≥1 exact band) — again equi-joins.
+- **Embedding cosine** (`near_dup_pairs_cosine`): exact upper-triangle
+  pair scan for oracle-checkable correctness; at scale route through the
+  LSH index (index/ann.py) to generate candidates first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import jaccard, word_shingles
+from ..functions.vector import cosine_similarity
+
+# --------------------------------------------------------------------- #
+# exact
+# --------------------------------------------------------------------- #
+
+def dedup_exact(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row per distinct ``keys`` — the row with the
+    smallest ``id_col`` (deterministic, unlike ``dropDuplicates`` which
+    keeps an arbitrary first row). Single hash-shuffle on ``keys``."""
+    w_min = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+    return df.join(w_min, on=keys + [id_col], how="inner")
+
+
+def duplicate_groups(
+    df: DataFrame, key: Column, id_col: str, min_size: int = 2
+) -> DataFrame:
+    """Groups of rows sharing a dedup key: (dup_key, rep_id, dup_count)."""
+    return (
+        df.select(key.alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") >= min_size)
+    )
+
+
+# --------------------------------------------------------------------- #
+# exact Jaccard via inverted index (no cross join)
+# --------------------------------------------------------------------- #
+
+def near_dup_pairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard pairs ≥ threshold.
+
+    Algorithm: shingle → explode → self-equi-join on shingle → count shared
+    shingles per pair → |A∩B| / (|A|+|B|−|A∩B|). The join is keyed on the
+    shingle value, so cost is Σ df(s)² over shingles, not n² — with
+    ``max_shingle_df`` bounding the quadratic term for stop-shingles.
+
+    Returns (id_a, id_b, jac) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, n=n).alias("__sh"),
+    ).withColumn("__sz", F.size("__sh"))
+    ex = sh.select("__id", "__sz", F.explode("__sh").alias("__s"))
+    if max_shingle_df is not None:
+        freq = ex.groupBy("__s").agg(F.count("*").alias("__df"))
+        ex = ex.join(
+            F.broadcast(freq.filter(F.col("__df") <= max_shingle_df).select("__s")),
+            "__s",
+        )
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sz").alias("sz_a"),
+            F.col("b.__sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("shared")
+    ).cast("double")
+    return (
+        shared.select("id_a", "id_b", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH banding (native, JVM built-ins only)
+# --------------------------------------------------------------------- #
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, shingles, sig: array<bigint>[num_hashes]).
+
+    Hash family: h_i(s) = xxhash64(i, s) — independent seeds via the first
+    argument. min() over the shingle set per hash. All columnar built-ins,
+    whole-stage-codegen'd; one pass over the corpus, no shuffle.
+    """
+    sh = word_shingles(text_col, n=n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        sh.alias("shingles"),
+        sig.alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs sharing ≥1 LSH band.
+
+    Explode each signature into ``bands`` (band_idx, band_hash) keys and
+    self-equi-join — the shuffle is keyed on band hashes (linear in corpus
+    size), which is what makes MinHash dedup tractable at 100 TB.
+    """
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Full near-dedup: MinHash LSH candidates → exact Jaccard verify →
+    connected components → (id, rep_id). rep_id = min id in the component.
+
+    Components are resolved by iterative min-label propagation over the
+    verified-pair edge list (each iteration is one join; near-dup clusters
+    are shallow in practice so ``max_iter`` rounds converge)."""
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    sigs.cache()
+    cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    sh = sigs.select("id", "shingles")
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("jac", jaccard("sh_a", "sh_b"))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b")
+    )
+    # undirected edges both ways for label propagation
+    edges = verified.union(
+        verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).cache()
+    labels = sigs.select("id", F.col("id").alias("rep_id"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("rep_id").alias("n_rep"))
+        )
+        labels = (
+            labels.join(neigh, labels.id == neigh.id_a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep_id"), F.coalesce(F.col("n_rep"), F.col("rep_id"))
+                ).alias("rep_id"),
+            )
+        )
+    return labels
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+
+def simhash(text_col: Column | str, token_fn=None) -> Column:
+    """64-bit SimHash of a document as a 64-char bitstring.
+
+    Classic Charikar construction: each token votes ±1 on each bit of its
+    xxhash64; the signature bit is the vote sign. Implemented as a single
+    ``aggregate`` fold over the token array — columnar, no explode, no
+    shuffle, no UDF.
+    """
+    from ..functions.text import tokenize
+
+    toks = (token_fn or tokenize)(text_col)
+    zeros = F.array_repeat(F.lit(0), 64)
+    votes = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.getbit(F.xxhash64(w), b) == 1, 1).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.concat_ws(
+        "", F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0"))
+    )
+
+
+def hamming_bits(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two equal-length bitstrings."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    sa = F.filter(F.split(a, ""), lambda c: c != "")
+    sb = F.filter(F.split(b, ""), lambda c: c != "")
+    return F.size(
+        F.filter(F.zip_with(sa, sb, lambda x, y: x != y), lambda d: d)
+    )
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) via the pigeonhole band trick:
+    split the 64-bit signature into max_hamming+1 blocks; any pair within
+    distance τ agrees exactly on ≥1 block, so candidates come from
+    equi-joins on block values — never a cross join."""
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("sig")
+    ).cache()
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.substring(
+                            "sig", i * width + 1,
+                            width if i < blocks - 1 else 64 - i * width,
+                        ).alias("bv"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.blk", "bk.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_bits("sig_a", "sig_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------- #
+# embedding cosine near-dup
+# --------------------------------------------------------------------- #
+
+def near_dup_pairs_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+
+    This is the oracle-exact path: an upper-triangle pair scan. It is
+    O(n²) by definition of the exact problem — at 100 TB use
+    ``index.ann.CosineLSHIndex.similarity_self_join`` to generate LSH
+    candidates and verify only those with this expression.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity("__va", "__vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

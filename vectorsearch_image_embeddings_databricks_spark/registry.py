@@ -19,9 +19,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.text import (
+    LANG_MARKERS,
+    BPE_ISH_PATTERN,
+    fingerprint,
+    lang_id,
+    normalized_fingerprint,
+    quality_score,
+    token_count,
+)
 from .index.vector_index import VectorIndex
+from .operators import dedup, hybrid, textstats
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def dec(c, scale: int = 4):
+    """Money/measure columns are cast to DECIMAL before SUM so aggregation
+    is exact and therefore identical between Spark (parallel partial aggs,
+    arbitrary add order) and DuckDB (sequential). Float sums are order-
+    dependent; decimal sums are not. See FIXTURES.md type-fidelity notes."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal(18,{scale})")
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
@@ -39,6 +58,25 @@ def register(name: str, oracle: str | None = None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects. Read nanos as raw longs (legacy conf) and derive time
+    buckets with epoch math — which is also deliberately timezone-free."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+NANOS_PER_DAY = 86_400_000_000_000
+
+
+def day_of(ts_nanos) -> F.Column:
+    """UTC day string from an epoch-nanos column (tz-independent)."""
+    c = F.col(ts_nanos) if isinstance(ts_nanos, str) else ts_nanos
+    return F.date_from_unix_date(
+        (c / F.lit(NANOS_PER_DAY)).cast("int")
+    ).cast("string")
 
 
 # --------------------------------------------------------------------- #
@@ -79,3 +117,667 @@ def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = VectorIndex(emb, key="vec_id", vector_col="embedding", dim=len(qvec))
     res = idx.search(qvec, k=KNN_K, columns=["label"])
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------- #
+# E2 — kNN join: query table × corpus, per-query top-k
+# --------------------------------------------------------------------- #
+
+@register(
+    "knn_batch",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {KNN_K}
+    """,
+)
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: 10 query vectors × corpus, top-5 each. Query side is
+    broadcast; corpus scanned once, scored in codegen; per-query top-k via
+    window on the (tiny) query_id key."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    res = idx.search_batch(queries, k=KNN_K)
+    return res.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------- #
+# E11 — vector normalization / integrity checks
+# --------------------------------------------------------------------- #
+
+@register(
+    "vector_norms",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1
+    FROM embeddings
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector integrity stats (unit-norm invariant, NMR:209/:376)."""
+    from .functions.vector import l2_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    l1 = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(l1, 6).alias("l1"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# E3 — embedding-cosine near-duplicate pairs (exact path)
+# --------------------------------------------------------------------- #
+
+COSINE_PAIR_THRESHOLD = 0.4
+
+
+@register(
+    "near_dup_pairs_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_PAIR_THRESHOLD}
+    """,
+)
+def near_dup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    res = dedup.near_dup_pairs_cosine(
+        emb, "vec_id", "embedding", threshold=COSINE_PAIR_THRESHOLD
+    )
+    return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+# --------------------------------------------------------------------- #
+# E3/E5 — exact n-gram-shingle Jaccard near-dup pairs (inverted index)
+# --------------------------------------------------------------------- #
+
+JACCARD_THRESHOLD = 0.7
+
+
+@register(
+    "near_dup_pairs_jaccard",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        -- mirrors functions.text.word_shingles: windows 1..max(len-2,1),
+        -- nulls past the end skipped (Spark concat_ws semantics)
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(jac, 6) AS jac FROM p WHERE jac >= {JACCARD_THRESHOLD}
+    """,
+)
+def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard ≥ 0.7 via inverted-index join (no
+    cross join; see operators.dedup). Oracle recomputes pairwise (fine at
+    500 docs; the Spark plan is the one that scales)."""
+    docs = load(spark, sf_dir, "documents")
+    res = dedup.near_dup_pairs_jaccard(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    )
+    return res.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+
+
+# --------------------------------------------------------------------- #
+# E4 — exact dedup (summary + normalized-key duplicate groups)
+# --------------------------------------------------------------------- #
+
+@register(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_distinct_text,
+           count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text,' '), t -> t <> ''))), ' '))) AS n_distinct_bags
+    FROM documents GROUP BY lang
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates semantics as a per-language summary: raw-text
+    distinct vs canonical bag-of-words distinct (catches shuffled dups)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        F.countDistinct(normalized_fingerprint("text")).alias("n_distinct_bags"),
+    )
+
+
+@register(
+    "duplicate_groups",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text,' '), t -> t <> ''))), ' ')) AS dup_key,
+           min(doc_id) AS rep_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups under the canonical bag-of-words key with the
+    deterministic min-id representative (single hash shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.duplicate_groups(
+        docs, normalized_fingerprint("text"), "doc_id", min_size=2
+    )
+
+
+# --------------------------------------------------------------------- #
+# E6 — text analysis: fingerprints, token counts, corpus stats, top terms
+# --------------------------------------------------------------------- #
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text,' '), t -> t <> ''))), ' ')) AS fp_normalized,
+           n_chars
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        normalized_fingerprint("text").alias("fp_normalized"),
+        "n_chars",
+    )
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens,
+           length(text) AS n_chars_check
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (north-star 'token
+    counting'); n_chars recomputed as a cross-check of the fixture."""
+    from .functions.text import bpe_ish_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        F.size(bpe_ish_tokens("text")).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_check"),
+    )
+
+
+@register(
+    "corpus_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(length(text)) AS total_chars,
+           sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS total_tokens,
+           round(avg(length(text)), 6) AS avg_chars,
+           round(avg(len(list_filter(string_split(text,' '), t -> t <> ''))), 6) AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.corpus_stats(docs, "text", ["lang", "source"])
+
+
+@register(
+    "top_terms",
+    oracle="""
+    WITH terms AS (
+        SELECT lang, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term
+        FROM documents
+    ),
+    c AS (SELECT lang, term, count(*) AS cnt FROM terms GROUP BY lang, term)
+    SELECT lang, term, cnt, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank FROM c)
+    WHERE rank <= 5
+    """,
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textstats.top_terms(docs, "text", "lang", top_n=5)
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH x AS (
+        SELECT doc_id,
+            (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+                / length(text) AS alpha,
+            (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                / length(text) AS digit,
+            len(list_filter(string_split(text,' '), t -> t <> '')) AS toks,
+            length(replace(text, ' ', '')) AS nospace
+        FROM documents
+    )
+    SELECT doc_id,
+           round(least(1.0, greatest(0.0,
+               alpha * 0.6
+               + greatest(0.0, 1.0 - abs(CASE WHEN toks = 0 THEN 0.0
+                                              ELSE nospace::DOUBLE / toks END - 5.0) / 5.0) * 0.3
+               + (1.0 - digit) * 0.1)), 6) AS quality
+    FROM x
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (north-star 'quality scoring'). Note the
+    oracle needs DuckDB's 'g' flag to match Spark's replace-all default."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        "CASE WHEN len(list_filter(string_split(text,' '), t -> t <> '')) = 0 THEN 0.0 "
+        f"ELSE len(list_filter(list_filter(string_split(text,' '), t -> t <> ''), w -> w IN ({markers})))::DOUBLE "
+        "/ len(list_filter(string_split(text,' '), t -> t <> '')) END"
+    )
+
+
+@register(
+    "lang_id_pred",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang AS true_lang,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('fr')} AS s_fr,
+               regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS cjk
+        FROM documents
+    )
+    SELECT doc_id, true_lang,
+           CASE WHEN cjk THEN 'zh'
+                WHEN greatest(s_de, s_en, s_es, s_fr) < 0.05 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (north-star 'language-ID n-gram
+    heuristic'); prediction + ground-truth label for accuracy rollups."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        lang_id("text").alias("pred_lang"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Relational coverage (SURVEY.md §2.2) — TPC-H-style queries over the
+# star schema. Money sums use the dec() DECIMAL policy for exactness.
+# --------------------------------------------------------------------- #
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))
+                          * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Scale notes: predicate pushes to the
+    parquet scan; partial (map-side) aggregation means the shuffle carries
+    |groups| rows per partition, not data rows. Decimal sums are exact, so
+    results are independent of partitioning/add order."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz")
+    )
+    disc_price = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * dec(F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01 00:00:00"
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND l.l_shipdate  > TIMESTAMP '{Q3_DATE}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style top-revenue orders. customer is the small dimension —
+    broadcast it; orders⋈lineitem is the big join (shuffle on orderkey,
+    co-partitionable/bucketable at scale). Top-10 = TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    revenue = F.sum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q5_REGION = "ASIA"
+
+
+@register(
+    "region_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      JOIN lineitem l ON l.l_suppkey   = s.s_suppkey
+    WHERE r.r_name = '{Q5_REGION}'
+    GROUP BY n.n_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavored revenue by nation. region/nation/supplier are tiny
+    dims — broadcast chain; only lineitem is scanned at scale, and the
+    groupBy key (n_name) is low-cardinality so partial aggs collapse it."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    revenue = F.sum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(revenue.cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    WHERE rk <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: per-customer top-3 orders by price.
+    o_totalprice is passed through (no float arithmetic → hash-safe)."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Events: time-windowed aggregation + JSON extraction (streaming-shaped
+# data in batch; the streaming module reuses the same expressions)
+# --------------------------------------------------------------------- #
+
+@register(
+    "events_daily",
+    oracle="""
+    SELECT substr(CAST(ts AS VARCHAR), 1, 10) AS day,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily rollup over the nanos event log; the day key comes
+    from epoch math (timezone-independent, see load_events)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("day", day_of("ts"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(dec("value", 6)).cast("double"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: get_json_object pushdown into an
+    integer aggregate (exact int sums — no float policy needed)."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# E9 — multimodal/opaque-binary column plumbing (O5/O6 generalized):
+# treat content as bytes + typed metadata. The fixture has no binary
+# table, so the documents' text bytes stand in as the opaque payload.
+# --------------------------------------------------------------------- #
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           md5(text) AS content_md5,
+           hex(encode(substr(text, 1, 8))) AS magic_hex
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction: size, checksum, magic-bytes
+    prefix — the schema/plumbing for image/audio payloads (real decode
+    lives behind the stubbed encoder, multimodal/)."""
+    docs = load(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(content).alias("n_bytes"),
+        F.md5(content).alias("content_md5"),
+        F.hex(F.substring(content, 1, 8)).alias("magic_hex"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# O20/E7/E8 — hybrid search: keyword + vector, RRF-fused
+# --------------------------------------------------------------------- #
+
+HYBRID_TERMS = ["table", "join", "merge"]
+HYBRID_TOPK = 10
+
+
+@register(
+    "hybrid_rrf",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+    ),
+    kw AS (
+        SELECT doc_id AS id,
+               len(list_filter(list_distinct(list_filter(string_split(text,' '), t -> t <> '')),
+                               t -> t IN ('table','join','merge'))) AS kw_score
+        FROM documents
+    ),
+    kwr AS (
+        SELECT id, row_number() OVER (ORDER BY kw_score DESC, id) AS rank
+        FROM kw WHERE kw_score > 0
+    ),
+    vs AS (
+        SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        FROM embeddings e, q
+    ),
+    vsr AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank FROM vs),
+    f AS (
+        SELECT coalesce(a.id, b.id) AS id,
+               coalesce(1.0/(60 + a.rank), 0) + coalesce(1.0/(60 + b.rank), 0) AS rrf
+        FROM kwr a FULL OUTER JOIN vsr b ON a.id = b.id
+    )
+    SELECT id, round(rrf, 6) AS rrf_score
+    FROM f ORDER BY rrf DESC, id LIMIT {HYBRID_TOPK}
+    """,
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the reference's commented query_type='hybrid',
+    NMR:386–387): keyword rank (distinct-term overlap) ⊕ vector rank
+    (cosine), fused by Reciprocal Rank Fusion. Docs and embeddings join
+    positionally (doc_id ≡ vec_id in the fixtures)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == KNN_QUERY_ID).select("embedding").collect()[0][0]
+    )
+    kw = hybrid.term_overlap_scores(docs, "doc_id", "text", HYBRID_TERMS)
+    kw_ranked = hybrid.rank_by(kw, "doc_id", "kw_score")
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding", dim=len(qvec))
+    vec_scored = idx.search(qvec, k=emb.count())
+    vec_ranked = hybrid.rank_by(vec_scored, "vec_id", "score")
+    fused = hybrid.rrf_fuse(kw_ranked, vec_ranked)
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(HYBRID_TOPK)
+        .select("id", F.round("rrf_score", 6).alias("rrf_score"))
+    )
