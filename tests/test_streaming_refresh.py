@@ -1,0 +1,73 @@
+"""Incremental index refresh ≡ full rebuild (SURVEY.md §2 O15/E10;
+BASELINE.md equivalence target) — the native stand-in for Delta CDF +
+TRIGGERED delta-sync (NMR:277–278, :318)."""
+
+from __future__ import annotations
+
+import os
+
+from vectorsearch_image_embeddings_databricks_spark.streaming import IncrementalIndexer
+
+from .conftest import SF_SMALL
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    src = str(tmp_path / "changelog")
+    os.makedirs(src)
+    indexer = IncrementalIndexer(
+        source_dir=src,
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key="vec_id",
+        schema=emb.schema,
+    )
+
+    # slice 1 appended → refresh
+    emb.filter("vec_id < 200").coalesce(1).write.mode("append").parquet(src)
+    indexer.refresh(spark)
+    assert indexer.current(spark).count() == 200
+    assert indexer.verify_equivalence(spark)
+
+    # slice 2 appended → refresh picks up ONLY the new files (checkpoint)
+    emb.filter("vec_id >= 200").coalesce(1).write.mode("append").parquet(src)
+    indexer.refresh(spark)
+    cur = indexer.current(spark)
+    assert cur.count() == 500
+    assert indexer.verify_equivalence(spark)
+
+    # idempotence: a refresh with no new files changes nothing
+    indexer.refresh(spark)
+    assert indexer.current(spark).count() == 500
+
+    # the refreshed index answers queries identically to a fresh index
+    from vectorsearch_image_embeddings_databricks_spark.index import VectorIndex
+
+    q = emb.filter("vec_id = 42").collect()[0]["embedding"]
+    a = [r["vec_id"] for r in VectorIndex(cur).search(q, k=5).collect()]
+    b = [r["vec_id"] for r in VectorIndex(emb).search(q, k=5).collect()]
+    assert a == b
+
+
+def test_refresh_upserts_changed_rows(spark, tmp_path):
+    """A re-appended key must replace the old row (upsert, not append)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    src = str(tmp_path / "changelog")
+    os.makedirs(src)
+    indexer = IncrementalIndexer(
+        source_dir=src,
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key="vec_id",
+        schema=emb.schema,
+    )
+    emb.filter("vec_id < 10").coalesce(1).write.mode("append").parquet(src)
+    indexer.refresh(spark)
+    # same keys again with a different label → second version must win
+    emb.filter("vec_id < 10").selectExpr(
+        "vec_id", "embedding", "CAST(label + 100 AS INT) AS label"
+    ).coalesce(1).write.mode("append").parquet(src)
+    indexer.refresh(spark)
+    cur = indexer.current(spark)
+    assert cur.count() == 10
+    assert all(r["label"] >= 100 for r in cur.collect())

@@ -1,0 +1,100 @@
+"""Unit + property tests for vector column expressions (SURVEY.md §5.1/§5.3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.functions.vector import (
+    cosine_similarity,
+    dim_check,
+    dot,
+    l2_dist,
+    l2_norm,
+    l2_normalize,
+)
+
+
+def _eval(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def arr(xs):
+    return F.array(*[F.lit(float(x)) for x in xs])
+
+
+def test_dot_basic(spark):
+    assert _eval(spark, dot(arr([1, 2, 3]), arr([4, 5, 6]))) == pytest.approx(32.0)
+
+
+def test_l2_norm_and_dist(spark):
+    assert _eval(spark, l2_norm(arr([3, 4]))) == pytest.approx(5.0)
+    assert _eval(spark, l2_dist(arr([0, 0]), arr([3, 4]))) == pytest.approx(5.0)
+
+
+def test_cosine_self_is_one(spark):
+    v = [0.3, -0.4, 0.5, 0.1]
+    assert _eval(spark, cosine_similarity(arr(v), arr(v))) == pytest.approx(1.0)
+
+
+def test_normalize_produces_unit_vector(spark):
+    v = [3.0, 4.0, 12.0]
+    normed = _eval(spark, l2_norm(l2_normalize(arr(v))))
+    assert normed == pytest.approx(1.0, abs=1e-12)
+
+
+def test_normalize_zero_vector_unchanged(spark):
+    assert _eval(spark, l2_normalize(arr([0, 0]))) == [0.0, 0.0]
+
+
+def test_dim_check(spark):
+    assert _eval(spark, dim_check(arr([1, 2, 3]), 3)) is True
+    assert _eval(spark, dim_check(arr([1, 2, 3]), 4)) is False
+
+
+def test_metric_equivalence_on_unit_vectors(spark):
+    """§1.4 invariant: for unit vectors, ranking by cosine ≡ dot ≡ −L2."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = vecs[0]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id: int, v: array<double>")
+    qc = arr(q)
+    scored = df.select(
+        "id",
+        cosine_similarity("v", qc).alias("cos"),
+        dot("v", qc).alias("dp"),
+        (-l2_dist("v", qc)).alias("negl2"),
+    ).collect()
+    by_cos = [r["id"] for r in sorted(scored, key=lambda r: (-r["cos"], r["id"]))]
+    by_dot = [r["id"] for r in sorted(scored, key=lambda r: (-r["dp"], r["id"]))]
+    by_l2 = [r["id"] for r in sorted(scored, key=lambda r: (-r["negl2"], r["id"]))]
+    assert by_cos == by_dot == by_l2
+
+
+def test_topk_is_prefix_of_topk_plus_one(spark):
+    """top-k ⊆ top-(k+1) on the real fixture corpus."""
+    from vectorsearch_image_embeddings_databricks_spark.index import VectorIndex
+
+    from .conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = emb.filter("vec_id = 7").collect()[0]["embedding"]
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    k5 = [r["vec_id"] for r in idx.search(q, k=5).collect()]
+    k6 = [r["vec_id"] for r in idx.search(q, k=6).collect()]
+    assert k6[:5] == k5
+
+
+def test_python_norm_matches_catalyst_fold(spark):
+    """The driver-side query-norm shortcut must equal the Catalyst fold."""
+    v = [0.1234567, -0.7654321, 0.5555555, -0.0000001]
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    assert _eval(spark, l2_norm(arr(v))) == pytest.approx(math.sqrt(acc), abs=0)

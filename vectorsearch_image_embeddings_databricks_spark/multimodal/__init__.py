@@ -1,0 +1,1 @@
+from .images import extract_image_meta, decode_images, sample_bytes  # noqa: F401

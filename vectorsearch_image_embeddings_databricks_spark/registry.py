@@ -781,3 +781,154 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HYBRID_TOPK)
         .select("id", F.round("rrf_score", 6).alias("rrf_score"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Rows-only queries (no SQL oracle — ANN/stateful/UDF ops; the driver
+# records a rows-only check, pytest pins their semantics: recall vs the
+# exact operators in tests/test_ann_and_dedup.py, equivalence in
+# tests/test_streaming_refresh.py).
+# --------------------------------------------------------------------- #
+
+@register("embed_documents_stub")
+def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11/O12/O18: distributed embedding via iterator pandas UDF with the
+    deterministic stub encoder (no model downloads). Returns per-doc
+    embedding metadata; vectors themselves are checked in pytest."""
+    from .embed import StubTextEncoder, embed_column
+    from .functions.vector import l2_norm
+
+    docs = load(spark, sf_dir, "documents")
+    emb = embed_column(docs, "text", lambda: StubTextEncoder(dim=64))
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+    )
+
+
+@register("ann_lsh_knn")
+def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O19 ANN path: MLlib BucketedRandomProjectionLSH top-k (recall
+    vs exact asserted ≥0.9 in pytest)."""
+    from .index.ann import BRPLSHIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]["embedding"]
+    ann = BRPLSHIndex(emb, bucket_length=1.0, num_hash_tables=6)
+    return ann.search(q, k=KNN_K).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+@register("ann_ivf_knn")
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: KMeans coarse quantizer + partition-pruned exact
+    search (the 100 TB scale path for repeated queries)."""
+    from .index.ann import IVFIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]["embedding"]
+    ivf = IVFIndex(emb, nlist=8)
+    return ivf.search(q, k=KNN_K, nprobe=4).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+@register("cosine_lsh_near_dup")
+def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: sign-LSH candidates + exact cosine verify (subset of
+    the exact pair operator by construction)."""
+    from .index.ann import CosineLSHIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    lsh = CosineLSHIndex(emb, num_bits=16, band_bits=4)
+    res = lsh.similarity_self_join(COSINE_PAIR_THRESHOLD)
+    return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@register("minhash_near_dedup")
+def minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: MinHash-LSH near-dedup with connected-component representatives
+    (pytest asserts it recovers exactly the exact-Jaccard pairs here)."""
+    docs = load(spark, sf_dir, "documents")
+    labels = dedup.near_dedup_minhash(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+        num_hashes=32, bands=16,
+    )
+    return labels.filter(F.col("id") != F.col("rep_id")).orderBy("id")
+
+
+@register("simhash_near_dup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole band joins."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("incremental_refresh")
+def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15/E10: TRIGGERED-style availableNow refresh over a two-slice
+    change log; returns the final index (equivalence with full rebuild is
+    asserted inside, and independently in pytest)."""
+    import tempfile
+
+    from .streaming import IncrementalIndexer
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/changelog"
+        indexer = IncrementalIndexer(
+            source_dir=src,
+            index_dir=f"{tmp}/index",
+            checkpoint_dir=f"{tmp}/ckpt",
+            key="vec_id",
+            schema=emb.schema,
+        )
+        emb.filter("vec_id < 250").coalesce(1).write.mode("append").parquet(src)
+        indexer.refresh(spark)
+        emb.filter("vec_id >= 250").coalesce(1).write.mode("append").parquet(src)
+        indexer.refresh(spark)
+        assert indexer.verify_equivalence(spark)
+        final = indexer.current(spark).select("vec_id", "label")
+        final.cache().count()  # materialize before the tmpdir vanishes
+        return final
+
+
+@register("image_pipeline")
+def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5–O12 end to end: binary ingest (glob-pruned scan, path cleanup) →
+    distributed stub embedding → index → self-query. The fixture dir is
+    derived deterministically from the documents table."""
+    import os
+    import tempfile
+
+    from .embed import StubImageEncoder, embed_column
+    from .embed.udf import assign_ids
+    from .sources import ingest_binary_dir
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    payloads = [
+        (r["doc_id"], b"\xff\xd8\xff\xe0" + r["text"].encode("utf-8"))
+        for r in docs.collect()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, payload in payloads:
+            with open(os.path.join(tmp, f"img_{i:04d}.jpg"), "wb") as f:
+                f.write(payload)
+        images = ingest_binary_dir(spark, tmp, glob="*.jpg")
+        emb = embed_column(
+            images, "content", lambda: StubImageEncoder(dim=32), drop_failed=True
+        )
+        emb = assign_ids(emb, "image_id", order_by="path").select(
+            "image_id",
+            F.element_at(F.split("path", "/"), -1).alias("filename"),
+            "embedding",
+        )
+        idx = VectorIndex(emb, key="image_id", vector_col="embedding", dim=32)
+        target = emb.filter(F.col("image_id") == 0).collect()[0]["embedding"]
+        res = idx.search(target, k=5, columns=["filename"]).select(
+            "image_id", "filename", F.round("score", 6).alias("score")
+        )
+        res.cache().count()
+        return res
