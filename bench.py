@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the noop sink — full computation,
+no driver-side result transfer skewing the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from vectorsearch_image_embeddings_databricks_spark import registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline queries: the reference's core semantics (kNN exact/batch/ANN,
+# hybrid) + the LLM-pipeline operators (dedup, text analysis) + the
+# relational/bench staples over the largest fixture table (lineitem).
+HEADLINE = [
+    "knn_exact",
+    "knn_batch",
+    "ann_lsh_knn",
+    "hybrid_rrf",
+    "near_dup_pairs_jaccard",
+    "minhash_near_dedup",
+    "simhash_near_dup",
+    "dedup_exact_summary",
+    "corpus_stats",
+    "text_quality",
+    "token_counts",
+    "lang_id_pred",
+    "embed_documents_stub",
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "top_orders_per_customer",
+    "events_daily",
+    "events_json",
+    "asof_click_attribution",
+    "session_stats",
+    "rollup_revenue",
+]
+
+
+def build_session() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("vectorlake-bench")
+        .config("spark.sql.shuffle.partitions", str(int(CPUS)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        # keep stdout clean: progress bars would corrupt the JSON line
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup so the first measured query isn't paying JIT cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time (exact+ANN kNN, "
+                "hybrid, dedup family, text analysis, relational, events)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Unit semantics for operators/temporal.py: backward as-of join
+(DuckDB ASOF-JOIN-compatible) and gap sessionization."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vectorsearch_image_embeddings_databricks_spark.operators.temporal import (  # noqa: E402
+    asof_join,
+    sessionize,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_asof_basic_and_no_prior(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 100)], "id int, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [(101, "a", 7), (102, "a", 9), (103, "b", 200)],
+        "rid int, k string, t long",
+    )
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                    payload_cols=["rid"])
+    got = _rows(out, "id", "rid_asof")
+    # id=1 (t=10): latest right ≤10 is rid 102 (t=9); id=2 (t=5): none ≤5;
+    # id=3 (t=100): right t=200 is in the future → NULL
+    assert got == [(1, 102), (2, None), (3, None)]
+
+
+def test_asof_inclusive_equal_ts(spark):
+    left = spark.createDataFrame([(1, "a", 10)], "id int, k string, t long")
+    right = spark.createDataFrame([(9, "a", 10)], "rid int, k string, t long")
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                    payload_cols=["rid"])
+    assert _rows(out, "id", "rid_asof") == [(1, 9)]
+
+
+def test_asof_row_count_preserved(spark):
+    """Left join semantics: exactly one output row per left row, never an
+    explosion, regardless of how many right rows precede it."""
+    left = spark.createDataFrame([(i, "a", 50) for i in range(5)],
+                                 "id int, k string, t long")
+    right = spark.createDataFrame([(100 + j, "a", j) for j in range(20)],
+                                  "rid int, k string, t long")
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                    payload_cols=["rid"])
+    rows = _rows(out, "id", "rid_asof")
+    assert len(rows) == 5
+    assert all(r[1] == 119 for r in rows)  # latest rid with t=19 ≤ 50
+
+
+def test_sessionize_gap_boundaries(spark):
+    # gap=10: deltas of exactly 10 stay in-session; 11 starts a new one
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 10), ("u", 21), ("u", 25), ("v", 1000)],
+        "k string, t long",
+    )
+    out = sessionize(df, key="k", ts_col="t", gap=10)
+    got = _rows(out, "k", "t", "session_id")
+    assert got == [
+        ("u", 0, 0), ("u", 10, 0), ("u", 21, 1), ("u", 25, 1), ("v", 1000, 0),
+    ]

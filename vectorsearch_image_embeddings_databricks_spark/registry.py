@@ -932,3 +932,156 @@ def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         res.cache().count()
         return res
+
+
+# --------------------------------------------------------------------- #
+# Temporal operators (SURVEY.md §2.2 joins row: as-of; sessionization)
+# --------------------------------------------------------------------- #
+
+SESSION_GAP_NANOS = 30 * 60 * 1_000_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "asof_click_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           c.event_id AS click_event_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+           round(c.value, 6) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (DuckDB ``ASOF JOIN`` semantics): each purchase
+    gets the latest same-user click at-or-before it. Implemented as a
+    union + ordered window (operators/temporal.py) — ONE shuffle on
+    user_id, no row explosion, scales with |events| not
+    |purchases|x|clicks|."""
+    from .operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["event_id", "ts", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("click_event_id"),
+        # integer µs gap: truncate EACH side to µs first (DuckDB's TIMESTAMP
+        # is µs — it drops the sub-µs nanos on read), then subtract. No
+        # floats anywhere, so both engines agree bit-for-bit.
+        F.expr("(ts div 1000) - (ts_asof div 1000)").alias("gap_us"),
+        F.round("value_asof", 6).alias("click_value"),
+    )
+
+
+@register(
+    "session_stats",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id,
+               CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) > {SESSION_GAP_NANOS} THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+    SELECT user_id,
+           1 + sum(new_sess) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative-sum windows, one shuffle
+    on user_id) rolled up per user. n_sessions is max(session_id)+1."""
+    from .operators.temporal import sessionize
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    sess = sessionize(ev, key="user_id", ts_col="ts", gap=SESSION_GAP_NANOS)
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + F.lit(1)).cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Grouping sets / rollup + set operations (SURVEY.md §2.2 agg/set rows)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_price,
+           count(*) AS n_orders
+    FROM orders o
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) totals over orders. The dim chain
+    (customer→nation→region) is broadcast; only orders shuffles, and the
+    rollup's partial aggregation collapses to ≤|regions|x|nations| rows
+    per partition before the exchange."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dims = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        o.join(dims, o.o_custkey == dims.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "set_ops_users",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT 'purchase_and_error' AS tag, user_id FROM (SELECT * FROM p INTERSECT SELECT * FROM e)
+    UNION ALL
+    SELECT 'purchase_only' AS tag, user_id FROM (SELECT * FROM p EXCEPT SELECT * FROM e)
+    UNION ALL
+    SELECT 'error_only' AS tag, user_id FROM (SELECT * FROM e EXCEPT SELECT * FROM p)
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over per-type user sets. Spark plans
+    these as left-semi/left-anti hash joins over the deduped key sets —
+    shuffle size is |distinct users|, not |events|."""
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    e = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.lit(t).alias("tag"), "user_id"
+    )
+    return (
+        tag(p.intersect(e), "purchase_and_error")
+        .unionByName(tag(p.exceptAll(e), "purchase_only"))
+        .unionByName(tag(e.exceptAll(p), "error_only"))
+    )
