@@ -41,15 +41,25 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     Docs shorter than ``n`` words contribute their full text as the single
     shingle (so they can still match exact copies of themselves).
+
+    Implementation note: built as a zip_with chain over the token array and
+    its j-shifted slices, NOT as ``transform(sequence, i -> element_at(ws,
+    i+j))``. Interpreted higher-order functions re-evaluate every subtree
+    referenced *inside* the lambda once per element — with the tokenizer in
+    the lambda that is O(positions x |text|) per row (measured ~2 ms/doc at
+    sf0.1). As zip_with arguments, the slices are evaluated once per row.
     """
     ws = tokenize(text)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j) for j in range(n)]
-        ),
+    acc = ws
+    for j in range(1, n):
+        shifted = F.slice(ws, j + 1, F.greatest(F.size(ws) - j, F.lit(0)))
+        # zip_with pads the shorter side with nulls; concat_ws skips them,
+        # which is exactly the short-doc / boundary semantics we want
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    acc = F.slice(acc, 1, F.greatest(F.size(ws) - (n - 1), F.lit(1)))
+    return F.when(F.size(ws) == 0, F.array(F.lit(""))).otherwise(
+        F.array_distinct(acc)
     )
-    return F.array_distinct(joined)
 
 
 def jaccard(a: Column | str, b: Column | str) -> Column:

@@ -129,17 +129,24 @@ def minhash_signatures(
     """(id, shingles, sig: array<bigint>[num_hashes]).
 
     Hash family: h_i(s) = xxhash64(i, s) — independent seeds via the first
-    argument. min() over the shingle set per hash. All columnar built-ins,
-    whole-stage-codegen'd; one pass over the corpus, no shuffle.
+    argument. All num_hashes minima are maintained in a SINGLE ``aggregate``
+    fold over the shingle array (acc = running-min vector, zip_with+least),
+    so the shingle expression is evaluated once per row — not once per hash.
+    (The naive ``array(array_min(transform(sh,…)) × N)`` form duplicates the
+    whole shingling subtree N times after projection collapse: measured 15×
+    slower at sf0.1.) One pass over the corpus, no shuffle, no Python.
     """
     sh = word_shingles(text_col, n=n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(num_hashes)
-        ]
+    max_long = (1 << 63) - 1
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(max_long), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(i, s)),
+            lambda x, y: F.least(x, y),
+        ),
     )
     return df.select(
         F.col(id_col).alias("id"),
@@ -219,8 +226,16 @@ def near_dedup_minhash(
     # undirected edges both ways for label propagation
     edges = verified.union(
         verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).cache()
-    labels = sigs.select("id", F.col("id").alias("rep_id"))
+    )
+    # propagate ONLY over nodes that occur in a verified edge — everything
+    # else is trivially its own representative. At scale this shrinks the
+    # per-iteration joins from |corpus| to |dup-involved nodes| (usually
+    # orders of magnitude smaller).
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("id_a").alias("id")).distinct()
+        .withColumn("rep_id", F.col("id"))
+    )
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.id_b == labels.id)
@@ -235,8 +250,17 @@ def near_dedup_minhash(
                     F.col("rep_id"), F.coalesce(F.col("n_rep"), F.col("rep_id"))
                 ).alias("rep_id"),
             )
+            # each iteration references `labels` twice — without truncating
+            # lineage the plan doubles per round (2^iters subtrees). The
+            # label set is tiny (dup-involved nodes only), so an eager
+            # materialization per round is the scalable shape.
+            .localCheckpoint(eager=True)
         )
-    return labels
+    return (
+        sigs.select("id")
+        .join(labels.withColumnRenamed("rep_id", "__rep"), "id", "left")
+        .select("id", F.coalesce("__rep", F.col("id")).alias("rep_id"))
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -254,15 +278,18 @@ def simhash(text_col: Column | str, token_fn=None) -> Column:
     from ..functions.text import tokenize
 
     toks = (token_fn or tokenize)(text_col)
+    # hash each token ONCE up front: with xxhash64(w) inside the per-bit
+    # lambda the interpreted HOF evaluator recomputes it 64x per token
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
     zeros = F.array_repeat(F.lit(0), 64)
     votes = F.aggregate(
-        toks,
+        hashes,
         zeros,
-        lambda acc, w: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.getbit(F.xxhash64(w), b) == 1, 1).otherwise(-1),
+                lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
             ),
             lambda x, y: x + y,
         ),
