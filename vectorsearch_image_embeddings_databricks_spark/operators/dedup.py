@@ -91,6 +91,9 @@ def near_dup_pairs_jaccard(
             F.broadcast(freq.filter(F.col("__df") <= max_shingle_df).select("__s")),
             "__s",
         )
+    # materialize the (small) inverted index once — as a lazy self-join
+    # input it would be computed by BOTH shuffle-map stages concurrently
+    ex = ex.localCheckpoint(eager=True)
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
         a.join(
@@ -212,8 +215,9 @@ def near_dedup_minhash(
     Components are resolved by iterative min-label propagation over the
     verified-pair edge list (each iteration is one join; near-dup clusters
     are shallow in practice so ``max_iter`` rounds converge)."""
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    sigs.cache()
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)  # referenced 4x below (cand a/b, verify a/b)
     cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
     sh = sigs.select("id", "shingles")
     verified = (
@@ -267,13 +271,20 @@ def near_dedup_minhash(
 # SimHash
 # --------------------------------------------------------------------- #
 
-def simhash(text_col: Column | str, token_fn=None) -> Column:
-    """64-bit SimHash of a document as a 64-char bitstring.
+# bit-b weight for packing a vote vector into one int64; bit 63 is the
+# sign bit, so its weight is MIN_LONG (two's complement — summing each
+# weight at most once reconstructs the exact bit pattern, no overflow UB)
+_BIT_WEIGHTS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def simhash_packed(text_col: Column | str, token_fn=None) -> Column:
+    """64-bit SimHash of a document as ONE BIGINT.
 
     Classic Charikar construction: each token votes ±1 on each bit of its
-    xxhash64; the signature bit is the vote sign. Implemented as a single
-    ``aggregate`` fold over the token array — columnar, no explode, no
-    shuffle, no UDF.
+    xxhash64; the signature bit is the vote sign (bit b of the long = 1 iff
+    votes[b] > 0). A single ``aggregate`` fold over the pre-hashed token
+    array — columnar, no explode, no shuffle, no UDF — and the packed
+    representation makes downstream Hamming math `bit_count(a XOR b)`.
     """
     from ..functions.text import tokenize
 
@@ -294,20 +305,31 @@ def simhash(text_col: Column | str, token_fn=None) -> Column:
             lambda x, y: x + y,
         ),
     )
-    return F.concat_ws(
-        "", F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0"))
+    weights = F.array(*[F.lit(w).cast("long") for w in _BIT_WEIGHTS])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda x, y: x + y,
     )
+
+
+def simhash(text_col: Column | str, token_fn=None) -> Column:
+    """64-bit SimHash as a 64-char bitstring, LSB first (char i = bit i of
+    ``simhash_packed``). Kept as the human-readable/API form; internally
+    everything operates on the packed long."""
+    packed = simhash_packed(text_col, token_fn)
+    return F.reverse(F.lpad(F.bin(packed), 64, "0"))
 
 
 def hamming_bits(a: Column | str, b: Column | str) -> Column:
-    """Hamming distance between two equal-length bitstrings."""
+    """Hamming distance between two packed int64 signatures."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    sa = F.filter(F.split(a, ""), lambda c: c != "")
-    sb = F.filter(F.split(b, ""), lambda c: c != "")
-    return F.size(
-        F.filter(F.zip_with(sa, sb, lambda x, y: x != y), lambda d: d)
-    )
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def near_dup_pairs_simhash(
@@ -317,14 +339,21 @@ def near_dup_pairs_simhash(
     max_hamming: int = 3,
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming) via the pigeonhole band trick:
-    split the 64-bit signature into max_hamming+1 blocks; any pair within
-    distance τ agrees exactly on ≥1 block, so candidates come from
-    equi-joins on block values — never a cross join."""
+    split the 64-bit signature into max_hamming+1 bit blocks; any pair
+    within distance τ agrees exactly on ≥1 block, so candidates come from
+    equi-joins on (block-idx, block-bits) — never a cross join. All
+    integer ops: block extract = shift+mask, verify = bit_count(XOR)."""
     blocks = max_hamming + 1
     width = 64 // blocks
     sigs = df.select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("sig")
-    ).cache()
+        F.col(id_col).alias("id"), simhash_packed(text_col).alias("sig")
+    ).localCheckpoint(eager=True)  # both self-join sides read it
+    def block_bits(i: int) -> Column:
+        w = width if i < blocks - 1 else 64 - i * width
+        shifted = F.shiftrightunsigned("sig", i * width)
+        if i == blocks - 1:
+            return shifted  # top block: unsigned shift already masks
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
     banded = sigs.select(
         "id",
         "sig",
@@ -332,11 +361,7 @@ def near_dup_pairs_simhash(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("blk"),
-                        F.substring(
-                            "sig", i * width + 1,
-                            width if i < blocks - 1 else 64 - i * width,
-                        ).alias("bv"),
+                        F.lit(i).alias("blk"), block_bits(i).alias("bv")
                     )
                     for i in range(blocks)
                 ]
