@@ -1,0 +1,139 @@
+"""Streaming windowed aggregation + stateful sessionization: the
+streaming (availableNow, file-chunked, watermarked) results must equal
+the batch recompute — same contract as the incremental-refresh tests."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.operators.temporal import sessionize
+from vectorsearch_image_embeddings_databricks_spark.streaming import (
+    sessionize_stream,
+    tumbling_counts,
+    with_event_time,
+)
+
+from .conftest import SF_SMALL
+
+DAY_NANOS = 86_400_000_000_000
+T0 = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in epoch nanos
+
+
+def _load_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_SMALL}/events.parquet")
+
+
+def _chunked_source(spark, tmp_path, n_chunks=3, days_per_chunk=10):
+    """Write the fixture events as n time-ordered parquet files so the
+    stream's watermark advances deterministically chunk by chunk."""
+    ev = _load_events(spark)
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    for i in range(n_chunks):
+        lo = T0 + i * days_per_chunk * DAY_NANOS
+        hi = lo + days_per_chunk * DAY_NANOS
+        chunk = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+    return src, ev
+
+
+def _run_stream(df, sink_name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_tumbling_counts_equal_batch(spark, tmp_path):
+    src, ev = _chunked_source(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = tumbling_counts(
+        with_event_time(stream), window="1 day", watermark="1 hour"
+    )
+    _run_stream(agg, "tumbling_sink")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("tumbling_sink").collect()
+    }
+
+    batch = tumbling_counts(with_event_time(ev), window="1 day")
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # every emitted window matches the batch value exactly
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, f"window {k}: stream {v} != batch {want[k]}"
+    # windows finalized by the second-to-last chunk's watermark MUST be out
+    finalized_before = max(
+        r["window_end"]
+        for r in batch.collect()
+        if r["window_end"].timestamp() < (T0 / 1e9) + 19 * 86400
+    )
+    must_have = {
+        (r["window_start"], r["event_type"])
+        for r in batch.collect()
+        if r["window_end"] <= finalized_before
+    }
+    missing = must_have - set(got)
+    assert not missing, f"{len(missing)} finalized windows not emitted"
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    gap_s = 12 * 3600
+    src, ev = _chunked_source(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = sessionize_stream(
+        with_event_time(stream), gap_seconds=gap_s, watermark="0 seconds"
+    )
+    _run_stream(sess, "session_sink")
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.table("session_sink").collect()
+    }
+    assert got, "stream emitted no sessions"
+
+    # batch truth: operators.temporal.sessionize on µs-truncated times
+    batch = (
+        sessionize(
+            ev.select(
+                "user_id", F.expr("ts div 1000").alias("t_us")
+            ),
+            key="user_id",
+            ts_col="t_us",
+            gap=gap_s * 1_000_000,
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("t_us").alias("s"),
+            F.max("t_us").alias("e"),
+            F.count("*").alias("n"),
+        )
+    )
+    want = {
+        (r["user_id"], r["s"], r["e"], r["n"]) for r in batch.collect()
+    }
+    # every emitted session is a real batch session
+    bogus = got - want
+    assert not bogus, f"stream emitted {len(bogus)} sessions not in batch: {sorted(bogus)[:3]}"
+    # sessions that unambiguously closed before the last chunk must be out
+    cutoff_us = (T0 + 19 * DAY_NANOS) // 1000
+    must_have = {w for w in want if w[2] + gap_s * 1_000_000 < cutoff_us}
+    missing = must_have - got
+    assert not missing, f"{len(missing)} closed sessions not emitted: {sorted(missing)[:3]}"

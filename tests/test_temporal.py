@@ -67,3 +67,40 @@ def test_sessionize_gap_boundaries(spark):
     assert got == [
         ("u", 0, 0), ("u", 10, 0), ("u", 21, 1), ("u", 25, 1), ("v", 1000, 0),
     ]
+
+
+def test_range_join_inclusive_bounds_and_bucket_crossing(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.temporal import (
+        range_join,
+    )
+
+    left = spark.createDataFrame([(1, "a", 100)], "id int, k string, t long")
+    # window [t+0, t+10]: 100 and 110 inclusive, 99 and 111 out;
+    # 105 sits in the next bucket (width 10) — must still match
+    right = spark.createDataFrame(
+        [(1, "a", 99), (2, "a", 100), (3, "a", 105), (4, "a", 110),
+         (5, "a", 111), (6, "b", 105)],
+        "rid int, k string, t long",
+    )
+    out = range_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        lower=0, upper=10, payload_cols=["rid"],
+    )
+    assert sorted(r["rid_r"] for r in out.collect()) == [2, 3, 4]
+
+
+def test_range_join_negative_lower(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.temporal import (
+        range_join,
+    )
+
+    left = spark.createDataFrame([(1, "a", 100)], "id int, k string, t long")
+    right = spark.createDataFrame(
+        [(1, "a", 94), (2, "a", 95), (3, "a", 105), (4, "a", 106)],
+        "rid int, k string, t long",
+    )
+    out = range_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        lower=-5, upper=5, payload_cols=["rid"],
+    )
+    assert sorted(r["rid_r"] for r in out.collect()) == [2, 3]

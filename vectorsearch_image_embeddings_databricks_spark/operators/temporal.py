@@ -81,3 +81,58 @@ def sessionize(
         ).otherwise(0)
     )
     return df.withColumn("session_id", F.sum(gap_flag).over(w))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    payload_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: all right rows of the same key with
+    ``right_ts ∈ [left_ts + lower, left_ts + upper]`` (inclusive).
+
+    A naive inequality join plans as a nested-loop join — quadratic per
+    key. Instead: pick a bucket width = the window span, explode each left
+    row into the (≤2) covering buckets, put each right row in its single
+    bucket, equi-join on (key, bucket), then apply the exact range filter.
+    The shuffle is keyed on (key, bucket) — linear, skew-safe under AQE —
+    and this is the shape that survives 100 TB.
+
+    Timestamps must share one integer unit (the fixtures use epoch nanos).
+    """
+    span = upper - lower
+    if span <= 0:
+        raise ValueError("upper must be > lower")
+    w = span
+    lhs = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"({left_ts} + {lower}) div {w}"),
+                F.expr(f"({left_ts} + {upper}) div {w}"),
+            )
+        ),
+    )
+    rhs = right.select(
+        F.col(key).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        F.expr(f"{right_ts} div {w}").alias("__b"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+    )
+    joined = lhs.join(
+        rhs,
+        (F.col(key) == F.col("__rk"))
+        & (lhs["__b"] == rhs["__b"])
+        & (F.col("__rts") >= F.col(left_ts) + F.lit(lower))
+        & (F.col("__rts") <= F.col(left_ts) + F.lit(upper)),
+    )
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"{c}{suffix}") for c in payload_cols],
+    )

@@ -1085,3 +1085,190 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(p.exceptAll(e), "purchase_only"))
         .unionByName(tag(e.exceptAll(p), "error_only"))
     )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all four grouping sets in one
+    pass; partial aggregation bounds the shuffle at |status|x|priority|
+    rows per partition regardless of table size."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+            "total_price"
+        ),
+    )
+
+
+@register(
+    "order_quartiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_totalprice,
+               ntile(4) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS quartile
+        FROM orders
+    )
+    SELECT quartile,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_price
+    FROM ranked GROUP BY quartile
+    """,
+)
+def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend quartiles (ntile window, deterministic tie-break
+    on the key) rolled up globally. One shuffle on o_custkey for the
+    window, then a tiny 4-group aggregate."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Event-time windows (batch form of streaming/windows.py; SURVEY §2.2)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "events_hourly_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (F.window — the same operator
+    the streaming path uses with a watermark). Session tz pinned to UTC so
+    window alignment is timezone-free like the fixtures."""
+    from .streaming.windows import with_event_time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_event_time(load_events(spark, sf_dir))
+    return (
+        ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 0 MINUTE END AS b30
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, unnest([b30, b30 - INTERVAL 30 MINUTE]) AS ws
+        FROM b
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+           count(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window / 30 min slide): every event counts in
+    two overlapping windows — Spark's F.window explodes them natively."""
+    from .streaming.windows import with_event_time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_event_time(load_events(spark, sf_dir))
+    return (
+        ev.groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+HOUR_NANOS = 3_600_000_000_000
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts
+     AND p.ts <= e.ts + INTERVAL 1 HOUR
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within 1 h after an error by the same user — bucketized
+    interval join (operators.temporal.range_join): equi-join on
+    (user, time-bucket), never a nested loop."""
+    from .operators.temporal import range_join
+
+    ev = load_events(spark, sf_dir)
+    # compare at µs precision — DuckDB's TIMESTAMP drops sub-µs nanos, so
+    # a nanos-precision boundary test could disagree at exactly +1h
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("t_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("t_us")
+    )
+    joined = range_join(
+        errors, purchases, key="user_id", left_ts="t_us", right_ts="t_us",
+        lower=0, upper=HOUR_NANOS // 1000, payload_cols=["event_id", "t_us"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("purchase_event_id"),
+        (F.col("t_us_r") - F.col("t_us")).alias("gap_us"),
+    )

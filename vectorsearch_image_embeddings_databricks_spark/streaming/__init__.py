@@ -1,1 +1,7 @@
 from .refresh import IncrementalIndexer  # noqa: F401
+from .windows import (  # noqa: F401
+    sessionize_stream,
+    sliding_counts,
+    tumbling_counts,
+    with_event_time,
+)
