@@ -50,6 +50,11 @@ HEADLINE = [
     "asof_click_attribution",
     "session_stats",
     "rollup_revenue",
+    "range_join_events",
+    "events_hourly_window",
+    "events_sliding_window",
+    "cube_order_stats",
+    "order_quartiles",
 ]
 
 
