@@ -1,0 +1,143 @@
+"""Property-based tests (SURVEY.md §5 layer 3): metric equivalences,
+dedup idempotence, RRF symmetry, shingle invariants — each property
+evaluated through the real Spark expressions on hypothesis-generated data
+(small example counts: every example is a Spark job)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import assume, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.functions.text import word_shingles
+from vectorsearch_image_embeddings_databricks_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_dist,
+    l2_normalize,
+)
+from vectorsearch_image_embeddings_databricks_spark.operators import dedup
+
+FLOATS = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False
+)
+VEC = st.lists(FLOATS, min_size=2, max_size=8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(v=VEC.filter(lambda xs: sum(x * x for x in xs) > 1e-6))
+def test_cosine_self_is_one(spark, v):
+    df = spark.createDataFrame([(v, v)], "a array<double>, b array<double>")
+    got = df.select(cosine_similarity("a", "b").alias("c")).collect()[0]["c"]
+    assert math.isclose(got, 1.0, abs_tol=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vs=st.integers(2, 6).flatmap(
+        lambda d: st.lists(
+            st.lists(FLOATS, min_size=d, max_size=d).filter(
+                lambda xs: sum(x * x for x in xs) > 1e-6
+            ),
+            min_size=3,
+            max_size=6,
+        )
+    ),
+)
+def test_ranking_invariant_under_metric_choice_for_unit_vectors(spark, vs):
+    """SURVEY §1.4: for unit vectors, cosine / dot / negative-L2 produce
+    the same ranking against any query (near-ties below float precision
+    are excluded — the equivalence is about ordering, not ulp behavior)."""
+    # exclude examples whose true cosines are closer than float noise
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    uq = unit(vs[0])
+    cosines = [sum(a * b for a, b in zip(unit(v), uq)) for v in vs]
+    gaps = [
+        abs(a - b)
+        for i, a in enumerate(cosines)
+        for b in cosines[i + 1:]
+    ]
+    assume(min(gaps) > 1e-6)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "id int, v array<double>"
+    ).select("id", l2_normalize("v").alias("v"))
+    qn = df.filter(F.col("id") == 0).collect()[0]["v"]
+    lit_q = F.array(*[F.lit(float(x)) for x in qn])
+    scored = df.select(
+        "id",
+        cosine_similarity("v", lit_q).alias("cos"),
+        dot("v", lit_q).alias("dp"),
+        (-l2_dist("v", lit_q)).alias("nl2"),
+    ).collect()
+    by_cos = [r["id"] for r in sorted(scored, key=lambda r: (-r["cos"], r["id"]))]
+    by_dot = [r["id"] for r in sorted(scored, key=lambda r: (-r["dp"], r["id"]))]
+    by_nl2 = [r["id"] for r in sorted(scored, key=lambda r: (-r["nl2"], r["id"]))]
+    assert by_cos == by_dot == by_nl2
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dedup_exact_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(rows)], "id long, k string"
+    )
+    once = dedup.dedup_exact(df, keys=["k"], id_col="id").select("id", "k")
+    twice = dedup.dedup_exact(once, keys=["k"], id_col="id").select("id", "k")
+    got_once = sorted(tuple(r) for r in once.collect())
+    got_twice = sorted(tuple(r) for r in twice.collect())
+    assert got_once == got_twice  # idempotent
+    # exactly one representative per key, and it is the min id
+    want = {}
+    for i, (_, k) in enumerate(rows):
+        want.setdefault(k, i)
+    assert got_once == sorted((i, k) for k, i in want.items())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("ab cd"), min_size=0, max_size=40
+    ),
+    n=st.integers(2, 4),
+)
+def test_word_shingle_invariants(spark, text, n):
+    df = spark.createDataFrame([(text,)], "t string")
+    sh = df.select(word_shingles("t", n=n).alias("s")).collect()[0]["s"]
+    toks = [w for w in text.split(" ") if w]
+    # count: distinct over max(len-n+1, 1) windows; always ≥1
+    assert 1 <= len(sh) <= max(len(toks) - n + 1, 1)
+    # each shingle has at most n words, drawn from the doc's tokens
+    for s in sh:
+        ws = [w for w in s.split(" ") if w]
+        assert len(ws) <= n
+        assert all(w in toks for w in ws) or s == ""
+
+
+def test_rrf_fusion_is_symmetric(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.hybrid import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 3)], "id long, rank int"
+    )
+    ab = {r["id"]: r["rrf_score"] for r in rrf_fuse(a, b, "id").collect()}
+    ba = {r["id"]: r["rrf_score"] for r in rrf_fuse(b, a, "id").collect()}
+    assert ab.keys() == ba.keys()
+    for k in ab:
+        assert math.isclose(ab[k], ba[k], rel_tol=1e-12)
