@@ -104,3 +104,25 @@ def test_range_join_negative_lower(spark):
         lower=-5, upper=5, payload_cols=["rid"],
     )
     assert sorted(r["rid_r"] for r in out.collect()) == [2, 3]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.skew import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 3, f"l{i}") for i in range(50)], "id long, k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(0, "r0"), (1, "r1"), (1, "r1b"), (5, "r5")], "k long, rv string"
+    )
+    plain = sorted(
+        (r["id"], r["k"], r["rv"])
+        for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["id"], r["k"], r["rv"])
+        for r in salted_join(left, right, key="k", salt=4, salt_from="id").collect()
+    )
+    assert plain == salted and len(plain) > 0

@@ -1272,3 +1272,62 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_r").alias("purchase_event_id"),
         (F.col("t_us_r") - F.col("t_us")).alias("gap_us"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Semi/anti-join + correlated-subquery patterns (SURVEY.md §2.2 joins)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti hash join (the right side carries only
+    the distinct join key), then a broadcast dim join for the rollup."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    SELECT l_partkey, l_suppkey AS cheapest_suppkey,
+           round(l_extendedprice, 6) AS min_price
+    FROM (
+        SELECT l_partkey, l_suppkey, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_extendedprice, l_suppkey
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated min-per-group subquery, decorrelated into a single
+    struct-min aggregation (lexicographic min of (price, suppkey)) — one
+    partial-aggregated shuffle, no join-back, no window sort."""
+    li = load(spark, sf_dir, "lineitem")
+    best = (
+        li.groupBy("l_partkey")
+        .agg(F.min(F.struct("l_extendedprice", "l_suppkey")).alias("m"))
+    )
+    return best.select(
+        "l_partkey",
+        F.col("m.l_suppkey").alias("cheapest_suppkey"),
+        F.round(F.col("m.l_extendedprice"), 6).alias("min_price"),
+    )
