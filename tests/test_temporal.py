@@ -126,3 +126,44 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(left, right, key="k", salt=4, salt_from="id").collect()
     )
     assert plain == salted and len(plain) > 0
+
+
+def test_hash_sample_deterministic_subset_with_sane_rate(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.sampling import (
+        hash_sample,
+        train_eval_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in hash_sample(df, "k", 0.3, seed=7).collect()}
+    # repartitioning must not change membership (the df.sample pitfall)
+    s2 = {
+        r["k"] for r in hash_sample(df.repartition(13), "k", 0.3, seed=7).collect()
+    }
+    assert s1 == s2
+    assert 0.2 < len(s1) / 2000 < 0.4
+    # different seed → different sample
+    s3 = {r["k"] for r in hash_sample(df, "k", 0.3, seed=8).collect()}
+    assert s1 != s3
+
+    train, ev = train_eval_split(df, "k", eval_fraction=0.2, seed=1)
+    t = {r["k"] for r in train.collect()}
+    e = {r["k"] for r in ev.collect()}
+    assert t | e == set(range(2000)) and not (t & e)  # disjoint + exhaustive
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_sample(
+        df, strata_col="s", fractions={"a": 1.0, "b": 0.1}, key="k"
+    )
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts["a"] == 1000  # fraction 1.0 keeps everything
+    assert 50 < counts.get("b", 0) < 200  # ≈10% of 1000

@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data pipelines (north-star scale
+operators; companions to the dedup family).
+
+``df.sample`` is seed-stable only for a fixed partitioning — repartition
+the input and the sample changes. These operators hash a STABLE KEY
+instead: membership is a pure function of (key, seed), so samples are
+reproducible across runs, partitionings, and cluster sizes, rerunnable
+per-partition on task retry, and consistent between a pipeline's stages
+(the property training-data dedup/eval splits actually need).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column | str, seed: int) -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, chosen by hash-bucketing ``key``.
+
+    Filter-only: pushes to the scan-adjacent Filter, no shuffle, no RNG
+    state. The same (key, seed) always lands on the same side."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(key, seed) < int(fraction * _BUCKETS))
+
+
+def train_eval_split(
+    df: DataFrame, key: str, eval_fraction: float = 0.1, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, deterministic (train, eval) split on a key —
+    the two sides are complementary hash ranges, so no row is lost or
+    duplicated even across separate pipeline runs."""
+    cut = int(eval_fraction * _BUCKETS)
+    b = _bucket(key, seed)
+    return df.filter(b >= cut), df.filter(b < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key: str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages or
+    sources in a corpus). ``fractions`` maps stratum value → keep rate;
+    strata not listed keep ``default_fraction``. Single filter pass."""
+    cut = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in fractions.items():
+        cut = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))
+        ).otherwise(cut)
+    return df.filter(_bucket(key, seed) < cut)

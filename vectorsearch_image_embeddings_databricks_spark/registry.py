@@ -1331,3 +1331,67 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.l_suppkey").alias("cheapest_suppkey"),
         F.round(F.col("m.l_extendedprice"), 6).alias("min_price"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Profiling + deterministic sampling (training-data pipeline intake ops)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the documents corpus (exact
+    distinct counts; see operators.profile for the HLL fast path)."""
+    from .operators.profile import profile_table
+
+    docs = load(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register("stratified_sample_docs")
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rebalancing sample (rows-only check:
+    hash-bucket membership is engine-specific; determinism + rate
+    properties are pytest-asserted)."""
+    from .operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 1.0},
+        key="doc_id",
+        default_fraction=0.25,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
