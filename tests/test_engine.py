@@ -1,0 +1,93 @@
+"""End-to-end facade test (SURVEY.md §5 layer 4): fixture binary dir →
+ingest → distributed stub embedding → index → text query → reference
+wire-shape adapter."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from vectorsearch_image_embeddings_databricks_spark.embed import StubImageEncoder, StubTextEncoder
+from vectorsearch_image_embeddings_databricks_spark.engine import (
+    MultiModalEngine,
+    to_data_array,
+)
+
+
+def _write_images(tmp_path, n=30):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(n):
+        (d / f"img_{i:03d}.jpg").write_bytes(
+            b"\xff\xd8\xff\xe0" + f"payload-{i}".encode()
+        )
+    (d / "not_an_image.txt").write_text("skipped by the glob")
+    return str(d)
+
+
+def test_engine_end_to_end(spark, tmp_path):
+    directory = _write_images(tmp_path)
+    eng = MultiModalEngine(spark, dim=32)
+    images = eng.ingest_images(directory, glob="*.jpg")
+    assert images.count() == 30  # txt file pruned at listing time
+    assert not [p for p in images.select("path").collect() if "file:" in p[0]]
+
+    eng.build_index(limit=25)  # the reference's demo cap path (NMR:224)
+    res = eng.search_images_by_text("a dog on a skateboard", top_k=5)
+    rows = res.collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["filepath"].endswith(".jpg") for r in rows)
+
+    # top_k is honored (the reference ignores it — SURVEY §1.4)
+    assert len(eng.search_images_by_text("same", top_k=3).collect()) == 3
+
+    # self-retrieval sanity: querying with the exact embedding of one
+    # image puts that image first (stub encoders are deterministic)
+    content = [
+        r["content"]
+        for r in images.filter(images.path.endswith("img_007.jpg")).collect()
+    ][0]
+    img_vec = StubImageEncoder(dim=32).encode_batch(pd.Series([bytes(content)]))[0]
+    top = eng.index.search(img_vec, k=1, columns=["filepath"]).collect()[0]
+    assert top["filepath"].endswith("img_007.jpg")
+    assert abs(top["score"] - 1.0) < 1e-6
+
+    # wire-shape adapter: positional [image_id, filepath, score] rows,
+    # consumers can do path = row[1] (NMR:416)
+    shaped = to_data_array(res, columns=["image_id", "filepath"])
+    arr = shaped["result"]["data_array"]
+    assert len(arr) == 5 and len(arr[0]) == 3
+    assert arr[0][1].endswith(".jpg") and isinstance(arr[0][2], float)
+
+
+def test_engine_text_embedding_is_pure(spark):
+    eng = MultiModalEngine(spark, dim=16)
+    v1 = eng.embed_text("hello world")
+    v2 = eng.embed_text("hello world")
+    v3 = eng.embed_text("different")
+    assert v1 == v2 and v1 != v3
+    assert len(v1) == 16
+
+
+def test_engine_tolerates_unencodable_rows(spark, tmp_path):
+    """NMR:211–213 semantics: a failing row is skipped, not fatal."""
+
+    class FlakyEncoder:
+        dim = 16
+
+        def encode_batch(self, batch):
+            return [
+                None if b is not None and bytes(b).endswith(b"-3") else
+                StubImageEncoder(dim=16).encode_batch(pd.Series([b]))[0]
+                for b in batch
+            ]
+
+    directory = _write_images(tmp_path, n=6)
+    eng = MultiModalEngine(
+        spark, dim=16, image_encoder_factory=lambda: FlakyEncoder()
+    )
+    eng.ingest_images(directory)
+    idx = eng.build_index()
+    # 6 images, payload-3 fails to embed → 5 indexed
+    assert idx.df.count() == 5

@@ -11,8 +11,11 @@ Layout
 - ``embed/``      pluggable pandas-UDF encoders (stub encoder for tests)
 - ``index/``      VectorIndex lifecycle (exact + LSH ANN, persist/refresh)
 - ``operators/``  kNN join, dedup family, hybrid search, text analysis
-- ``streaming/``  incremental (TRIGGERED-style) index refresh
+- ``streaming/``  incremental (TRIGGERED-style) index refresh + windows
 - ``plans/``      plan-inspection utilities (explain capture, shuffle audit)
+- ``engine``      MultiModalEngine facade (ingest → embed → index → query)
 """
 
 __version__ = "0.1.0"
+
+from .engine import MultiModalEngine, to_data_array  # noqa: E402,F401
