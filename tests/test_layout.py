@@ -1,0 +1,90 @@
+"""Physical layout: bucketed joins must plan WITHOUT a shuffle; parquet
+compaction must preserve data while merging files; partitioned writes
+must prune at the listing level."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.sources.layout import (
+    compact_parquet,
+    write_bucketed,
+    write_partitioned,
+)
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8, sort_col="l_orderkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle-class join so the bucketing is what saves us
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree  # co-located: bucket-to-bucket join
+        # and the result is right
+        n = joined.count()
+        want = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    src = str(tmp_path / "small_files")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.repartition(37).write.mode("overwrite").parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 37
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=10**9)
+    assert n_out == 1
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst == 1
+    # content preserved exactly
+    a = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
+    b = sorted(r["doc_id"] for r in docs.collect())
+    assert a == b
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    path = str(tmp_path / "by_lang")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    write_partitioned(docs, path, ["lang"], sort_cols=["doc_id"])
+    # the lang=... directories exist (listing-level pruning unit)
+    langs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert len(langs) >= 2
+    df = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(lang" in plan.replace("#", "").replace(
+        "lang)", "lang"
+    ) or "PartitionFilters" in plan
+    got = df.count()
+    want = docs.filter(F.col("lang") == "en").count()
+    assert got == want

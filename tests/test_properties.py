@@ -141,3 +141,44 @@ def test_rrf_fusion_is_symmetric(spark):
     assert ab.keys() == ba.keys()
     for k in ab:
         assert math.isclose(ab[k], ba[k], rel_tol=1e-12)
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """The Catalyst BM25 expression must equal a from-scratch Python BM25
+    on the same corpus (tighter than a SQL oracle: zero tolerance beyond
+    float addition order)."""
+    import math as m
+
+    from vectorsearch_image_embeddings_databricks_spark.operators.hybrid import (
+        bm25_scores,
+    )
+
+    corpus = [
+        (0, "spark join scan join"),
+        (1, "vector search with vector index"),
+        (2, "the quick brown fox"),
+        (3, ""),
+        (4, "join"),
+        (5, "scan scan scan scan scan vector"),
+    ]
+    terms = ["vector", "join", "scan"]
+    k1, b = 1.2, 0.75
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in corpus}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    for i, _ in corpus:
+        want = 0.0
+        for t in terms:
+            tf = toks[i].count(t)
+            idf = m.log(1 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            want += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+    # sanity: the all-scan doc tops a 'scan' ranking
+    assert max(got, key=lambda i: got[i]) == 5

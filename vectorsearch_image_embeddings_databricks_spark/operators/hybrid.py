@@ -95,3 +95,59 @@ def rank_by(df: DataFrame, id_col: str, score_col: str, ascending: bool = False)
     return df.select(
         F.col(id_col).alias("id"), F.row_number().over(w).alias("rank")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every doc against ``query_terms``.
+
+    score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+                 · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    Shape for scale: per-doc term frequencies are codegen'd array
+    expressions (no explode — the query has a handful of terms, so they
+    are static columns); the corpus statistics (N, avgdl, df per term)
+    reduce to ONE tiny row that is broadcast back. Two passes over the
+    corpus total, zero wide shuffles.
+
+    Returns (id, score) for all docs (score 0 when no term matches).
+    """
+    toks = tokenize(text_col)
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    base = base.withColumn("__dl", F.size("__toks"))
+    def matches(t: str):
+        return lambda w: w == F.lit(t)
+
+    for i, term in enumerate(query_terms):
+        base = base.withColumn(
+            f"__tf_{i}", F.size(F.filter("__toks", matches(term)))
+        )
+    base = base.drop("__toks")
+    stats = base.agg(
+        F.count("*").alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        df_t = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__N") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / norm
+    return scored.select("id", score.alias("score"))

@@ -1395,3 +1395,60 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# --------------------------------------------------------------------- #
+# E7 — BM25 keyword ranking (the "BM25/TF-IDF" north-star item)
+# --------------------------------------------------------------------- #
+
+BM25_TERMS = ("vector", "join", "scan")
+BM25_K = 20
+
+
+def _bm25_term_sql(i: int, t: str) -> str:
+    return f"""
+        ln(1 + ("N" - df{i} + 0.5)/(df{i} + 0.5))
+        * tf{i} * 2.2 / (tf{i} + 1.2*(1 - 0.75 + 0.75*dl/avgdl))"""
+
+
+@register(
+    "keyword_search_bm25",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '), t -> t <> '')) AS dl,
+               {", ".join(
+                   f"len(list_filter(string_split(text,' '), t -> t = '{t}')) AS tf{i}"
+                   for i, t in enumerate(BM25_TERMS)
+               )}
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS "N", avg(dl) AS avgdl,
+               {", ".join(
+                   f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                   for i in range(len(BM25_TERMS))
+               )}
+        FROM base
+    )
+    SELECT doc_id,
+           round({" + ".join(_bm25_term_sql(i, t) for i, t in enumerate(BM25_TERMS))}, 4) AS score
+    FROM base, stats
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_K}
+    """,
+)
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} docs by Okapi BM25 for a fixed term query. Rounded to 4dp
+    BEFORE ranking so the cross-engine order (and the top-k row set) is
+    identical despite last-ulp libm ln() differences; the exact-float
+    semantics are pinned by the pure-Python reference test instead."""
+    docs = load(spark, sf_dir, "documents")
+    scored = hybrid.bm25_scores(docs, "doc_id", "text", list(BM25_TERMS))
+    return (
+        scored.select(
+            F.col("id").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
