@@ -1,1 +1,2 @@
+from .catalog import IndexCatalog  # noqa: F401
 from .vector_index import VectorIndex  # noqa: F401

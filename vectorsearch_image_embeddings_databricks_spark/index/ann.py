@@ -86,6 +86,43 @@ class BRPLSHIndex:
             F.desc(score_col), F.asc(self.key)
         )
 
+    def save(self, path: str) -> None:
+        """Persist model + hashed corpus (the ANN analogue of the index
+        'build' the reference delegates to the VS service, NMR:315–323).
+        Loading skips the fit (the expensive, corpus-wide part); re-hashing
+        on load is a narrow per-row map, applied lazily."""
+        import json
+        import os
+
+        self.model.write().overwrite().save(os.path.join(path, "model"))
+        self.hashed.drop("__vec", "__hashes").write.mode("overwrite").parquet(
+            os.path.join(path, "data")
+        )
+        with open(os.path.join(path, "_brplsh_meta.json"), "w") as f:
+            json.dump({"key": self.key, "vector_col": self.vector_col}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BRPLSHIndex":
+        import json
+        import os
+
+        from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+        from pyspark.ml.functions import array_to_vector
+
+        with open(os.path.join(path, "_brplsh_meta.json")) as f:
+            meta = json.load(f)
+        obj = cls.__new__(cls)
+        obj.key = meta["key"]
+        obj.vector_col = meta["vector_col"]
+        obj.model = BucketedRandomProjectionLSHModel.load(
+            os.path.join(path, "model")
+        )
+        obj.df = spark.read.parquet(os.path.join(path, "data")).withColumn(
+            "__vec", array_to_vector(F.col(meta["vector_col"]))
+        )
+        obj.hashed = obj.model.transform(obj.df).cache()
+        return obj
+
     def similarity_join(self, other: DataFrame | None, max_l2: float) -> DataFrame:
         """Pairs within L2 distance threshold (self-join when other is
         None): LSH-bucketed candidate generation + exact distance filter."""
@@ -226,6 +263,38 @@ class IVFIndex:
         ).fit(vecs)
         self.assigned = self.kmeans.transform(vecs).drop("__vec").cache()
         self.centroids = [np.asarray(c) for c in self.kmeans.clusterCenters()]
+
+    def save(self, path: str) -> None:
+        """Persist quantizer + centroid-assigned corpus, written
+        *partitioned by centroid_id* so a loaded index probes via
+        partition pruning (the on-disk layout the class docstring
+        promises for scale)."""
+        import json
+        import os
+
+        self.kmeans.write().overwrite().save(os.path.join(path, "model"))
+        self.assigned.write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(os.path.join(path, "data"))
+        with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+            json.dump({"key": self.key, "vector_col": self.vector_col}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        import json
+        import os
+
+        from pyspark.ml.clustering import KMeansModel
+
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            meta = json.load(f)
+        obj = cls.__new__(cls)
+        obj.key = meta["key"]
+        obj.vector_col = meta["vector_col"]
+        obj.kmeans = KMeansModel.load(os.path.join(path, "model"))
+        obj.assigned = spark.read.parquet(os.path.join(path, "data"))
+        obj.centroids = [np.asarray(c) for c in obj.kmeans.clusterCenters()]
+        return obj
 
     def search(
         self,

@@ -1,0 +1,167 @@
+"""Named index catalog — the native replacement for the Vector Search
+client's index *lifecycle* API (``Nomic MultiModal Retrieval.py``:294
+``VectorSearchClient()``, :315–323 ``create_delta_sync_index_and_wait``,
+:384 ``get_index``; SURVEY.md §2 O16/O17).
+
+The reference manages indexes by *name* inside an external service with a
+three-level namespace (catalog.schema.index, NMR:319). Natively the catalog
+is a directory tree::
+
+    <root>/<name>/data/*.parquet        materialized index rows
+    <root>/<name>/_vectorlake_index_meta.json
+
+so index *build* is a Spark write, *lookup* is a metadata read + lazy scan
+(column-pruned — the vector column is only read by queries that score), and
+*sync* re-materializes from the registered source, mirroring the
+``pipeline_type="TRIGGERED"`` on-demand model (NMR:318): nothing refreshes
+until ``sync()`` is called.
+
+At 100 TB the data dir is a partitioned parquet/Delta table; every method
+here stays metadata-only on the driver except the writes themselves, which
+are ordinary distributed jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .vector_index import _META_FILE, VectorIndex
+
+_CATALOG_META = "_vectorlake_catalog.json"
+
+
+class IndexCatalog:
+    """Create / look up / list / drop / sync named vector indexes."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------------ #
+
+    def _path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid index name: {name!r}")
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), _META_FILE))
+
+    def create_index(
+        self,
+        name: str,
+        source: DataFrame,
+        key: str = "vec_id",
+        vector_col: str = "embedding",
+        dim: int | None = None,
+        assume_normalized: bool = False,
+        source_table: str | None = None,
+        if_exists: str = "error",
+    ) -> VectorIndex:
+        """Materialize ``source`` as the named index (the reference's
+        ``create_delta_sync_index_and_wait``, NMR:315–323 — `_and_wait`
+        is implicit: the write IS the build, there is no remote poll).
+
+        ``source_table`` optionally registers a catalog table name so
+        ``sync(name)`` can re-read it later without the caller re-passing
+        the DataFrame (delta-sync semantics).
+        """
+        if self.exists(name):
+            if if_exists == "error":
+                raise ValueError(f"index {name!r} already exists")
+            if if_exists == "ignore":
+                return self.get_index(name)
+            # if_exists == "replace" falls through to overwrite
+        idx = VectorIndex(
+            source,
+            key=key,
+            vector_col=vector_col,
+            dim=dim,
+            assume_normalized=assume_normalized,
+        )
+        path = self._path(name)
+        idx.save(path, mode="overwrite")
+        with open(os.path.join(path, _CATALOG_META), "w") as f:
+            json.dump({"name": name, "source_table": source_table}, f)
+        return VectorIndex.load(self.spark, path)
+
+    def get_index(self, name: str) -> VectorIndex:
+        """Lookup by name (``vs_client.get_index``, NMR:384)."""
+        if not self.exists(name):
+            raise KeyError(f"no such index: {name!r}")
+        return VectorIndex.load(self.spark, self._path(name))
+
+    def list_indexes(self) -> list[dict]:
+        """Name + schema metadata for every index in the catalog."""
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            meta_path = os.path.join(self.root, name, _META_FILE)
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                meta["name"] = name
+                out.append(meta)
+        return out
+
+    def drop_index(self, name: str) -> None:
+        if not self.exists(name):
+            raise KeyError(f"no such index: {name!r}")
+        shutil.rmtree(self._path(name))
+
+    def sync(self, name: str, source: DataFrame | None = None) -> VectorIndex:
+        """TRIGGERED refresh (NMR:318): re-materialize the index from its
+        registered source table, or from an explicitly passed DataFrame.
+
+        The rewrite goes through a staging directory so a reader holding
+        the old index keeps a consistent view until the swap.
+        """
+        path = self._path(name)
+        if not self.exists(name):
+            raise KeyError(f"no such index: {name!r}")
+        with open(os.path.join(path, _META_FILE)) as f:
+            meta = json.load(f)
+        cat_meta_path = os.path.join(path, _CATALOG_META)
+        source_table = None
+        if os.path.exists(cat_meta_path):
+            with open(cat_meta_path) as f:
+                source_table = json.load(f).get("source_table")
+        if source is None:
+            if source_table is None:
+                raise ValueError(
+                    f"index {name!r} has no registered source_table; "
+                    "pass a source DataFrame"
+                )
+            source = self.spark.table(source_table)
+        idx = VectorIndex(
+            source,
+            key=meta["key"],
+            vector_col=meta["vector_col"],
+            dim=meta["dim"],
+            assume_normalized=meta["assume_normalized"],
+        )
+        staging = path + ".__staging__"
+        idx.save(staging, mode="overwrite")
+        with open(os.path.join(staging, _CATALOG_META), "w") as f:
+            json.dump({"name": name, "source_table": source_table}, f)
+        shutil.rmtree(path)
+        os.replace(staging, path)
+        return VectorIndex.load(self.spark, path)
+
+    # ------------------------------------------------------------------ #
+
+    def search(
+        self,
+        name: str,
+        query_vector: Sequence[float],
+        k: int = 5,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Convenience: ``get_index(name).search(...)`` — one call shaped
+        like the reference's ``index.similarity_search`` (NMR:388)."""
+        return self.get_index(name).search(query_vector, k=k, columns=columns)
