@@ -128,3 +128,80 @@ def test_decode_pil_raises_cleanly(spark, image_dir):
     except ImportError:
         with pytest.raises(NotImplementedError, match="stub"):
             decode_images(images, decoder="pil")
+
+
+def test_resize_images_stub(spark, image_dir):
+    from vectorsearch_image_embeddings_databricks_spark.multimodal.images import resize_images
+
+    images = ingest_binary_dir(spark, image_dir, glob="*.jpg")
+    out = resize_images(images, 32, 16)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert {(r["width"], r["height"]) for r in rows} == {(32, 16)}
+    # stub output bytes: deterministic, sized to the pixel buffer
+    assert all(len(r["content"]) == 32 * 16 * 3 for r in rows)
+    again = {r["path"]: bytes(r["content"]) for r in out.collect()}
+    assert all(bytes(r["content"]) == again[r["path"]] for r in rows)
+    with pytest.raises(NotImplementedError):
+        resize_images(images, 8, 8, decoder="pil").collect()
+
+
+def test_sample_frames_flatmap_shape(spark, image_dir):
+    """One input row fans out to N frame rows — the mapInPandas flat-map
+    shape; frame count derives from byte length (stub: 1 per 4 KiB)."""
+    from vectorsearch_image_embeddings_databricks_spark.multimodal.images import sample_frames
+
+    images = ingest_binary_dir(spark, image_dir, glob="*.jpg")
+    frames = sample_frames(images, every_ms=500, max_frames=4)
+    pdf = frames.toPandas()
+    assert pdf.shape[0] >= images.count()  # ≥1 frame per input
+    per_path = pdf.groupby("path").size()
+    assert per_path.max() <= 4
+    # timestamps follow the sampling interval
+    sub = pdf[pdf["frame_idx"] == 1]
+    assert (sub["ts_ms"] == 500).all()
+    # deterministic frame bytes
+    one = pdf.iloc[0]
+    again = sample_frames(images, every_ms=500, max_frames=4).toPandas()
+    match = again[(again["path"] == one["path"]) & (again["frame_idx"] == one["frame_idx"])]
+    assert bytes(match.iloc[0]["frame"]) == bytes(one["frame"])
+    with pytest.raises(NotImplementedError):
+        sample_frames(images, decoder="ffmpeg")
+
+
+def test_fetch_and_extract_local_zip(tmp_path):
+    """O4 (NMR:126–151): download (file:// locally) → unzip → archive
+    removed → extracted files ready for ingest."""
+    import zipfile
+
+    from vectorsearch_image_embeddings_databricks_spark.sources.fetch import (
+        download_file,
+        extract_zip,
+        fetch_and_extract,
+    )
+
+    src = tmp_path / "corpus.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        for i in range(3):
+            zf.writestr(f"imgs/img_{i}.jpg", b"\xff\xd8\xff\xe0" + bytes([i]) * 10)
+
+    dest = tmp_path / "out"
+    extracted = fetch_and_extract(f"file://{src}", str(dest))
+    names = sorted(os.path.basename(p) for p in extracted if p.endswith(".jpg"))
+    assert names == ["img_0.jpg", "img_1.jpg", "img_2.jpg"]
+    assert all(os.path.exists(p) for p in extracted)
+    assert not (dest / "corpus.zip").exists()  # archive removed (NMR:149)
+
+    # zip-slip entries are refused
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../escape.txt", b"nope")
+    with pytest.raises(ValueError):
+        extract_zip(str(evil), str(tmp_path / "out2"), remove_archive=False)
+
+    # plain local path (no scheme) also works
+    src2 = tmp_path / "plain.bin"
+    src2.write_bytes(b"abc")
+    got = download_file(str(src2), str(tmp_path / "plaincopy"))
+    with open(got, "rb") as f:
+        assert f.read() == b"abc"

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -123,3 +124,125 @@ def decode_images(
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.select(*cols).mapInPandas(batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    path_col: str = "path",
+    content_col: str = "content",
+    decoder: str = "stub",
+) -> DataFrame:
+    """Resize image binaries to (width, height) → (path, width, height,
+    content) via ``mapInPandas``.
+
+    Stub path: output bytes are a deterministic function of (input bytes,
+    target size) with length proportional to the pixel count — the
+    transform's Spark shape (Arrow batching, binary-out schema, row
+    tolerance) is real; only the resampling math is fake. ``decoder="pil"``
+    raises until pillow is importable on executors."""
+    if decoder == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "PIL resize requires pillow on executors; use decoder='stub' "
+                "in this environment"
+            ) from e
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "pil":  # pragma: no cover - env-dependent
+            import io
+
+            from PIL import Image
+
+            def one(content: bytes) -> bytes:
+                img = Image.open(io.BytesIO(content)).resize((width, height))
+                out = io.BytesIO()
+                img.save(out, format=img.format or "PNG")
+                return out.getvalue()
+        else:
+
+            def one(content: bytes) -> bytes:
+                seed = hashlib.md5(
+                    content + f"{width}x{height}".encode()
+                ).digest()
+                # fake pixel buffer: 3 bytes/px header-tagged, deterministic
+                reps = (width * height * 3) // len(seed) + 1
+                return (b"\x89STUB" + seed * reps)[: width * height * 3]
+
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    rows.append((path, width, height, one(bytes(content))))
+                except Exception:
+                    rows.append((path, width, height, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return df.select(path_col, content_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    path_col: str = "path",
+    content_col: str = "content",
+    decoder: str = "stub",
+) -> DataFrame:
+    """Sample frames from video binaries → one row PER FRAME
+    (path, frame_idx, ts_ms, frame) via ``mapInPandas`` — the one
+    multimodal op whose Spark shape is a flat-map (output rows ≠ input
+    rows), which ``mapInPandas`` expresses natively.
+
+    Stub decoder: frame count is derived from the byte length (1 fake
+    frame per 4 KiB, capped at ``max_frames``); each frame's bytes are a
+    deterministic hash of (content, index). ``decoder="ffmpeg"`` raises
+    until an ffmpeg binding is importable on executors."""
+    if decoder == "ffmpeg":
+        raise NotImplementedError(
+            "ffmpeg frame sampling requires an ffmpeg binding on executors; "
+            "use decoder='stub' in this environment"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    raw = bytes(content)
+                    n = min(max_frames, max(1, len(raw) // 4096))
+                    for i in range(n):
+                        frame = hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                        rows.append((path, i, i * every_ms, frame))
+                except Exception:
+                    rows.append((path, 0, 0, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.select(path_col, content_col).mapInPandas(batches, FRAME_SCHEMA)
