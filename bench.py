@@ -55,6 +55,13 @@ HEADLINE = [
     "events_sliding_window",
     "cube_order_stats",
     "order_quartiles",
+    "small_qty_revenue",
+    "late_order_priority",
+    "large_volume_customers",
+    "promo_revenue",
+    "grouping_sets_revenue",
+    "order_priority_pivot",
+    "customer_order_gaps",
 ]
 
 

@@ -1452,3 +1452,314 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_K)
     )
+
+
+# --------------------------------------------------------------------- #
+# Subquery / advanced-relational coverage (SURVEY.md §2.2 category sweep:
+# correlated subqueries, semi joins, HAVING join-back, conditional aggs,
+# GROUPING SETS, pivot, lag windows — each exercised through Catalyst's
+# decorrelation / semi-join / expand / window machinery)
+# --------------------------------------------------------------------- #
+
+Q17_BRAND = "Brand#13"
+
+
+@register(
+    "small_qty_revenue",
+    oracle=f"""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}'
+      AND l.l_quantity < (
+            SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                          / count(*))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery (avg quantity per part),
+    written decorrelated — the shape Catalyst's RewriteCorrelatedScalarQuery
+    produces: per-part aggregate joined back on the correlation key. The
+    brand filter is applied FIRST and semi-joined into lineitem, so the
+    per-part aggregate only scans lineitems of surviving parts (at 100 TB
+    this is the difference between scanning 1/25th of lineitem twice and
+    scanning all of it). Quantity average is exact (decimal sum / count),
+    so the `<` boundary is engine-independent."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("__qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_thresh"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "late_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: orders with at least one lineitem shipped
+    more than 60 days after the order date, counted by priority. Expressed
+    as a LEFT SEMI join with a mixed equi + range condition — Spark hashes
+    on the equi key (orderkey) and evaluates the range predicate inside the
+    join, so each order is emitted at most once (no post-join distinct)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+Q18_MIN_QTY = 250
+
+
+@register(
+    "large_volume_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_qty
+    FROM customer c
+      JOIN orders o   ON o.o_custkey  = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {Q18_MIN_QTY}
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style HAVING + IN-subquery join-back: orders whose total
+    lineitem quantity exceeds {250}. The IN becomes a semi join on the
+    pre-aggregated (and therefore tiny, ~1% of orders) key set; lineitem is
+    aggregated BY ORDERKEY once and reused for both the filter and the
+    final total, so lineitem is scanned once, shuffled once. Decimal sums
+    make the HAVING boundary exact on both engines."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > Q18_MIN_QTY)
+    )
+    return (
+        o.join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("__qty").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
+Q14_START = "1997-01-01 00:00:00"
+Q14_END = "1997-02-01 00:00:00"
+
+
+@register(
+    "promo_revenue",
+    oracle=f"""
+    SELECT round(
+             100.0 * (CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                   * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                      / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                 * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)),
+             6) AS promo_pct,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q14_START}'
+      AND l.l_shipdate <  TIMESTAMP '{Q14_END}'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional aggregation: share of one month's
+    revenue from PROMO parts. The shipdate range pushes to the parquet
+    scan (row-group pruning at scale); part is broadcast; both sums are
+    exact decimals so the ratio is bit-identical across engines."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp_ntz"))
+    )
+    disc_price = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * (
+                    F.sum(promo).cast("double")
+                    / F.sum(disc_price).cast("double")
+                ),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (distinct from the rollup/cube queries —
+    an arbitrary, non-hierarchical set list). Spark plans one Expand node
+    (3 replicas) + a single hash aggregate, so the shuffle carries at most
+    3x|groups| rows per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_PIVOT_PRIORITIES = [
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+]
+
+
+@register(
+    "order_priority_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS n_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS n_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS n_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS n_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) of order counts by priority. The pivot value list
+    is pinned, so Spark skips the extra distinct-values job and plans a
+    single aggregate with one conditional count per column — identical
+    cost to the FILTER-clause formulation."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [v for v, _ in _PIVOT_PRIORITIES])
+        .count()
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(alias)
+            for v, alias in _PIVOT_PRIORITIES
+        ],
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_gaps,
+           round(avg(g.gap_days), 6) AS avg_gap_days,
+           max(g.gap_days) AS max_gap_days
+    FROM (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    ) g
+    JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE g.gap_days IS NOT NULL
+    GROUP BY c.c_mktsegment
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window + date arithmetic: days between consecutive orders per
+    customer, aggregated by market segment. One shuffle on custkey for the
+    window; the dimension join is broadcast; gaps are exact integer day
+    counts so avg() is engine-independent (int sum / count)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("__prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.col("__prev").cast("date")
+            ).alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
