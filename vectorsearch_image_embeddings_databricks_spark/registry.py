@@ -1763,3 +1763,88 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_days").alias("max_gap_days"),
         )
     )
+
+
+@register(
+    "source_regexp_stats",
+    oracle=r"""
+    SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) AS src_num,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def source_regexp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract coverage (the reference imports it at NMR:65 without
+    using it; O6 generalizes its regex surface): parse the numeric id out
+    of the source tag and aggregate doc-length stats per source. Pure
+    codegen'd string ops; n_chars is integral so avg is exact."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.regexp_extract("source", r"src(\d+)", 1)
+            .cast("int")
+            .alias("src_num"),
+            "n_chars",
+        )
+        .groupBy("src_num")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "monthly_revenue_trend",
+    oracle="""
+    WITH m AS (
+        SELECT substr(CAST(date_trunc('month', o_orderdate) AS VARCHAR), 1, 7) AS month,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           n_orders,
+           round(CAST(sum(rev) OVER (ORDER BY month
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS DOUBLE), 2)
+               AS cum_revenue
+    FROM m
+    """,
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc + cumulative window frame (ROWS UNBOUNDED PRECEDING):
+    monthly order revenue with a running total. The running sum operates on
+    the ~80-row monthly aggregate — a deliberate single-partition window
+    over a pre-shrunk input (the scale-safe shape; never window the fact
+    table unpartitioned). Sums stay decimal until the final cast, so the
+    cumulative values are exact on both engines."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.substring(
+                F.date_trunc("month", F.col("o_orderdate")).cast("string"), 1, 7
+            ).alias("month")
+        )
+        .agg(
+            F.sum(dec("o_totalprice")).alias("__rev"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        "n_orders",
+        F.round(F.sum("__rev").over(w).cast("double"), 2).alias("cum_revenue"),
+    )
