@@ -60,6 +60,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents loader for compute-heavy text operators (shingling,
+    minhash/simhash folds, per-token hashing, embedding UDFs).
+
+    At test scale documents.parquet is ONE small file → one input split →
+    the whole HOF/UDF pipeline runs on a single core while 31 idle.
+    Repartitioning to the cluster's parallelism decouples compute
+    partitioning from file layout for ~5 MB of shuffle (measured 2-4x
+    wall-clock win on the dedup family). At 100 TB the source is already
+    thousands of splits, so the exchange is AQE-coalesced into a no-op
+    cost class; cheap aggregate-only queries keep the plain ``load`` to
+    avoid the pointless exchange."""
+    return load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
     reader rejects. Read nanos as raw longs (legacy conf) and derive time
@@ -248,7 +265,7 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-shingle Jaccard ≥ 0.7 via inverted-index join (no
     cross join; see operators.dedup). Oracle recomputes pairwise (fine at
     500 docs; the Spark plan is the one that scales)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     res = dedup.near_dup_pairs_jaccard(
         docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
     )
@@ -316,7 +333,7 @@ def duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         fingerprint("text").alias("fp"),
@@ -340,7 +357,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting'); n_chars recomputed as a cross-check of the fixture."""
     from .functions.text import bpe_ish_tokens
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").alias("ws_tokens"),
@@ -380,7 +397,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return textstats.top_terms(docs, "text", "lang", top_n=5)
 
 
@@ -409,7 +426,7 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (north-star 'quality scoring'). Note the
     oracle needs DuckDB's 'g' flag to match Spark's replace-all default."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id", F.round(quality_score("text"), 6).alias("quality")
     )
@@ -449,7 +466,7 @@ def _lang_score_sql(lang: str) -> str:
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (north-star 'language-ID n-gram
     heuristic'); prediction + ground-truth label for accuracy rollups."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
@@ -765,7 +782,7 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     NMR:386–387): keyword rank (distinct-term overlap) ⊕ vector rank
     (cosine), fused by Reciprocal Rank Fusion. Docs and embeddings join
     positionally (doc_id ≡ vec_id in the fixtures)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     qvec = (
         emb.filter(F.col("vec_id") == KNN_QUERY_ID).select("embedding").collect()[0][0]
@@ -798,7 +815,7 @@ def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .embed import StubTextEncoder, embed_column
     from .functions.vector import l2_norm
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     emb = embed_column(docs, "text", lambda: StubTextEncoder(dim=64))
     return emb.select(
         "doc_id",
@@ -851,7 +868,7 @@ def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: MinHash-LSH near-dedup with connected-component representatives
     (pytest asserts it recovers exactly the exact-Jaccard pairs here)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     labels = dedup.near_dedup_minhash(
         docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
         num_hashes=32, bands=16,
@@ -862,7 +879,7 @@ def minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simhash_near_dup")
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole band joins."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -1443,7 +1460,7 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE ranking so the cross-engine order (and the top-k row set) is
     identical despite last-ulp libm ln() differences; the exact-float
     semantics are pinned by the pure-Python reference test instead."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     scored = hybrid.bm25_scores(docs, "doc_id", "text", list(BM25_TERMS))
     return (
         scored.select(
