@@ -76,3 +76,62 @@ def test_asof_join_single_shuffle_per_side(spark):
     plan = plan_of(registry.QUERIES["asof_click_attribution"](spark, SF_SMALL))
     assert "Window" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_small_qty_revenue_broadcasts_part_and_threshold(spark):
+    plan = plan_of(registry.QUERIES["small_qty_revenue"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # decorrelated subquery: per-part threshold joined back via broadcast
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in tree and "NestedLoop" not in tree
+    assert "EqualTo(p_brand" in plan  # brand filter pushed into part scan
+
+
+def test_late_order_priority_is_broadcast_semi_join(spark):
+    plan = plan_of(registry.QUERIES["late_order_priority"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # EXISTS = one semi join: each order emitted at most once, no distinct
+    assert "LeftSemi" in tree
+    assert "HashAggregate" in tree and "NestedLoop" not in tree
+
+
+def test_large_volume_customers_semi_filter_before_joins(spark):
+    plan = plan_of(registry.QUERIES["large_volume_customers"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # lineitem aggregated once (partial+final), customer broadcast,
+    # no second lineitem scan for the final total
+    assert tree.count("Scan parquet") == 3  # orders, lineitem, customer
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_promo_revenue_pushes_date_range_to_scan(spark):
+    plan = plan_of(registry.QUERIES["promo_revenue"](spark, SF_SMALL))
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range → row-group pruning
+    assert "LessThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan  # part is the broadcast side
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    plan = plan_of(registry.QUERIES["grouping_sets_revenue"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    assert tree.count("Expand") == 1  # all 3 sets in one Expand node
+    assert tree.count("Exchange") == 1  # one shuffle, partial aggs first
+
+
+def test_pivot_is_single_scan_no_extra_job(spark):
+    plan = plan_of(registry.QUERIES["order_priority_pivot"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # pinned pivot values → no distinct-values job, one scan; Spark's
+    # two-phase pivot (pre-agg on (status,priority), then pivot agg) means
+    # both shuffles carry only |status|x|priority| rows
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") <= 2
+
+
+def test_monthly_trend_windows_only_the_aggregate(spark):
+    plan = plan_of(registry.QUERIES["monthly_revenue_trend"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # cumulative window runs AFTER the groupBy shrank the input to ~months
+    assert tree.index("Window") < tree.index("HashAggregate")  # tree prints top-down
+    assert "NestedLoop" not in tree

@@ -137,3 +137,63 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     must_have = {w for w in want if w[2] + gap_s * 1_000_000 < cutoff_us}
     missing = must_have - got
     assert not missing, f"{len(missing)} closed sessions not emitted: {sorted(missing)[:3]}"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """click → purchase-within-2-days attribution as a stream-stream join
+    must produce exactly the batch join's pairs once both streams drain."""
+    from vectorsearch_image_embeddings_databricks_spark.streaming import interval_join_streams
+
+    src, ev = _chunked_source(spark, tmp_path)
+    ev_t = with_event_time(ev)
+    clicks_b = ev_t.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_time").alias("click_time"), F.col("event_id").alias("click_id")
+    )
+    buys_b = ev_t.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_time").alias("buy_time"), F.col("event_id").alias("buy_id")
+    )
+
+    def stream():
+        return with_event_time(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    clicks_s = stream().filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_time").alias("click_time"), F.col("event_id").alias("click_id")
+    )
+    buys_s = stream().filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_time").alias("buy_time"), F.col("event_id").alias("buy_id")
+    )
+
+    joined_s = interval_join_streams(
+        clicks_s,
+        buys_s,
+        key="user_id",
+        left_time="click_time",
+        right_time="buy_time",
+        max_delay="2 DAYS",
+        watermark="1 hour",
+        left_cols=["click_id"],
+        right_cols=["buy_id"],
+    )
+    _run_stream(joined_s, "ssjoin_sink")
+    got = {
+        (r["click_id"], r["buy_id"])
+        for r in spark.table("ssjoin_sink").collect()
+    }
+
+    joined_b = interval_join_streams(
+        clicks_b,
+        buys_b,
+        key="user_id",
+        left_time="click_time",
+        right_time="buy_time",
+        max_delay="2 DAYS",
+        watermark="1 hour",
+        left_cols=["click_id"],
+        right_cols=["buy_id"],
+    )
+    want = {(r["click_id"], r["buy_id"]) for r in joined_b.collect()}
+    assert got == want and len(want) > 0

@@ -197,3 +197,48 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# stream-stream interval join
+# --------------------------------------------------------------------- #
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str,
+    watermark: str,
+    left_cols: Iterable[str] = (),
+    right_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with every right
+    event of the same ``key`` whose time lies in
+    ``[left_time, left_time + max_delay]`` (e.g. click → purchase-within-N
+    attribution).
+
+    Both sides carry a watermark and the join condition bounds
+    ``right_time`` relative to ``left_time`` in BOTH directions, which is
+    exactly what Spark's streaming join planner needs to compute a state
+    eviction horizon: buffered rows older than watermark + max_delay are
+    dropped, so state is O(events within the delay window), not O(stream).
+    Works identically on batch DataFrames (tests assert equality).
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    # disambiguate the key column for the equi-join
+    rw = rw.withColumnRenamed(key, f"__r_{key}")
+    cond = (
+        (F.col(key) == F.col(f"__r_{key}"))
+        & (F.col(right_time) >= F.col(left_time))
+        & (F.col(right_time) <= F.col(left_time) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        key,
+        left_time,
+        right_time,
+        *left_cols,
+        *right_cols,
+    )
