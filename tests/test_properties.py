@@ -182,3 +182,31 @@ def test_bm25_matches_pure_python_reference(spark):
         assert abs(got[i] - want) < 1e-9, (i, got[i], want)
     # sanity: the all-scan doc tops a 'scan' ranking
     assert max(got, key=lambda i: got[i]) == 5
+
+
+def test_approx_sketches_within_documented_error(spark):
+    """HLL++ distinct estimates within rsd bound; quantile sketch within
+    rank accuracy of the exact percentile — checked against exact
+    recomputations on the fixture."""
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from .conftest import SF_SMALL
+
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["approx_sketch_stats"](spark, SF_SMALL).collect()
+    }
+    ev = registry.load_events(spark, SF_SMALL)
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, row in got.items():
+        ex = exact[et]
+        assert abs(row["approx_users"] - ex["users"]) <= max(3, 0.05 * ex["users"])
+        # accuracy=10000 → rank error ~ n/10000 ≈ 0 here: p50 near-exact
+        assert abs(row["p50"] - ex["p50"]) <= 0.05 * max(1.0, abs(ex["p50"]))

@@ -1865,3 +1865,33 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.sum("__rev").over(w).cast("double"), 2).alias("cum_revenue"),
     )
+
+
+@register("approx_sketch_stats")
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB-scale profiling: HyperLogLog++ distinct
+    counts and quantile sketches, per event_type. Exact DISTINCT shuffles
+    every key; the sketches shuffle O(bytes-of-sketch) per partition and
+    merge associatively — this is the only shape that survives at scale.
+    No SQL oracle (sketch estimates are engine-specific); the pytest
+    asserts each estimate within the documented error bound of the exact
+    value (HLL++ rsd=0.01 here, percentile_approx accuracy=10000)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "value_quantiles"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.element_at("value_quantiles", 1), 4).alias("p50"),
+            F.round(F.element_at("value_quantiles", 2), 4).alias("p95"),
+            F.round(F.element_at("value_quantiles", 3), 4).alias("p99"),
+            "n_events",
+        )
+    )
