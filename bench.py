@@ -86,6 +86,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup so the first measured query isn't paying JIT cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # python-worker/Arrow warmup so the first pandas-UDF query isn't paying
+    # the per-executor worker spawn (a one-time cost per cluster, not a
+    # per-query cost — same rationale as the JIT warmup)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s):
+        return s
+
+    spark.range(1_000, numPartitions=int(CPUS)).select(
+        _noop("id")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
