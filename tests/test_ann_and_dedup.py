@@ -162,3 +162,22 @@ def test_max_shingle_df_prunes_hot_keys(docs):
     )
     capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert capped_pairs <= base_pairs
+
+
+def test_minhash_label_propagation_resolves_long_chains(spark):
+    """A 10-doc chain where only ADJACENT docs exceed the Jaccard
+    threshold (diameter 9). Plain min-label propagation reaches distance
+    max_iter (=4) and would leave the tail mislabeled; pointer jumping
+    must collapse the whole chain to rep_id=0 within 4 rounds."""
+    words = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(words[i : i + 12]))  # consecutive windows: J(adj)≈0.82
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    labels = dedup.near_dedup_minhash(
+        df, "doc_id", "text", n=3, threshold=0.7,
+        num_hashes=32, bands=16, max_iter=4,
+    )
+    got = {r["id"]: r["rep_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(10)}

@@ -207,14 +207,17 @@ def near_dedup_minhash(
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int = 8,
-    max_iter: int = 5,
+    max_iter: int = 4,
 ) -> DataFrame:
     """Full near-dedup: MinHash LSH candidates → exact Jaccard verify →
     connected components → (id, rep_id). rep_id = min id in the component.
 
-    Components are resolved by iterative min-label propagation over the
-    verified-pair edge list (each iteration is one join; near-dup clusters
-    are shallow in practice so ``max_iter`` rounds converge)."""
+    Components are resolved by min-label propagation WITH pointer jumping
+    (path halving: after each neighbor-min pass, rep ← rep[rep]), so the
+    label's reach roughly doubles per round — ``max_iter`` rounds resolve
+    chains of length ~2^(max_iter-1), vs max_iter for plain propagation.
+    Near-dup clusters are shallow in practice; raise ``max_iter`` for
+    adversarially chained corpora."""
     sigs = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes
     ).localCheckpoint(eager=True)  # referenced 4x below (cand a/b, verify a/b)
@@ -246,18 +249,31 @@ def near_dedup_minhash(
             .groupBy("id_a")
             .agg(F.min("rep_id").alias("n_rep"))
         )
+        stepped = labels.join(neigh, labels.id == neigh.id_a, "left").select(
+            "id",
+            F.least(
+                F.col("rep_id"), F.coalesce(F.col("n_rep"), F.col("rep_id"))
+            ).alias("rep_id"),
+        )
+        # pointer jump (path halving): rep ← min(rep, rep[rep]). Every
+        # label-set node is an edge endpoint, so rep[rep] always resolves;
+        # this squares pointer paths and gives log-round convergence.
+        hop = stepped.select(
+            F.col("id").alias("__rid"), F.col("rep_id").alias("__rrep")
+        )
         labels = (
-            labels.join(neigh, labels.id == neigh.id_a, "left")
+            stepped.join(hop, stepped.rep_id == hop.__rid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("rep_id"), F.coalesce(F.col("n_rep"), F.col("rep_id"))
+                    F.col("rep_id"),
+                    F.coalesce(F.col("__rrep"), F.col("rep_id")),
                 ).alias("rep_id"),
             )
-            # each iteration references `labels` twice — without truncating
-            # lineage the plan doubles per round (2^iters subtrees). The
-            # label set is tiny (dup-involved nodes only), so an eager
-            # materialization per round is the scalable shape.
+            # each iteration references `labels` multiple times — without
+            # truncating lineage the plan doubles per round (2^iters
+            # subtrees). The label set is tiny (dup-involved nodes only),
+            # so an eager materialization per round is the scalable shape.
             .localCheckpoint(eager=True)
         )
     return (
