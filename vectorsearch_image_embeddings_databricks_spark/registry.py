@@ -1895,3 +1895,34 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "file_provenance",
+    oracle="""
+    SELECT 'documents.parquet' AS src_file,
+           count(*) AS n_rows,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
+def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_file_name() provenance (the reference imports it at NMR:65
+    without using it; O5's binaryFile scan exposes the same lineage via its
+    ``path`` column). Rows are tagged with their source file at scan time —
+    the standard idiom for per-file audit/quarantine in multi-file ingest —
+    reduced to the basename so the result is location-independent."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "src_file"
+            ),
+            "lang",
+        )
+        .groupBy("src_file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
