@@ -1926,3 +1926,26 @@ def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@register(
+    "deterministic_sample_md5",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '4d'
+    """,
+)
+def deterministic_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-deterministic ~30% sample: keep rows whose md5(key)
+    hex digest sorts below '4d' (0x4d/0x100 ≈ 30.1%). Same idea as the
+    xxhash64 sampler in operators/sampling.py (which is faster and is the
+    one to use in production) but md5 exists identically in every engine,
+    so THIS sampler is hash-verifiable against the SQL oracle — and it
+    demonstrates the property that matters at 100 TB: membership depends
+    only on the key, not on partitioning, task order, or a seed RNG, so
+    the sample is stable across reruns, engines, and cluster sizes."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(
+        F.md5(F.col("doc_id").cast("string")) < F.lit("4d")
+    ).select("doc_id", "lang")
