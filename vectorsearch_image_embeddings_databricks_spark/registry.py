@@ -1907,17 +1907,18 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """input_file_name() provenance (the reference imports it at NMR:65
-    without using it; O5's binaryFile scan exposes the same lineage via its
-    ``path`` column). Rows are tagged with their source file at scan time —
-    the standard idiom for per-file audit/quarantine in multi-file ingest —
-    reduced to the basename so the result is location-independent."""
+    """File-provenance lineage (the reference imports ``input_file_name``
+    at NMR:65 without using it; O5's binaryFile scan exposes the same
+    lineage via its ``path`` column). Uses the ``_metadata.file_name``
+    hidden column rather than ``input_file_name()``: the legacy function
+    silently returns '' when the plan is served from a cached
+    InMemoryRelation, while requesting ``_metadata`` forces a real file
+    scan — the reliable idiom for per-file audit/quarantine in multi-file
+    ingest. Basename only, so the result is location-independent."""
     docs = load(spark, sf_dir, "documents")
     return (
         docs.select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
-                "src_file"
-            ),
+            F.col("_metadata.file_name").alias("src_file"),
             "lang",
         )
         .groupBy("src_file")
