@@ -64,3 +64,25 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))
         ).otherwise(cut)
     return df.filter(_bucket(key, seed) < cut)
+
+
+def stratified_sample_md5(
+    df: DataFrame,
+    strata_col: str,
+    cut_hex: Mapping[str, str],
+    key: str,
+    default_cut_hex: str = "00",
+) -> DataFrame:
+    """Cross-engine-verifiable stratified sampler: keep a row iff
+    ``md5(cast(key as string))`` sorts below the stratum's hex cutoff
+    (two hex chars ⇒ keep rate = int(cut,16)/256; "g" > every hex char ⇒
+    keep all). Same membership-is-a-pure-function-of-the-key property as
+    ``stratified_sample`` but with a hash every engine implements
+    identically, so the sampled *rows* (not just the rates) can be
+    hash-checked against a SQL oracle. Production path stays the xxhash64
+    variant (faster, seedable); this one is the auditable twin."""
+    digest = F.md5(F.col(key).cast("string"))
+    cut = F.lit(default_cut_hex)
+    for value, hexcut in cut_hex.items():
+        cut = F.when(F.col(strata_col) == value, F.lit(hexcut)).otherwise(cut)
+    return df.filter(digest < cut)

@@ -807,11 +807,22 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_streaming_refresh.py).
 # --------------------------------------------------------------------- #
 
-@register("embed_documents_stub")
+@register(
+    "embed_documents_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 64 END AS INTEGER) AS dim,
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 1.0 END AS DOUBLE) AS norm
+    FROM documents
+    """,
+)
 def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11/O12/O18: distributed embedding via iterator pandas UDF with the
-    deterministic stub encoder (no model downloads). Returns per-doc
-    embedding metadata; vectors themselves are checked in pytest."""
+    deterministic stub encoder (no model downloads). The vector values are
+    engine-specific (md5-seeded RNG — pytest checks them); what the oracle
+    CAN verify end-to-end is the UDF contract: every non-null input row
+    comes back with a dim-64, unit-L2-norm vector and null inputs propagate
+    to null embeddings (NMR:211–213 error semantics)."""
     from .embed import StubTextEncoder, embed_column
     from .functions.vector import l2_norm
 
@@ -819,8 +830,8 @@ def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = embed_column(docs, "text", lambda: StubTextEncoder(dim=64))
     return emb.select(
         "doc_id",
-        F.size("embedding").alias("dim"),
-        F.round(l2_norm("embedding"), 4).alias("norm"),
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(l2_norm("embedding"), 4).cast("double").alias("norm"),
     )
 
 
@@ -1950,3 +1961,319 @@ def deterministic_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.md5(F.col("doc_id").cast("string")) < F.lit("4d")
     ).select("doc_id", "lang")
+
+
+@register(
+    "stratified_sample_md5",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN 'g' ELSE '40' END
+    """,
+)
+def stratified_sample_md5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing with the auditable md5 sampler: keep ~50% of 'en'
+    (the over-represented stratum), all of 'de', ~25% of everything else.
+    Unlike ``df.sample``, membership is a pure function of (key, stratum)
+    — stable across reruns, engines, partitionings, and cluster sizes, and
+    therefore row-level hash-checkable against the SQL oracle. One
+    scan-adjacent filter, no shuffle, no RNG state."""
+    from .operators.sampling import stratified_sample_md5
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample_md5(
+        docs,
+        strata_col="lang",
+        cut_hex={"en": "80", "de": "g"},
+        key="doc_id",
+        default_cut_hex="40",
+    ).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------- #
+# Embedding analytics: per-label centroids (the aggregation half of an
+# IVF/k-means build — index/ann.py's coarse quantizer uses exactly this
+# shape as its update step)
+# --------------------------------------------------------------------- #
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, pos,
+           round(CAST(sum(CAST(e AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+               AS centroid,
+           count(*) AS n_vecs
+    FROM (SELECT label,
+                 unnest(embedding::DOUBLE[]) AS e,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector, one row per (label, dimension).
+
+    posexplode turns the n×d corpus into n·d scalar rows; the groupBy is a
+    single shuffle keyed on (label, pos) with map-side partial aggregation,
+    so shuffle volume is |labels|·d rows per partition regardless of corpus
+    size — the shape that survives 100 TB. Decimal sums keep the mean
+    add-order-independent (float policy, see module docstring)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "e"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("e").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Edit-distance near-dup pairs (dedup family, 5th signal alongside exact/
+# jaccard/minhash/simhash/cosine): banded blocking + Levenshtein verify
+# --------------------------------------------------------------------- #
+
+EDIT_DIST_MAX = 20
+EDIT_PREFIX = 80
+
+
+@register(
+    "edit_distance_pairs",
+    oracle=f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                       substr(b.text, 1, {EDIT_PREFIX})) AS edist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 32 = b.n_chars // 32
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                      substr(b.text, 1, {EDIT_PREFIX})) <= {EDIT_DIST_MAX}
+    """,
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over 80-char prefixes.
+
+    Never a cross join: candidates are blocked on (lang, length-bucket) —
+    an equi-join, so the shuffle is keyed and the quadratic term is bounded
+    per block (near-identical texts necessarily land in the same or an
+    adjacent length bucket; same-bucket is the demonstration slice). The
+    O(p²)-per-pair Levenshtein DP runs only inside blocks, JVM-side
+    (``F.levenshtein`` — no Python)."""
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", "lang", F.floor(F.col("n_chars") / 32).alias("lb"),
+        F.substring("text", 1, EDIT_PREFIX).alias("pfx"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), "lang", "lb", F.col("pfx").alias("pfx_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("lb") == F.col("lb_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("edist", F.levenshtein("pfx_a", "pfx_b"))
+        .filter(F.col("edist") <= EDIT_DIST_MAX)
+        .select("id_a", "id_b", "edist")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Event funnel: view → click conversion within an hour (sequence
+# analytics over the event log; range join + two-level aggregation)
+# --------------------------------------------------------------------- #
+
+FUNNEL_WINDOW_NS = 3_600_000_000_000  # 1 hour
+
+
+@register(
+    "funnel_view_click",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT v.user_id, min(e.ts) AS first_click
+        FROM v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts > v.first_view
+         AND e.ts <= v.first_view + INTERVAL 1 HOUR
+        GROUP BY v.user_id
+    )
+    SELECT substr(CAST(v.first_view AS VARCHAR), 1, 10) AS day,
+           count(*) AS n_view_users,
+           count(c.user_id) AS n_converted,
+           coalesce(sum((epoch_us(c.first_click) - epoch_us(v.first_view))
+                        // 1000000), 0) AS total_delay_s
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+    GROUP BY 1
+    """,
+)
+def funnel_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day funnel: users whose first 'view' is followed by a 'click'
+    within one hour, plus total floor-seconds delay.
+
+    The view→click match is a per-user range join: equi-keyed on user_id
+    (hash shuffle, no broadcast of the big side needed), with the time
+    band as a residual predicate — the as-of-join family shape. Delay is
+    floored to whole seconds so nanos (Spark long) and micros (oracle
+    TIMESTAMP) agree exactly."""
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") > F.col("first_view"))
+            & (F.col("cts") <= F.col("first_view") + F.lit(FUNNEL_WINDOW_NS)),
+        )
+        .groupBy(F.col("user_id").alias("cuser"))
+        .agg(F.min("cts").alias("first_click"))
+    )
+    delay_s = F.floor(
+        (F.col("first_click") - F.col("first_view")) / F.lit(1_000_000_000)
+    )
+    return (
+        v.join(c, v.user_id == c.cuser, "left")
+        .select(day_of("first_view").alias("day"), "cuser", delay_s.alias("ds"))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_view_users"),
+            F.count("cuser").alias("n_converted"),
+            F.coalesce(F.sum("ds"), F.lit(0)).alias("total_delay_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q19-flavored disjunctive bracket revenue: OR-of-ANDs predicate
+# spanning both join sides (Catalyst pushes the part-only disjuncts
+# below the join; the mixed residual stays on the join)
+# --------------------------------------------------------------------- #
+
+@register(
+    "brand_bracket_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY p.p_brand
+    """,
+)
+def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under an OR-of-ANDs quantity/size bracket
+    predicate (TPC-H Q19's shape). part is dimension-sized → broadcast
+    hash join, no shuffle of lineitem; Catalyst extracts the part-only
+    disjunction (brand ∈ {...}) as a pushed-down scan filter so the
+    broadcast side is pre-pruned."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    bracket = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        j.filter(bracket)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Distribution-rank windows: percent_rank + cume_dist of customer spend
+# within nation (the two rank-normalizing window functions not yet in
+# the window coverage: row_number/rank/ntile/lag live in other queries)
+# --------------------------------------------------------------------- #
+
+@register(
+    "customer_spend_rank",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, n.n_name,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_spend
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, n.n_name
+    )
+    SELECT n_name, c_custkey,
+           round(total_spend, 2) AS total_spend,
+           round(percent_rank() OVER
+                 (PARTITION BY n_name ORDER BY total_spend, c_custkey), 6)
+               AS spend_pr,
+           round(cume_dist() OVER
+                 (PARTITION BY n_name ORDER BY total_spend, c_custkey), 6)
+               AS spend_cd
+    FROM spend
+    """,
+)
+def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist of per-customer spend within each nation.
+
+    Two shuffles total: one keyed agg (customer×nation), one window
+    exchange on n_name; nation is broadcast. The window ORDER BY
+    tie-breaks on c_custkey so ranks are deterministic, and spend is an
+    exact decimal sum so both engines rank identical values."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    spend = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy("total_spend", "c_custkey")
+    return spend.select(
+        "n_name",
+        "c_custkey",
+        F.round("total_spend", 2).alias("total_spend"),
+        F.round(F.percent_rank().over(w), 6).alias("spend_pr"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cd"),
+    )
