@@ -2277,3 +2277,570 @@ def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("spend_pr"),
         F.round(F.cume_dist().over(w), 6).alias("spend_cd"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Relational widening: TPC-H Q7/Q8/Q10/Q15/Q16/Q22 analogs on the
+# simplified fixture star schema. Decimal sums keep every revenue
+# figure exact, so ratios, maxima and LIMIT boundaries agree across
+# engines (same policy as pricing_summary).
+# --------------------------------------------------------------------- #
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+@register(
+    "volume_shipping",
+    oracle=f"""
+    WITH rev AS (
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l.l_shipdate) AS ship_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume
+        FROM lineitem l
+          JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+          JOIN nation  sn ON sn.n_nationkey = s.s_nationkey
+          JOIN orders   o ON o.o_orderkey  = l.l_orderkey
+          JOIN customer c ON c.c_custkey   = o.o_custkey
+          JOIN nation  cn ON cn.n_nationkey = c.c_nationkey
+        WHERE (sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+           OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
+    )
+    SELECT supp_nation, cust_nation, ship_year,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM rev
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral shipping volume between two nations per
+    ship-year. Scale shape: both fact inputs are PRE-FILTERED to the two
+    nations before the big lineitem⋈orders shuffle join (the OR predicate
+    splits into per-side IN-lists), so the shuffle carries only the ~8%
+    of rows that can survive; all four dimensions are broadcast."""
+    nations = [Q7_NATION_A, Q7_NATION_B]
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    supp_side = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(nations))
+        .select(
+            "l_orderkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cust_side = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(nations))
+        .select("o_orderkey", F.col("n_name").alias("cust_nation"))
+    )
+    volume = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        supp_side.join(
+            cust_side, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(volume).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+
+
+@register(
+    "market_share",
+    oracle=f"""
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+          JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+          JOIN nation  sn ON sn.n_nationkey = s.s_nationkey
+          JOIN orders   o ON o.o_orderkey  = l.l_orderkey
+          JOIN customer c ON c.c_custkey   = o.o_custkey
+          JOIN nation  cn ON cn.n_nationkey = c.c_nationkey
+          JOIN region   r ON r.r_regionkey = cn.n_regionkey
+        WHERE r.r_name = '{Q8_REGION}'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                               THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS total_volume
+    FROM base
+    GROUP BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: the focal nation's fraction of revenue
+    sold into one region, per order-year. Customer-side region filter
+    prunes orders BEFORE the big join; numerator/denominator are exact
+    decimal sums so the ratio is bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    cust_nations = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == Q8_REGION)
+        .select("c_custkey")
+    )
+    orders_in_region = o.join(
+        F.broadcast(cust_nations), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
+    supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    volume = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    focal = F.when(F.col("supp_nation") == Q8_NATION, volume).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_in_region, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(focal).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share"),
+            F.round(F.sum(volume).cast("double"), 2).alias("total_volume"),
+        )
+    )
+
+
+Q10_START = "1996-01-01 00:00:00"
+Q10_END = "1996-04-01 00:00:00"
+
+
+@register(
+    "returned_item_losses",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue
+    FROM customer c
+      JOIN orders   o ON o.o_custkey   = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+      JOIN nation   n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{Q10_START}'
+      AND o.o_orderdate <  TIMESTAMP '{Q10_END}'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,4))) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue on returned items in a
+    quarter. Orders are date-pruned before the join (scan-level pushdown);
+    the LIMIT boundary orders by the EXACT decimal sum with a custkey
+    tie-break, so the selected row set is engine-independent."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+Q15_START = "1996-01-01 00:00:00"
+Q15_END = "1996-04-01 00:00:00"
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+          AND l_shipdate <  TIMESTAMP '{Q15_END}'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_rev AS DOUBLE), 2) AS total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: supplier(s) achieving the maximum
+    quarterly revenue (scalar-subquery max over a derived aggregate).
+    The per-supplier aggregate is computed ONCE and reused for both the
+    max and the final join; the max is over exact decimals, so 'ties'
+    are well-defined. supplier is broadcast; the scalar max is a one-row
+    cross join (Spark plans a BroadcastNestedLoopJoin)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp_ntz"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+        ).alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("__max"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("__max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+        )
+    )
+
+
+Q16_EXCLUDED_BRAND = "Brand#1"
+Q16_SIZES = (1, 5, 9, 13)
+
+
+@register(
+    "parts_supplier_counts",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt,
+           count(*) AS n_lineitems
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{Q16_EXCLUDED_BRAND}'
+      AND p.p_size IN {Q16_SIZES}
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier diversity per brand/type (lineitem stands
+    in for partsupp, absent from the fixture). The brand/size predicates
+    prune the broadcast part dimension to ~15% before the join; DISTINCT
+    is per-group (two-phase partial distinct aggregation — no global
+    distinct shuffle of the fact table)."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+        & F.col("p_size").isin(list(Q16_SIZES))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "above_avg_balance_no_orders",
+    oracle="""
+    WITH thresh AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS ab
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_cust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_bal
+    FROM customer c, thresh
+    WHERE c.c_acctbal > thresh.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def above_avg_balance_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average positive balance and
+    no orders, rolled up by market segment. The global average is computed
+    as exact-decimal-sum / count (NOT a float avg — float partial-agg
+    order would make the comparison boundary engine-dependent), broadcast
+    as a one-row join; the no-orders test is a LEFT ANTI join on the
+    distinct o_custkey set."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("ab")
+        )
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(dec("c_acctbal")).cast("double"), 2).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Vector widening: L2-metric kNN and int8 scalar quantization (the
+# standard memory-reduction step for 100 TB-scale vector corpora).
+# --------------------------------------------------------------------- #
+
+KNN_L2_QUERY_ID = 1
+
+
+@register(
+    "knn_l2",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = {KNN_L2_QUERY_ID}
+    )
+    SELECT e.vec_id, e.label,
+           round(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS dist
+    FROM embeddings e, q
+    ORDER BY list_distance(e.embedding::DOUBLE[], q.qv), e.vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN under the EUCLIDEAN metric (the §1.4 equivalence says the
+    unit-vector RANKING matches cosine, but the scores differ — this query
+    checks the distance math itself). Same scale shape as knn_exact:
+    scan → codegen'd fold → TakeOrderedAndProject(k), no shuffle."""
+    from .functions.vector import l2_dist
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == KNN_L2_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dist = l2_dist(
+        F.transform("embedding", lambda x: x.cast("double")), qlit
+    )
+    return (
+        emb.select(
+            "vec_id", "label", dist.alias("__d")
+        )
+        .orderBy("__d", "vec_id")
+        .limit(KNN_K)
+        .select("vec_id", "label", F.round("__d", 6).alias("dist"))
+    )
+
+
+@register(
+    "embedding_quantization",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x,
+               127.0 / list_max(list_transform(embedding::DOUBLE[],
+                                               v -> abs(v))) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(127.0 / scale, 6) AS max_abs,
+           round(sqrt(list_sum(list_transform(
+                     x, v -> pow(v - round(v * scale) / scale, 2)))), 6)
+               AS recon_err
+    FROM s
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization audit: symmetric scale
+    127/max|x|, reconstruction L2 error. This is the standard 4x memory
+    reduction for large ANN corpora; the whole computation is codegen'd
+    array-fold expressions — no UDF, no shuffle, embarrassingly parallel."""
+    xs = F.transform("embedding", lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(xs, lambda v: F.abs(v)))
+    scale = F.lit(127.0) / max_abs
+    recon_err = F.sqrt(
+        F.aggregate(
+            xs,
+            F.lit(0.0),
+            lambda acc, v: acc
+            + F.pow(v - F.round(v * scale, 0) / scale, F.lit(2.0)),
+        )
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(max_abs, 6).alias("max_abs"),
+        F.round(recon_err, 6).alias("recon_err"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Text/corpus widening: length histogram and per-language bigram tops.
+# --------------------------------------------------------------------- #
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT (n_chars // 100) * 100 AS bucket_lo,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY (n_chars // 100) * 100
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram (100-char buckets) — the
+    first profiling pass of any corpus intake. Integer bucket math is
+    exact; one map-side-combined aggregation, shuffle carries |buckets|
+    rows."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.expr("n_chars div 100") * 100).alias("bucket_lo")
+    return docs.groupBy(bucket).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+BIGRAM_TOP_K = 5
+
+
+@register(
+    "bigram_top",
+    oracle=f"""
+    WITH w AS (
+        SELECT lang, string_split(text, ' ') AS words FROM documents
+    ),
+    b AS (
+        SELECT lang,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i+1]))
+                   AS bigram
+        FROM w
+    ),
+    counted AS (
+        SELECT lang, bigram, count(*) AS n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, bigram) AS rn
+        FROM b GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n FROM counted WHERE rn <= {BIGRAM_TOP_K}
+    """,
+)
+def bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{5} word bigrams per language — the n-gram counting pass of a
+    language-model data pipeline. Bigrams are built with a codegen'd
+    1-indexed sequence/element_at transform (identical indexing to the
+    DuckDB oracle), exploded, counted with map-side partial aggregation,
+    then top-k'd by a window over the tiny (lang) key space. Determinism:
+    ties broken lexicographically on the bigram itself."""
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1), "
+            "i -> concat(element_at(split(text, ' '), i), ' ', "
+            "element_at(split(text, ' '), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BIGRAM_TOP_K)
+        .select("lang", "bigram", "n")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Events widening: weekly retention cohorts (exact integer week math on
+# the raw nanosecond timestamps — no float epoch division anywhere).
+# --------------------------------------------------------------------- #
+
+NANOS_PER_WEEK = 7 * 86_400_000_000_000
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+    WITH wk AS (
+        SELECT user_id, epoch_ns(ts) // {NANOS_PER_WEEK} AS week
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           w.week - c.cohort_week AS week_offset,
+           count(DISTINCT w.user_id) AS n_users
+    FROM wk w JOIN cohort c ON c.user_id = w.user_id
+    GROUP BY c.cohort_week, w.week - c.cohort_week
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen week, counted
+    in each subsequent week they return. Week keys are integer divisions
+    of the raw nanos (exact on both engines — float epoch math could flip
+    a boundary event). Scale shape: one agg keyed by user (cohort), one
+    broadcast-back join (cohort table ≪ events), one final small agg."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts div {NANOS_PER_WEEK}").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
