@@ -2844,3 +2844,175 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Additional TPC-H analogs: Q9 / Q11 / Q13 / Q20 shapes
+# (reference has no relational queries — NMR:1-533 contains zero joins;
+# these exercise the engine surface SURVEY.md §2.2 commits to providing)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS profit
+    FROM lineitem l
+      JOIN part p     ON p.p_partkey  = l.l_partkey AND p.p_name LIKE '%red%'
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup (adapted: fixtures carry no partsupp /
+    supplycost, so profit = discounted revenue). Join order matters at
+    scale: the part filter ('%red%', ~5% selectivity) is applied *before*
+    the join so the lineitem stream is pruned by the broadcast hash set
+    early; supplier→nation is a broadcast chain; only the lineitem⋈orders
+    join shuffles (both large, equi on orderkey)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sn = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "n_name")
+    )
+    profit = F.sum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(profit.cast("double"), 2).alias("profit"))
+    )
+
+
+Q11_FRACTION = 0.0005
+
+
+@register(
+    "important_part_values",
+    oracle=f"""
+    WITH val AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           round(CAST(part_value AS DOUBLE), 2) AS part_value
+    FROM val
+    WHERE part_value > (SELECT sum(part_value) * {Q11_FRACTION} FROM val)
+    """,
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped global-scalar-subquery filter: parts whose total
+    traded value exceeds a fraction of the whole market. The per-part agg
+    is computed once and reused for both the threshold (a 1-row global agg,
+    broadcast cross-joined — no driver round-trip, stays one Spark job)
+    and the filter, so lineitem is scanned exactly once."""
+    li = load(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("part_value")
+    )
+    thresh = val.agg(
+        (F.sum("part_value") * F.lit(Q11_FRACTION)).alias("thresh")
+    )
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("thresh"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped two-level aggregation: orders-per-customer, then
+    the histogram of that count (LEFT join keeps zero-order customers;
+    count(o_orderkey) ignores the null-padded rows). First agg shuffles on
+    c_custkey; the second groups on a tiny integer domain so its shuffle
+    is negligible after partial aggregation."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+Q20_QTY_FACTOR = 0.5
+
+
+@register(
+    "bolt_stock_suppliers",
+    oracle=f"""
+    WITH bolt_qty AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS supplied_qty
+        FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    part_total AS (
+        SELECT l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM bolt_qty b
+      JOIN part_total t ON t.l_partkey = b.l_partkey
+      JOIN supplier s   ON s.s_suppkey = b.l_suppkey
+    WHERE b.supplied_qty > t.total_qty * {Q20_QTY_FACTOR}
+    """,
+)
+def bolt_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant-supplier query (adapted: availqty does not
+    exist, so 'dominant' = supplied more than half of a part's total traded
+    quantity). Two aggregations over lineitem — one part-filtered by a
+    broadcast semi join, one global per-part — joined on partkey, then a
+    broadcast join to supplier for names and a distinct on the supplier
+    key."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load(spark, sf_dir, "supplier")
+    bolt_qty = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("supplied_qty"))
+    )
+    part_total = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(dec("l_quantity")).alias("total_qty")
+    )
+    return (
+        bolt_qty.join(part_total, bolt_qty.l_partkey == part_total.t_partkey)
+        .filter(F.col("supplied_qty") > F.col("total_qty") * F.lit(Q20_QTY_FACTOR))
+        .join(F.broadcast(s), bolt_qty.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
