@@ -84,7 +84,16 @@ def near_dup_pairs_jaccard(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, n=n).alias("__sh"),
     ).withColumn("__sz", F.size("__sh"))
-    ex = sh.select("__id", "__sz", F.explode("__sh").alias("__s"))
+    # Join on the 64-bit hash of the shingle, not the string: the exploded
+    # inverted index is the dominant shuffle, and 8-byte keys shrink it and
+    # make the join compares cheap. An xxhash64 collision would merge two
+    # shingles (P ≈ |shingles|²/2⁶⁴ — negligible, and validated against the
+    # string-keyed DuckDB oracle).
+    ex = sh.select(
+        "__id",
+        "__sz",
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+    )
     if max_shingle_df is not None:
         freq = ex.groupBy("__s").agg(F.count("*").alias("__df"))
         ex = ex.join(
@@ -95,11 +104,18 @@ def near_dup_pairs_jaccard(
     # input it would be computed by BOTH shuffle-map stages concurrently
     ex = ex.localCheckpoint(eager=True)
     a, b = ex.alias("a"), ex.alias("b")
+    # Length-ratio pruning inside the join: jac(A,B) ≥ t ⟹
+    # min(|A|,|B|) ≥ t·max(|A|,|B|). Evaluated per matched row before the
+    # pair ever reaches the aggregation shuffle.
+    ratio_ok = F.least(F.col("a.__sz"), F.col("b.__sz")) >= F.lit(
+        threshold
+    ) * F.greatest(F.col("a.__sz"), F.col("b.__sz"))
     shared = (
         a.join(
             b,
             (F.col("a.__s") == F.col("b.__s"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & ratio_ok,
         )
         .groupBy(
             F.col("a.__id").alias("id_a"),
