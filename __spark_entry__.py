@@ -11,11 +11,19 @@ this module is a thin adapter over that registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vectorsearch_image_embeddings_databricks_spark import registry
+# The harness loads this module by file path; make the package importable
+# regardless of the harness's cwd.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from vectorsearch_image_embeddings_databricks_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -55,6 +55,9 @@ def embed_column(
     (NMR:227–268) with a single Catalyst plan: scan → ArrowEvalPython →
     (optional) null filter. No data ever lands on the driver.
     """
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     udf = make_embed_udf(encoder_factory)
     out = df.withColumn(output_col, udf(input_col))
     if drop_failed:

@@ -123,6 +123,9 @@ def decode_images(
                     rows.append((path, len(content) if content else 0, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     return df.select(*cols).mapInPandas(batches, DECODED_SCHEMA)
 
 
@@ -193,6 +196,9 @@ def resize_images(
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
             )
 
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     return df.select(path_col, content_col).mapInPandas(batches, RESIZED_SCHEMA)
 
 
@@ -245,4 +251,7 @@ def sample_frames(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields]
             )
 
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     return df.select(path_col, content_col).mapInPandas(batches, FRAME_SCHEMA)

@@ -3016,3 +3016,132 @@ def bolt_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------- #
+# §2.2 relational breadth — TPC-H Q12-shaped conditional line counts
+# --------------------------------------------------------------------- #
+
+Q12_SHIP_FROM = "1996-01-01"
+Q12_SHIP_TO = "1997-01-01"
+
+
+@register(
+    "linestatus_priority_counts",
+    oracle=f"""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q12_SHIP_FROM} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{Q12_SHIP_TO} 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional counts (adapted: no l_shipmode /
+    l_receiptdate in the fixture schema, so the grouping class is
+    l_linestatus and the year window is on l_shipdate). The shipdate range
+    filter is pushed to the parquet scan; the orders join carries only
+    (o_orderkey, o_orderpriority) so the shuffled build side stays narrow;
+    the CASE aggregation is a map-side partial agg."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_SHIP_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_SHIP_TO).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# §2.2 relational breadth — TPC-H Q21-shaped sole-late-supplier count
+# --------------------------------------------------------------------- #
+
+Q21_LATE_DAYS = 90
+Q21_TOP = 100
+
+
+@register(
+    "waiting_suppliers",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY)
+                   AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM flagged l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM flagged l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flagged l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT {Q21_TOP}
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated EXISTS / NOT EXISTS (adapted:
+    lateness = shipped > 90 days after order date, since the fixture has no
+    commit/receipt dates; no nation filter so the result isn't tiny).
+    Suppliers who were the ONLY late supplier on a multi-supplier finished
+    order, ranked by how often.
+
+    Plan shape: one orders⋈lineitem pass computes the per-line late flag
+    (narrow projection, equi-join on orderkey), then the two correlated
+    predicates decorrelate into a single per-order aggregate —
+    n_supp = count(distinct supp), n_late_supp = count(distinct supp where
+    late) — joined back to the late lines. That turns Q21's classic
+    exists/not-exists double self-join into ONE extra aggregation over the
+    same shuffle key (orderkey), so the whole query is two shuffles + a
+    broadcast of supplier."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        ).alias("is_late"),
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        flagged.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .join(per_order, F.col("l_orderkey") == F.col("g_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOP)
+    )

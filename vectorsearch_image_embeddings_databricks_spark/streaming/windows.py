@@ -186,6 +186,9 @@ def sessionize_stream(
             ],
         )
 
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     return (
         df.withWatermark(event_time, watermark)
         .groupBy(key_col)
