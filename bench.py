@@ -62,6 +62,8 @@ HEADLINE = [
     "grouping_sets_revenue",
     "order_priority_pivot",
     "customer_order_gaps",
+    "waiting_suppliers",
+    "curation_pipeline",
 ]
 
 

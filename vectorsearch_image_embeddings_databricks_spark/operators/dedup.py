@@ -223,17 +223,19 @@ def near_dedup_minhash(
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int = 8,
-    max_iter: int = 4,
+    max_iter: int = 32,
 ) -> DataFrame:
     """Full near-dedup: MinHash LSH candidates → exact Jaccard verify →
     connected components → (id, rep_id). rep_id = min id in the component.
 
     Components are resolved by min-label propagation WITH pointer jumping
     (path halving: after each neighbor-min pass, rep ← rep[rep]), so the
-    label's reach roughly doubles per round — ``max_iter`` rounds resolve
-    chains of length ~2^(max_iter-1), vs max_iter for plain propagation.
-    Near-dup clusters are shallow in practice; raise ``max_iter`` for
-    adversarially chained corpora."""
+    label's reach roughly doubles per round. The loop exits as soon as a
+    round changes no label (exact convergence — the check is a count on
+    the tiny dup-involved label set, so real corpora with shallow dup
+    clusters pay 2 rounds, not ``max_iter``); ``max_iter`` is only the
+    adversarial upper bound, and 2^max_iter exceeds any practical chain
+    length."""
     sigs = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes
     ).localCheckpoint(eager=True)  # referenced 4x below (cand a/b, verify a/b)
@@ -259,7 +261,9 @@ def near_dedup_minhash(
         edges.select(F.col("id_a").alias("id")).distinct()
         .withColumn("rep_id", F.col("id"))
     )
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
+        prev = labels
         neigh = (
             edges.join(labels, edges.id_b == labels.id)
             .groupBy("id_a")
@@ -292,6 +296,15 @@ def near_dedup_minhash(
             # so an eager materialization per round is the scalable shape.
             .localCheckpoint(eager=True)
         )
+        changed = (
+            labels.alias("new")
+            .join(prev.alias("old"), F.col("new.id") == F.col("old.id"))
+            .filter(F.col("new.rep_id") != F.col("old.rep_id"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            break
     return (
         sigs.select("id")
         .join(labels.withColumnRenamed("rep_id", "__rep"), "id", "left")

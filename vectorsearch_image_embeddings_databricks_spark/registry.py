@@ -3145,3 +3145,143 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(Q21_TOP)
     )
+
+
+# --------------------------------------------------------------------- #
+# North-star composition — end-to-end training-data curation pipeline
+# --------------------------------------------------------------------- #
+
+CURATION_MIN_TOKS = 15
+CURATION_MIN_QUALITY = 0.965
+CURATION_SAMPLE_HEX = "80"  # md5(doc_id) < 0x80/0x100 ≈ 50%
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH x AS (
+        SELECT doc_id, lang, text,
+            (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+                / length(text) AS alpha,
+            (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                / length(text) AS digit,
+            len(list_filter(string_split(text,' '), t -> t <> '')) AS toks,
+            length(replace(text, ' ', '')) AS nospace
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text, toks,
+            least(1.0, greatest(0.0,
+                alpha * 0.6
+                + greatest(0.0, 1.0 - abs(CASE WHEN toks = 0 THEN 0.0
+                                               ELSE nospace::DOUBLE / toks END - 5.0) / 5.0) * 0.3
+                + (1.0 - digit) * 0.1)) AS quality
+        FROM x
+    ),
+    filtered AS (
+        SELECT *, md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text,' '), t -> t <> ''))), ' ')) AS fp
+        FROM scored
+        WHERE toks >= {CURATION_MIN_TOKS} AND quality >= {CURATION_MIN_QUALITY}
+    ),
+    deduped AS (
+        SELECT f.* FROM filtered f
+        JOIN (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp) r
+          ON f.fp = r.fp AND f.doc_id = r.doc_id
+    ),
+    sampled AS (
+        SELECT * FROM deduped
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '{CURATION_SAMPLE_HEX}'
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(toks) AS sum_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM sampled
+    GROUP BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, composed entirely from this
+    package's operators — the north-star pipeline in one plan:
+
+      quality/length scoring (functions.text.quality_score/token_count)
+      → filter (toks ≥ 15, quality ≥ 0.965)
+      → exact near-order dedup on the canonical bag-of-words fingerprint
+        keeping the smallest doc_id (operators.dedup.dedup_exact)
+      → key-deterministic ~50% sample (md5(doc_id), stable across
+        engines, partitioning and cluster size)
+      → per-language corpus stats.
+
+    One Catalyst plan end-to-end: scan → project(score) → filter →
+    one hash shuffle for the dedup groupBy → broadcast-back join →
+    final partial+final agg. The only wide exchange is keyed on the
+    fingerprint, which is uniformly distributed (md5), so no skew at
+    100 TB; every scalar stage is whole-stage-codegen'd (no Python)."""
+    docs = load_docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count("text").alias("toks"),
+        quality_score("text").alias("quality"),
+    )
+    filtered = scored.filter(
+        (F.col("toks") >= CURATION_MIN_TOKS)
+        & (F.col("quality") >= CURATION_MIN_QUALITY)
+    ).withColumn("fp", normalized_fingerprint("text"))
+    deduped = dedup.dedup_exact(filtered, keys=["fp"], id_col="doc_id")
+    sampled = deduped.filter(
+        F.md5(F.col("doc_id").cast("string")) < F.lit(CURATION_SAMPLE_HEX)
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("sum_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# §4 shuffle/skew row — salted large×large join (results ≡ plain join)
+# --------------------------------------------------------------------- #
+
+SALT_FACTOR = 8
+
+
+@register(
+    "salted_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through operators.skew.salted_join — the
+    skew-mitigation path for a large×large equi-join whose left side has
+    pathological hot keys (a single hot key lands in one task even under
+    AQE skew handling; salting spreads it over SALT_FACTOR sub-keys and
+    replicates the right side SALT_FACTOR ways). Salting is
+    correctness-neutral — the oracle is the PLAIN join — which is exactly
+    the property that makes it safe to switch on at 100 TB. The salt
+    comes from a hash of the row, not rand(), so task retries are safe."""
+    from .operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_linenumber"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, o, key="l_orderkey", salt=SALT_FACTOR, salt_from="l_linenumber"
+    )
+    revenue = F.sum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")))
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(revenue.cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
