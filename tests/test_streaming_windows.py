@@ -8,6 +8,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from vectorsearch_image_embeddings_databricks_spark import registry
 from vectorsearch_image_embeddings_databricks_spark.operators.temporal import sessionize
 from vectorsearch_image_embeddings_databricks_spark.streaming import (
     sessionize_stream,
@@ -22,8 +23,9 @@ T0 = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in epoch nanos
 
 
 def _load_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # registry.load_events canonicalizes ts to epoch-nanos longs across
+    # both fixture encodings (INT64 nanos / TIMESTAMP micros).
+    return registry.load_events(spark, SF_SMALL)
 
 
 def _chunked_source(spark, tmp_path, n_chunks=3, days_per_chunk=10):

@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions.text import (
     LANG_MARKERS,
@@ -78,11 +79,25 @@ def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects. Read nanos as raw longs (legacy conf) and derive time
-    buckets with epoch math — which is also deliberately timezone-free."""
+    """events loader, normalizing ``ts`` to epoch-nanos INT64.
+
+    The fixture has shipped with two physical encodings of ``ts``: INT64
+    TIMESTAMP(NANOS) (readable only as raw longs via the legacy conf) and
+    TIMESTAMP(MICROS) (a native Spark timestamp). All downstream temporal
+    operators do deliberately timezone-free integer epoch math, so both
+    encodings are canonicalized here to epoch-nanos longs. NTZ inference
+    is disabled so the parquet µs land verbatim in TimestampType's
+    internal epoch-micros; ``unix_micros`` then returns the raw stored
+    int64 (no session-timezone step anywhere) and ``* 1000`` is an exact
+    integer µs→ns widening. DuckDB oracles use ``epoch_ns(ts)`` /
+    ``epoch_us(ts)`` on the same raw value — verified identical under an
+    adversarial session timezone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.TimestampType):
+        df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    return df
 
 
 NANOS_PER_DAY = 86_400_000_000_000
