@@ -42,6 +42,7 @@ HEADLINE = [
     "lang_id_pred",
     "embed_documents_stub",
     "pricing_summary",
+    "forecast_revenue",
     "shipping_priority",
     "region_revenue",
     "top_orders_per_customer",

@@ -636,6 +636,46 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_START = "1996-01-01 00:00:00"
+Q6_END = "1997-01-01 00:00:00"
+
+
+@register(
+    "forecast_revenue",
+    oracle=f"""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
+      AND l_shipdate <  TIMESTAMP '{Q6_END}'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting-revenue-change: pure scan→filter→global
+    agg, zero joins. All three predicates push down to the parquet scan
+    (min/max row-group pruning on l_shipdate); the single-group aggregate
+    reduces map-side to one row per partition, so the shuffle is |partitions|
+    rows regardless of data scale — the cheapest possible plan shape at
+    100 TB. Window shifted to the fixture's 1995–2001 shipdate range
+    (TPC-H's 1994 window matches zero fixture rows)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
 @register(
     "top_orders_per_customer",
     oracle="""
