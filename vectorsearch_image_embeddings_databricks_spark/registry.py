@@ -382,6 +382,54 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_token_explode",
+    oracle=r"""
+    SELECT token, count(*) AS n
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table functions): a generator UDTF
+    explodes each document into tokens via LATERAL join, then a plain
+    relational agg ranks the top-20. The UDTF is the slow path by design
+    (SURVEY §2.4 — everything else stays in built-ins); this query exists
+    to cover the UDTF API itself, exactly as ``generate_image_embedding``
+    covers the scalar-UDF surface (NMR:202–213). Token semantics match the
+    oracle: split on whitespace runs, drop empties (ASCII corpus, so
+    Python's unicode ``\\s`` ≡ the oracle regex)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text:
+                for tok in re.split(r"\s+", text):
+                    if tok:
+                        yield (tok,)
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    load_docs(spark, sf_dir).createOrReplaceTempView("_udtf_docs")
+    exploded = spark.sql(
+        "SELECT t.token FROM _udtf_docs, LATERAL split_tokens(text) AS t"
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
     "corpus_stats",
     oracle="""
     SELECT lang, source,
@@ -761,6 +809,34 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT coverage (Spark 4 native type): parse the
+    JSON column ONCE into a VariantType value, then do typed
+    ``variant_get`` extractions against the binary variant encoding —
+    at scale this beats re-parsing the JSON string per extraction
+    (events_json's get_json_object path) whenever ≥2 fields are pulled,
+    and it's the open-format twin of the engine's schema-on-read story."""
+    ev = load_events(spark, sf_dir)
+    withv = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return withv.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
     )
 
 
