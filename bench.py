@@ -10,6 +10,7 @@ no driver-side result transfer skewing the numbers.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -76,7 +77,14 @@ def build_session() -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        # single JVM hosts driver + all 32 executor threads; a small heap
+        # turns localCheckpoint blocks + shuffle state into G1 GC churn
+        # that bleeds across queries (measured: 2-3x inflation on the
+        # join-heavy queries at 16g). -Xms pins the heap at its max so no
+        # measured query pays heap-growth stalls (driver.memory sets only
+        # -Xmx; growing 1g→32g clobbered the first queries when measured)
+        .config("spark.driver.memory", "32g")
+        .config("spark.driver.extraJavaOptions", "-Xms32g")
         .config("spark.ui.enabled", "false")
         # keep stdout clean: progress bars would corrupt the JSON line
         .config("spark.ui.showConsoleProgress", "false")
@@ -136,6 +144,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop python refs to this query's DataFrames/localCheckpoint RDDs
+        # so the ContextCleaner frees their blocks NOW, not mid-way through
+        # a later query's timed run (isolation between measurements, same
+        # per-query work)
+        df = None
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

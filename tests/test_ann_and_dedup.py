@@ -178,6 +178,25 @@ def test_minhash_label_propagation_resolves_long_chains(spark):
     labels = dedup.near_dedup_minhash(
         df, "doc_id", "text", n=3, threshold=0.7,
         num_hashes=32, bands=16, max_iter=4,
+        driver_cc_max_edges=0,  # force the distributed pointer-jump path
     )
     got = {r["id"]: r["rep_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(10)}
+
+
+def test_minhash_driver_and_distributed_cc_paths_agree(docs):
+    """The size-gated hybrid must be invisible in results: driver-side
+    union-find (default gate) and the distributed pointer-jumping loop
+    (gate forced to 0) produce identical (id, rep_id) labelings."""
+    kw = dict(n=3, threshold=0.7, num_hashes=32, bands=16)
+    driver = {
+        (r["id"], r["rep_id"])
+        for r in dedup.near_dedup_minhash(docs, "doc_id", "text", **kw).collect()
+    }
+    dist = {
+        (r["id"], r["rep_id"])
+        for r in dedup.near_dedup_minhash(
+            docs, "doc_id", "text", driver_cc_max_edges=0, **kw
+        ).collect()
+    }
+    assert driver == dist

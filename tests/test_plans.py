@@ -135,3 +135,17 @@ def test_monthly_trend_windows_only_the_aggregate(spark):
     # cumulative window runs AFTER the groupBy shrank the input to ~months
     assert tree.index("Window") < tree.index("HashAggregate")  # tree prints top-down
     assert "NestedLoop" not in tree
+
+
+def test_forecast_revenue_all_predicates_at_scan_single_row_agg(spark):
+    plan = plan_of(registry.QUERIES["forecast_revenue"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # every predicate reaches the parquet scan (row-group pruning on all 3)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    # zero joins; single-group agg → the only exchange is the 1-row
+    # partial→final single-partition gather
+    assert "Join" not in tree
+    assert tree.count("HashAggregate") == 2

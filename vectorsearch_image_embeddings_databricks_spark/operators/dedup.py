@@ -12,10 +12,13 @@ Five families, each scale-designed:
   ``max_shingle_df`` (standard practice: a shingle in >X% of docs carries
   no dedup signal).
 - **MinHash + LSH banding** (`minhash_signatures`, `lsh_candidate_pairs`,
-  `near_dedup_minhash`): native implementation with JVM built-ins only
-  (xxhash64 / array_min / transform) — no Python in the hot path. Banding
-  turns near-dup detection into an equi-join on (band, band_hash): linear
-  shuffle, no pairwise work outside candidate buckets.
+  `near_dedup_minhash`): signatures/candidates/verification with JVM
+  built-ins only (xxhash64 / array_min / transform) — no Python in the
+  per-document hot path. Banding turns near-dup detection into an
+  equi-join on (band, band_hash): linear shuffle, no pairwise work
+  outside candidate buckets. Component resolution over the (tiny)
+  verified dup-pair edge set is a size-gated hybrid: driver union-find
+  under the gate, distributed pointer-jumping label propagation above it.
 - **SimHash** (`simhash`, `near_dup_pairs_simhash`): 64-bit signature via
   bit-vote aggregation, Hamming-≤τ candidate pairs via the pigeonhole band
   trick (τ+1 bands ⇒ near pairs share ≥1 exact band) — again equi-joins.
@@ -28,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import jaccard, word_shingles
 from ..functions.vector import cosine_similarity
@@ -215,6 +219,35 @@ def lsh_candidate_pairs(
     )
 
 
+def _union_find_components(pairs) -> list[tuple]:
+    """Driver-side union-find (path compression + union by attaching the
+    larger root under the smaller): (id, min-id-of-component) rows for
+    every node that occurs in an edge. O(E·α(E)) — microseconds for the
+    edge volumes this is gated to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach under the smaller root → roots ARE component minima
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+    return [(x, find(x)) for x in sorted(nodes)]
+
+
 def near_dedup_minhash(
     df: DataFrame,
     id_col: str,
@@ -224,18 +257,25 @@ def near_dedup_minhash(
     num_hashes: int = 32,
     bands: int = 8,
     max_iter: int = 32,
+    driver_cc_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Full near-dedup: MinHash LSH candidates → exact Jaccard verify →
     connected components → (id, rep_id). rep_id = min id in the component.
 
-    Components are resolved by min-label propagation WITH pointer jumping
+    Connected components are resolved by a size-gated hybrid. The verified
+    edge set is the corpus's *duplicate pairs* — orders of magnitude
+    smaller than the corpus itself (the corpus is never collected). When
+    it fits comfortably on the driver (≤ ``driver_cc_max_edges``, default
+    5M ≈ 80 MB), union-find resolves components in one collect + O(E·α)
+    — replacing an iterative sequence of distributed jobs whose per-job
+    scheduling overhead dominates at small edge counts. Past the gate
+    (e.g. billions of dup pairs at 100 TB) the operator automatically
+    stays fully distributed: min-label propagation WITH pointer jumping
     (path halving: after each neighbor-min pass, rep ← rep[rep]), so the
-    label's reach roughly doubles per round. The loop exits as soon as a
-    round changes no label (exact convergence — the check is a count on
-    the tiny dup-involved label set, so real corpora with shallow dup
-    clusters pay 2 rounds, not ``max_iter``); ``max_iter`` is only the
-    adversarial upper bound, and 2^max_iter exceeds any practical chain
-    length."""
+    label's reach roughly doubles per round and the loop exits as soon as
+    a round changes no label. ``max_iter`` is only the adversarial upper
+    bound for the distributed path; 2^max_iter exceeds any practical
+    chain length. Both paths produce identical labels (pytest-asserted)."""
     sigs = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes
     ).localCheckpoint(eager=True)  # referenced 4x below (cand a/b, verify a/b)
@@ -247,7 +287,26 @@ def near_dedup_minhash(
         .withColumn("jac", jaccard("sh_a", "sh_b"))
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # read 1-3x below (count, collect | union)
     )
+    id_type = sigs.schema["id"].dataType
+    if verified.count() <= driver_cc_max_edges:
+        rows = _union_find_components([(r[0], r[1]) for r in verified.collect()])
+        spark = df.sparkSession
+        labels = spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("rep_id", id_type),
+                ]
+            ),
+        )
+        return (
+            sigs.select("id")
+            .join(F.broadcast(labels.withColumnRenamed("rep_id", "__rep")), "id", "left")
+            .select("id", F.coalesce("__rep", F.col("id")).alias("rep_id"))
+        )
     # undirected edges both ways for label propagation
     edges = verified.union(
         verified.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
