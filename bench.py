@@ -127,29 +127,32 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the bench itself must run
 
-    # Steady-state timing: each query runs twice (plan rebuilt each run, no
-    # caching) and the faster run is kept. Run 1 absorbs that query's
-    # first-use costs (codegen/classload/python-worker spawn) that a
-    # long-lived cluster pays once, not per query; run 2 is the
-    # throughput-representative sample. Single-JVM local mode makes lone
-    # samples noisy (GC pauses from the shared heap) — min-of-2 is the
-    # stable estimator of sustained per-query cost.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+    # Steady-state timing: two full INTERLEAVED passes over the suite
+    # (plan rebuilt each run, no caching); keep the faster sample per
+    # query. Pass 1 absorbs each query's first-use costs
+    # (codegen/classload/python-worker spawn) that a long-lived cluster
+    # pays once, not per query. Interleaving — pass A over every query,
+    # then pass B — rather than back-to-back repeats matters in
+    # single-JVM local mode: a GC wall or OS-level stall spans seconds,
+    # so consecutive runs of the same query BOTH eat it (measured:
+    # rollup_revenue 5.6s min-of-2-consecutive vs 1.4s isolated), while
+    # minutes-apart samples almost never collide with the same event.
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _pass in range(2):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
+            df = registry.QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # drop python refs to this query's DataFrames/localCheckpoint RDDs
-        # so the ContextCleaner frees their blocks NOW, not mid-way through
-        # a later query's timed run (isolation between measurements, same
-        # per-query work)
-        df = None
-        gc.collect()
+            timings[name] = min(
+                timings[name], time.perf_counter() - t0
+            )
+            # drop python refs to this query's DataFrames/localCheckpoint
+            # RDDs so the ContextCleaner frees their blocks NOW, not
+            # mid-way through a later query's timed run (isolation
+            # between measurements, same per-query work)
+            df = None
+            gc.collect()
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

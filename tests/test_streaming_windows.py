@@ -199,3 +199,42 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     )
     want = {(r["click_id"], r["buy_id"]) for r in joined_b.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """A duplicated event feed streamed through dedup_stream must emit
+    exactly the batch-distinct rows: every event_id once, none dropped."""
+    from vectorsearch_image_embeddings_databricks_spark.streaming import dedup_stream
+
+    ev = _load_events(spark)
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    for i in range(3):
+        lo = T0 + i * 10 * DAY_NANOS
+        hi = lo + 10 * DAY_NANOS
+        chunk = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        # every row twice within the same file: duplicates are guaranteed
+        # to arrive inside the watermark horizon
+        chunk.union(chunk).coalesce(1).write.mode("append").parquet(src)
+
+    stream = with_event_time(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_stream(
+        stream, keys=["event_id"], watermark="1 hour"
+    ).select("event_id")
+    _run_stream(deduped, "dedup_sink")
+
+    got = [r["event_id"] for r in spark.table("dedup_sink").collect()]
+    want = {
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("ts") >= T0) & (F.col("ts") < T0 + 30 * DAY_NANOS)
+        ).select("event_id").distinct().collect()
+    }
+    assert len(got) == len(set(got)), "a duplicate event_id was emitted twice"
+    assert set(got) == want, (
+        f"stream emitted {len(set(got))} distinct ids, batch has {len(want)}"
+    )

@@ -1,5 +1,6 @@
 from .refresh import IncrementalIndexer  # noqa: F401
 from .windows import (  # noqa: F401
+    dedup_stream,
     interval_join_streams,
     sessionize_stream,
     sliding_counts,
