@@ -149,21 +149,29 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """(id, shingles, sig: array<bigint>[num_hashes]).
+    """(id, shingles: array<bigint> of xxhash64'd shingles, sig:
+    array<bigint>[num_hashes]).
 
-    Hash family: h_i(s) = xxhash64(i, s) — independent seeds via the first
-    argument. All num_hashes minima are maintained in a SINGLE ``aggregate``
-    fold over the shingle array (acc = running-min vector, zip_with+least),
-    so the shingle expression is evaluated once per row — not once per hash.
-    (The naive ``array(array_min(transform(sh,…)) × N)`` form duplicates the
-    whole shingling subtree N times after projection collapse: measured 15×
+    Shingles are carried as their 64-bit hashes, not strings: downstream
+    exact-Jaccard verification joins and set ops then compare 8-byte longs,
+    and the materialized signature table shrinks by the full n-gram text
+    (collision risk |shingles|²/2⁶⁴ — the same argument validated against
+    the string-keyed oracle in ``near_dup_pairs_jaccard``).
+
+    Hash family: h_i(s) = xxhash64(i, xxhash64(s)) — independent seeds via
+    the first argument. All num_hashes minima are maintained in a SINGLE
+    ``aggregate`` fold over the hashed-shingle array (acc = running-min
+    vector, zip_with+least), so the shingle expression is evaluated once
+    per row — not once per hash. (The naive
+    ``array(array_min(transform(sh,…)) × N)`` form duplicates the whole
+    shingling subtree N times after projection collapse: measured 15×
     slower at sf0.1.) One pass over the corpus, no shuffle, no Python.
     """
-    sh = word_shingles(text_col, n=n)
+    hsh = F.transform(word_shingles(text_col, n=n), lambda s: F.xxhash64(s))
     max_long = (1 << 63) - 1
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.aggregate(
-        sh,
+        hsh,
         F.array_repeat(F.lit(max_long), num_hashes),
         lambda acc, s: F.zip_with(
             acc,
@@ -173,7 +181,7 @@ def minhash_signatures(
     )
     return df.select(
         F.col(id_col).alias("id"),
-        sh.alias("shingles"),
+        hsh.alias("shingles"),
         sig.alias("sig"),
     )
 
@@ -290,8 +298,14 @@ def near_dedup_minhash(
         .localCheckpoint(eager=True)  # read 1-3x below (count, collect | union)
     )
     id_type = sigs.schema["id"].dataType
-    if verified.count() <= driver_cc_max_edges:
-        rows = _union_find_components([(r[0], r[1]) for r in verified.collect()])
+    # size gate folded into the collect: fetch at most gate+1 edges in one
+    # job — if the limit isn't hit we already hold the whole edge set, so
+    # a separate count() job (scheduling + a second pass over the
+    # checkpointed edges) never runs. Past the gate the partial fetch is
+    # discarded and the operator stays fully distributed.
+    probe = verified.limit(driver_cc_max_edges + 1).collect()
+    if len(probe) <= driver_cc_max_edges:
+        rows = _union_find_components([(r[0], r[1]) for r in probe])
         spark = df.sparkSession
         labels = spark.createDataFrame(
             rows,
