@@ -205,3 +205,45 @@ def test_fetch_and_extract_local_zip(tmp_path):
     got = download_file(str(src2), str(tmp_path / "plaincopy"))
     with open(got, "rb") as f:
         assert f.read() == b"abc"
+
+
+def test_chunk_audio_flatmap_reconstruction(spark):
+    """Chunker must emit ceil(len/chunk) rows per payload whose byte
+    concatenation is the original payload; empty payloads emit one
+    zero-length chunk."""
+    import hashlib
+
+    from vectorsearch_image_embeddings_databricks_spark.multimodal.audio import chunk_audio
+
+    payloads = {
+        1: b"x" * 100,        # 1 chunk, partial
+        2: b"ab" * 96,        # 3 chunks of 64: 64+64+64
+        3: b"",               # empty -> 1 zero-length chunk
+        4: bytes(range(256)), # 4 full chunks
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "id long, content binary",
+    ).repartition(3)
+    out = chunk_audio(df, id_col="id", chunk_bytes=64).collect()
+
+    by_id: dict = {}
+    for r in sorted(out, key=lambda r: (r["id"], r["chunk_idx"])):
+        by_id.setdefault(r["id"], []).append(r)
+    for k, raw in payloads.items():
+        rows = by_id[k]
+        assert len(rows) == max(1, -(-len(raw) // 64))
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert [r["start_byte"] for r in rows] == [i * 64 for i in range(len(rows))]
+        assert sum(r["n_bytes"] for r in rows) == len(raw)
+        # md5s identify the exact chunk bytes -> concatenation is lossless
+        for i, r in enumerate(rows):
+            assert r["chunk_md5"] == hashlib.md5(raw[i * 64 : (i + 1) * 64]).hexdigest()
+
+
+def test_chunk_audio_librosa_raises_cleanly(spark):
+    from vectorsearch_image_embeddings_databricks_spark.multimodal.audio import chunk_audio
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, content binary")
+    with pytest.raises(NotImplementedError, match="stub"):
+        chunk_audio(df, id_col="id", decoder="librosa")

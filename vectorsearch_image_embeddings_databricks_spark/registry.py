@@ -870,6 +870,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_chunks",
+    oracle="""
+    SELECT doc_id, u.i AS chunk_idx,
+           (u.i*256)::BIGINT AS start_byte,
+           length(substr(text, (u.i*256)::INT + 1, 256))::BIGINT AS n_bytes,
+           md5(substr(text, (u.i*256)::INT + 1, 256)) AS chunk_md5
+    FROM documents,
+         unnest(range(0, GREATEST(1, ceil(length(text)/256.0)::BIGINT))) AS u(i)
+    """,
+)
+def audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 audio path: opaque binary payload → fixed-size byte windows via
+    the ``mapInPandas`` flat-map chunker (decode stubbed; see
+    multimodal/audio.py). The fixture's text bytes stand in as the
+    waveform; byte-window chunking is decode-independent, so the full
+    chunk table (offsets, sizes, md5s) is value-exact against the SQL
+    oracle — the same verification strength as the relational queries,
+    for a Python-UDF multimodal op. Text is ASCII in the fixtures, so
+    byte offsets == char offsets in the oracle's substr."""
+    from .multimodal import chunk_audio
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    chunks = chunk_audio(docs, id_col="doc_id", chunk_bytes=256)
+    return chunks.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "start_byte",
+        "n_bytes",
+        "chunk_md5",
+    )
+
+
 # --------------------------------------------------------------------- #
 # O20/E7/E8 — hybrid search: keyword + vector, RRF-fused
 # --------------------------------------------------------------------- #
