@@ -210,3 +210,40 @@ def test_approx_sketches_within_documented_error(spark):
         assert abs(row["approx_users"] - ex["users"]) <= max(3, 0.05 * ex["users"])
         # accuracy=10000 → rank error ~ n/10000 ≈ 0 here: p50 near-exact
         assert abs(row["p50"] - ex["p50"]) <= 0.05 * max(1.0, abs(ex["p50"]))
+
+
+def test_rolling_fingerprints_position_invariant_overlap(spark):
+    """The defining property of content-defined rolling-hash selection:
+    a shared substring yields the SAME fingerprints wherever it sits, so
+    partially-overlapping docs share exactly the overlap's fingerprints."""
+    from vectorsearch_image_embeddings_databricks_spark.functions.text import rolling_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "PREFIX-" * 10 + shared),
+        (2, shared + "-SUFFIX" * 10),
+        (3, shared),
+        (4, "completely unrelated content with no overlap at all zzz qqq"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fps = {
+        r["id"]: set(r["fps"])
+        for r in df.select(
+            "id", rolling_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    # every interior fingerprint of the bare shared string appears in both
+    # embeddings of it (edge grams straddling the boundary may differ)
+    assert fps[3], "selection produced no fingerprints for the shared text"
+    assert fps[3] <= fps[1] and fps[3] <= fps[2]
+    # overlap detectable via fingerprint intersection; unrelated doc is not
+    assert fps[1] & fps[2] >= fps[3]
+    assert not (fps[3] & fps[4])
+    # deterministic
+    again = {
+        r["id"]: set(r["fps"])
+        for r in df.select(
+            "id", rolling_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert again == fps

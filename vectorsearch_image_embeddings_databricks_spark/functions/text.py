@@ -82,6 +82,38 @@ def normalized_fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", bag))
 
 
+def rolling_fingerprints(
+    text: Column | str, k: int = 8, keep_suffixes: tuple[str, ...] = ("0", "8")
+) -> Column:
+    """Content-defined rolling-hash fingerprints (north-star "document
+    fingerprinting (rolling hash)"): hash EVERY k-char gram of the text
+    (the rolling window), keep the grams whose hash lands in a fixed
+    residue class — here, md5 hex ending in ``keep_suffixes`` (2/16 =
+    1/8 expected sampling rate). Selection depends only on local content,
+    so shared substrings between two documents yield the SAME
+    fingerprints regardless of their position — the property that makes
+    these usable for partial-overlap / containment detection, where
+    whole-doc hashes and position-anchored chunking both fail.
+
+    Returns a distinct array of selected hash strings. One expression
+    pass per row — O(len·k) hashing, no shuffle, no Python; md5 is used
+    as the gram hash so the result is engine-portable (the DuckDB oracle
+    recomputes it value-exactly). Texts shorter than ``k`` contribute
+    their single clipped gram (subject to the same selection), so exact
+    short duplicates can still match."""
+    t = _c(text)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(t.substr(i, F.lit(k))),
+    )
+    kept = F.filter(
+        grams,
+        lambda h: F.substring(h, 32, 1).isin(*keep_suffixes),
+    )
+    return F.array_sort(F.array_distinct(kept))
+
+
 # --------------------------------------------------------------------- #
 # quality scoring
 # --------------------------------------------------------------------- #

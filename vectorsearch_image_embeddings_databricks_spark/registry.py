@@ -358,6 +358,34 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_fingerprints",
+    oracle="""
+    SELECT doc_id, u.fp AS fp
+    FROM (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+                 list_transform(range(1, GREATEST(length(text)-7, 1) + 1),
+                                i -> md5(substr(text, i::INT, 8))),
+                 h -> substr(h, 32, 1) IN ('0','8')))) AS fps
+      FROM documents
+    ), unnest(fps) AS u(fp)
+    """,
+)
+def rolling_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star "document fingerprinting (rolling hash)": every 8-char
+    gram hashed, content-defined 1/8 selection (md5 suffix residue), one
+    row per (doc, selected fingerprint). Shared substrings produce equal
+    fingerprints at any position — the containment/partial-overlap
+    primitive whole-doc hashing can't provide."""
+    from .functions.text import rolling_fingerprints
+
+    docs = load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.explode(rolling_fingerprints("text")).alias("fp")
+    )
+
+
+@register(
     "token_counts",
     oracle=f"""
     SELECT doc_id,
