@@ -149,3 +149,35 @@ def test_forecast_revenue_all_predicates_at_scan_single_row_agg(spark):
     # partial→final single-partition gather
     assert "Join" not in tree
     assert tree.count("HashAggregate") == 2
+
+
+def test_jaccard_pairs_no_cartesian_hashed_keys(spark):
+    plan = plan_of(registry.QUERIES["near_dup_pairs_jaccard"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # inverted-index equi-join on hashed shingles — never a pairwise scan
+    assert "CartesianProduct" not in tree and "NestedLoop" not in tree
+    assert "SortMergeJoin" in tree or "HashJoin" in tree
+
+
+def test_audio_chunks_partition_local_no_shuffle(spark):
+    plan = plan_of(registry.QUERIES["audio_chunks"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # chunking is a partition-local flat-map over one scan
+    assert "Exchange" not in tree
+    assert tree.count("Scan parquet") == 1
+    assert "MapInPandas" in tree
+
+
+def test_rolling_fingerprints_single_pass_no_shuffle(spark):
+    plan = plan_of(registry.QUERIES["rolling_fingerprints"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # pure expression pipeline after the deliberate parallelism
+    # repartition (load_docs decouples compute from the single-file
+    # fixture layout): exactly that one round-robin exchange, no
+    # key shuffle, and no Python in the hot path
+    assert tree.count("Exchange") == 1
+    assert "roundrobin" in plan.lower()
+    assert "hashpartitioning" not in plan.lower()
+    assert "Python" not in tree and "MapInPandas" not in tree
+    # column pruning: only doc_id+text read
+    assert "ReadSchema: struct<doc_id:bigint,text:string" in plan
