@@ -71,3 +71,37 @@ def test_refresh_upserts_changed_rows(spark, tmp_path):
     cur = indexer.current(spark)
     assert cur.count() == 10
     assert all(r["label"] >= 100 for r in cur.collect())
+
+
+def test_continuous_rollup_incremental_equals_batch(spark, tmp_path):
+    """The maintained windowed rollup must equal the one-shot batch
+    aggregate after each refresh, survive a no-new-data refresh
+    unchanged, and stay equivalent through compaction."""
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from vectorsearch_image_embeddings_databricks_spark.streaming import ContinuousRollup
+    from vectorsearch_image_embeddings_databricks_spark.streaming.windows import with_event_time
+    from .conftest import SF_SMALL
+
+    ev = with_event_time(registry.load_events(spark, SF_SMALL)).select(
+        "event_time", "event_type", "value"
+    )
+    src = str(tmp_path / "log")
+    rollup = ContinuousRollup(
+        source_dir=src,
+        rollup_dir=str(tmp_path / "rollup"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=ev.schema,
+    )
+    thirds = ev.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for chunk in thirds:
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        rollup.refresh(spark)
+        assert rollup.verify_equivalence(spark)
+    # no-new-data refresh is a no-op
+    before = sorted(map(tuple, rollup.current(spark).collect()))
+    rollup.refresh(spark)
+    assert sorted(map(tuple, rollup.current(spark).collect())) == before
+    # compaction changes the layout, never the values
+    rollup.compact(spark)
+    assert sorted(map(tuple, rollup.current(spark).collect())) == before
+    assert rollup.verify_equivalence(spark)

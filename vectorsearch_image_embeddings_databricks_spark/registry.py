@@ -1117,6 +1117,54 @@ def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final
 
 
+@register("continuous_rollup")
+def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per-day per-type event
+    counts/value-sums maintained incrementally (partials per batch,
+    merge-on-read, compaction) over a two-slice append log; equivalence
+    with the one-shot batch aggregate is asserted inside and in pytest.
+    Rows-only driver check — the maintenance protocol itself is the
+    operator; the resulting VALUES are covered by the oracle-checked
+    events_daily family."""
+    import tempfile
+
+    from .streaming import ContinuousRollup
+    from .streaming.windows import with_event_time
+
+    ev = with_event_time(load_events(spark, sf_dir)).select(
+        "event_time", "event_type", "value"
+    )
+    mid = ev.select(
+        F.expr("percentile(CAST(event_time AS DOUBLE), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/changelog"
+        rollup = ContinuousRollup(
+            source_dir=src,
+            rollup_dir=f"{tmp}/rollup",
+            checkpoint_dir=f"{tmp}/ckpt",
+            schema=ev.schema,
+        )
+        ev.filter(F.col("event_time").cast("double") < mid).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        rollup.refresh(spark)
+        ev.filter(F.col("event_time").cast("double") >= mid).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        rollup.refresh(spark)
+        rollup.compact(spark)
+        assert rollup.verify_equivalence(spark)
+        final = rollup.current(spark).select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        final.cache().count()  # materialize before the tmpdir vanishes
+        return final
+
+
 @register("image_pipeline")
 def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5–O12 end to end: binary ingest (glob-pruned scan, path cleanup) →

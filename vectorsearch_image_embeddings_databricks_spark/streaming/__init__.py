@@ -1,4 +1,4 @@
-from .refresh import IncrementalIndexer  # noqa: F401
+from .refresh import ContinuousRollup, IncrementalIndexer  # noqa: F401
 from .windows import (  # noqa: F401
     dedup_stream,
     interval_join_streams,
