@@ -88,3 +88,25 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     got = df.count()
     want = docs.filter(F.col("lang") == "en").count()
     assert got == want
+
+
+def test_text_format_round_trips_are_value_exact(spark, tmp_path):
+    """csv/json/orc round-trips with the schema discipline preserve every
+    value; csv/json without an explicit schema are refused."""
+    import pytest
+
+    from vectorsearch_image_embeddings_databricks_spark.sources import read_table, write_table
+    from .conftest import SF_SMALL
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").limit(200)
+    want = sorted(map(tuple, src.collect()))
+    for fmt in ("orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_table(src, path, fmt)
+        opts = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"} if fmt == "csv" else {}
+        got = read_table(spark, path, fmt, schema=src.schema, **opts)
+        assert got.schema == src.schema, fmt
+        assert sorted(map(tuple, got.collect())) == want, fmt
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path / "csv"), "csv")

@@ -1283,6 +1283,104 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_WINDOW_GAP_US = 12 * 3600 * 1_000_000
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS t_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) >= {SESSION_WINDOW_GAP_US} THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), s AS (
+        SELECT user_id, t_us,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY t_us
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           min(t_us) AS session_start_us,
+           max(t_us) + {SESSION_WINDOW_GAP_US} AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native gap sessionization: ``F.session_window`` inside a
+    plain groupBy — the built-in counterpart of operators.temporal's
+    window-composition and streaming's applyInPandasWithState versions
+    (all three session shapes SURVEY §2.2 calls for). Boundary semantics
+    differ from the lag/cumsum op: session_window closes when the gap
+    REACHES the timeout (diff >= gap starts a new session; the window end
+    is last_event + gap) — the oracle encodes exactly that. One shuffle
+    on user_id; the agg state is one open window per key."""
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.groupBy(
+            F.session_window(
+                "event_time", f"{SESSION_WINDOW_GAP_US} microseconds"
+            ).alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS total_price,
+               round(CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS max_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS val FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form unpivot (§2.2 pivot row, reverse direction): wide
+    per-priority aggregates melted to (priority, measure, val) with
+    ``DataFrame.unpivot`` — an Expand node over the tiny aggregated
+    relation, so the melt costs |groups|×|measures| rows, never a second
+    pass over orders."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+            "total_price"
+        ),
+        F.round(F.max(dec("o_totalprice")).cast("double"), 2).alias(
+            "max_price"
+        ),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "max_price"],
+        "measure",
+        "val",
+    )
+
+
 # --------------------------------------------------------------------- #
 # Grouping sets / rollup + set operations (SURVEY.md §2.2 agg/set rows)
 # --------------------------------------------------------------------- #
