@@ -167,3 +167,53 @@ def test_stratified_sample_respects_per_stratum_rates(spark):
     ).collect()}
     assert counts["a"] == 1000  # fraction 1.0 keeps everything
     assert 50 < counts.get("b", 0) < 200  # ≈10% of 1000
+
+
+def test_scd2_apply_invariants(spark):
+    """SCD2 contract: one open version per key, closed versions chain
+    end-to-start, latest change in a batch wins, history passes through."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark.operators.scd import scd2_apply, scd2_init
+
+    t0 = dt.datetime(2020, 1, 1)
+    t1 = dt.datetime(2021, 6, 1)
+    t2 = dt.datetime(2022, 3, 1)
+    dim = scd2_init(
+        spark.createDataFrame(
+            [(1, "a0"), (2, "b0"), (3, "c0")], "k long, attr string"
+        ),
+        "k",
+        F.lit(t0),
+    )
+    # key 1 changes twice in the batch (t1 then t2): t2 must win; key 2
+    # changes once; key 3 untouched
+    changes = spark.createDataFrame(
+        [(1, "a1", t1), (1, "a2", t2), (2, "b1", t1)],
+        "k long, attr string, change_ts timestamp",
+    )
+    out = scd2_apply(dim, changes, key="k", change_ts_col="change_ts")
+    rows = {(r["k"], r["attr"]): r for r in out.collect()}
+    assert len(rows) == 5  # 3 originals + 2 new versions
+    assert rows[(1, "a0")]["valid_to"] == t2 and not rows[(1, "a0")]["is_current"]
+    assert rows[(1, "a2")]["valid_from"] == t2 and rows[(1, "a2")]["is_current"]
+    assert (1, "a1") not in rows  # intermediate change collapsed
+    assert rows[(2, "b0")]["valid_to"] == t1 and rows[(2, "b1")]["is_current"]
+    assert rows[(3, "c0")]["is_current"] and rows[(3, "c0")]["valid_to"] is None
+    # exactly one open version per key
+    cur = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur) and len(cur) == 3
+
+    # applying a second batch: history rows pass through byte-identical
+    t3 = dt.datetime(2023, 1, 1)
+    changes2 = spark.createDataFrame(
+        [(2, "b2", t3)], "k long, attr string, change_ts timestamp"
+    )
+    out2 = scd2_apply(out, changes2, key="k", change_ts_col="change_ts")
+    assert out2.count() == 6
+    closed = {
+        (r["k"], r["attr"]): r for r in out2.filter("NOT is_current").collect()
+    }
+    assert closed[(2, "b1")]["valid_to"] == t3
+    assert closed[(1, "a0")]["valid_to"] == t2  # untouched history

@@ -1283,6 +1283,55 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_customers",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey,
+           round(c.c_acctbal, 2) AS acctbal,
+           '1990-01-01 00:00:00' AS valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL
+                THEN '2000-06-15 00:00:00' END AS valid_to,
+           ch.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN changes ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, round(c_acctbal, 2), '2000-06-15 00:00:00', NULL, true
+    FROM changes
+    """,
+)
+def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension versioning (the guide's CDC/MERGE pattern emulated
+    with join + union — see operators/scd.py): bootstrap customer as a
+    versioned dim, apply a deterministic change batch (+100 acctbal for
+    every 7th key), return the full version history. One broadcast join
+    against the change batch; history rows pass through untouched."""
+    from .operators.scd import scd2_apply, scd2_init
+
+    c = load(spark, sf_dir, "customer")
+    dim = scd2_init(
+        c, "c_custkey", F.lit("1990-01-01 00:00:00").cast("timestamp")
+    )
+    changes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("2000-06-15 00:00:00").cast("timestamp").alias("change_ts"),
+    )
+    out = scd2_apply(dim, changes, key="c_custkey", change_ts_col="change_ts")
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
 SESSION_WINDOW_GAP_US = 12 * 3600 * 1_000_000
 
 
