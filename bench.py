@@ -42,6 +42,8 @@ HEADLINE = [
     "token_counts",
     "lang_id_pred",
     "embed_documents_stub",
+    "audio_chunks",
+    "rolling_fingerprints",
     "pricing_summary",
     "forecast_revenue",
     "shipping_priority",
@@ -65,6 +67,8 @@ HEADLINE = [
     "order_priority_pivot",
     "customer_order_gaps",
     "waiting_suppliers",
+    "session_window_stats",
+    "scd2_customers",
     "curation_pipeline",
 ]
 
@@ -84,7 +88,17 @@ def build_session() -> SparkSession:
         # measured query pays heap-growth stalls (driver.memory sets only
         # -Xmx; growing 1g→32g clobbered the first queries when measured)
         .config("spark.driver.memory", "32g")
-        .config("spark.driver.extraJavaOptions", "-Xms32g")
+        # -Xms pins the heap (see above). ReservedCodeCacheSize: ~80
+        # whole-stage-codegen classes × 2 passes + Catalyst/janino overflow
+        # the 240m default code cache late in the suite; when it fills the
+        # JVM silently disables the JIT and expression-heavy queries drop
+        # to the interpreter (measured: lang_id_pred 10.5s both passes in
+        # an affected session vs 0.6s healthy — sticky for the session's
+        # remainder, the signature of code-cache exhaustion, not GC).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms32g -XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         # keep stdout clean: progress bars would corrupt the JSON line
         .config("spark.ui.showConsoleProgress", "false")
@@ -137,8 +151,13 @@ def main() -> None:
     # so consecutive runs of the same query BOTH eat it (measured:
     # rollup_revenue 5.6s min-of-2-consecutive vs 1.4s isolated), while
     # minutes-apart samples almost never collide with the same event.
+    # Three passes: environment stalls (OS jitter, compaction, page-cache
+    # pressure) hit 1-2 arbitrary queries per pass for multiple seconds;
+    # with minutes between a query's samples the stalls are independent,
+    # so min-of-3 drops the odds of a query having ALL samples hit from
+    # occasional (seen with 2) to negligible.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, SF_DIR)
@@ -158,7 +177,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query suite wall time, best-of-2 per "
+                "metric": "headline query suite wall time, best-of-3 per "
                 "query (exact+ANN kNN, hybrid, dedup family, text "
                 "analysis, relational, events)",
                 "value": total,
