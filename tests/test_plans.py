@@ -181,3 +181,13 @@ def test_rolling_fingerprints_single_pass_no_shuffle(spark):
     assert "Python" not in tree and "MapInPandas" not in tree
     # column pruning: only doc_id+text read
     assert "ReadSchema: struct<doc_id:bigint,text:string" in plan
+
+
+def test_knn_batch_bigcorpus_reduces_before_exchange(spark):
+    plan = plan_of(registry.QUERIES["knn_batch_bigcorpus"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    # the partition-local reducer must sit BELOW the window's exchange:
+    # scan → score → MapInPandas → Exchange → window, never Exchange first
+    assert "MapInPandas" in tree and "Exchange" in tree
+    assert tree.index("Exchange") < tree.index("MapInPandas")  # top-down print
+    assert "Window" in tree

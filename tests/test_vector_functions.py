@@ -98,3 +98,33 @@ def test_python_norm_matches_catalyst_fold(spark):
     for x in v:
         acc += x * x
     assert _eval(spark, l2_norm(arr(v))) == pytest.approx(math.sqrt(acc), abs=0)
+
+
+def test_search_batch_local_topk_equals_window_plan(spark):
+    """The big-corpus plan (partition-local top-k before the exchange)
+    must return exactly the default window plan's results, including
+    tie-breaks, for every query."""
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark.index.vector_index import VectorIndex
+    from .conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").repartition(7)
+    queries = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .filter(F.col("vec_id") < 12)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    base = canon(idx.search_batch(queries, k=5))
+    local = canon(idx.search_batch(queries, k=5, local_topk=True))
+    assert base == local and len(base) == 12 * 5

@@ -163,16 +163,28 @@ class VectorIndex:
         query_vector_col: str = "query_vec",
         columns: Sequence[str] | None = None,
         score_col: str = "score",
+        local_topk: bool = False,
     ) -> DataFrame:
         """kNN join: per row of ``queries``, the top-k nearest corpus rows
         (SURVEY.md §2 E2 — generalizes the one-query REST API).
 
         The query table is broadcast (it is the small side by construction —
         queries are human/batch inputs, the corpus is the 100 TB side), so
-        the corpus is scanned once with no shuffle to produce scores. The
-        per-query top-k uses a window keyed by ``query_key``; the shuffle
-        input is corpus×queries scored rows, which AQE coalesces. For very
-        large query batches prefer chunking the query table.
+        the corpus is scanned once with no shuffle to produce scores.
+
+        Default plan: per-query top-k via a window on ``query_key`` — the
+        shuffle carries |corpus|×|queries| scored rows (AQE-coalesced).
+        Fine while that product is modest.
+
+        ``local_topk=True`` is the big-corpus plan: scoring stays in JVM
+        codegen, then a partition-LOCAL top-k (``mapInPandas`` over the
+        narrow (query, key, score) rows — no vectors cross into Python,
+        memory bounded at |queries|·k per worker) reduces each corpus
+        partition to ≤ |queries|·k candidates BEFORE any exchange. The
+        final window then shuffles |partitions|·|queries|·k rows instead
+        of |corpus|·|queries| — the difference between shuffling the
+        corpus and shuffling a result-sized set at 100 TB. Results are
+        identical (same deterministic tie-break; pytest-asserted).
         """
         q = F.broadcast(
             queries.select(
@@ -192,6 +204,10 @@ class VectorIndex:
             *cols,
             self._score(F.col("__qv"), query_norm=F.col("__qn")).alias(score_col),
         )
+        if local_topk:
+            scored = self._partition_local_topk(
+                scored, k, query_key, score_col
+            )
         w = Window.partitionBy(query_key).orderBy(
             F.desc(score_col), F.asc(self.key)
         )
@@ -200,6 +216,38 @@ class VectorIndex:
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
+
+    def _partition_local_topk(
+        self, scored: DataFrame, k: int, query_key: str, score_col: str
+    ) -> DataFrame:
+        """Reduce each partition to its local per-query top-k (same
+        (score desc, key asc) order as the global tie-break, so the local
+        survivors are exactly the rows that can appear in the global
+        top-k). Incremental fold over Arrow batches keeps worker memory
+        at O(|queries|·k) regardless of partition size."""
+        import pandas as pd
+
+        key = self.key
+
+        def fold(it):
+            acc: pd.DataFrame | None = None
+            for pdf in it:
+                both = pdf if acc is None else pd.concat((acc, pdf))
+                acc = (
+                    both.sort_values(
+                        [query_key, score_col, key],
+                        ascending=[True, False, True],
+                    )
+                    .groupby(query_key, sort=False)
+                    .head(k)
+                )
+            if acc is not None:
+                yield acc
+
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(scored.sparkSession)
+        return scored.mapInPandas(fold, scored.schema)
 
     # ------------------------------------------------------------------ #
     # integrity

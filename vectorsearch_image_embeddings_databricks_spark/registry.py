@@ -186,6 +186,38 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.round("score", 6).alias("score"))
 
 
+@register(
+    "knn_batch_bigcorpus",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {KNN_K}
+    """,
+)
+def knn_batch_bigcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB kNN-join plan: identical semantics to knn_batch (same
+    oracle) but with partition-local top-k reduction before the exchange —
+    the shuffle carries |partitions|·|queries|·k candidate rows, never
+    |corpus|·|queries| scored rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    res = idx.search_batch(queries, k=KNN_K, local_topk=True)
+    return res.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
 # --------------------------------------------------------------------- #
 # E11 — vector normalization / integrity checks
 # --------------------------------------------------------------------- #
