@@ -931,6 +931,65 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketed layout (§4 / the 100 TB
+    playbook's 'delete the shuffle entirely' row): both sides written
+    bucketed+sorted on the join key, joined with broadcast disabled so
+    bucketing is what saves the exchange — the plan is asserted
+    shuffle-free below the join at runtime, and the values hash-match the
+    plain-join oracle. At scale these are standing tables; writing them
+    per-call here is the fixture-sized analog of the one-time layout
+    job."""
+    from .plans.inspect import explain_str
+    from .sources.layout import write_bucketed
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, "bjr_orders", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(
+        li, "bjr_lineitem", "l_orderkey", 8, sort_col="l_orderkey"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bjr_orders").join(
+            spark.table("bjr_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        revenue = F.sum(
+            dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+        )
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_items"),
+            F.round(revenue.cast("double"), 2).alias("revenue"),
+        )
+        tree = explain_str(out).split("\n\n")[0]
+        # bucket-to-bucket SMJ: the only exchange is the aggregation's
+        assert "SortMergeJoin" in tree and tree.count("Exchange") <= 1, tree
+        # localCheckpoint, NOT cache: DROP TABLE below uncaches dependent
+        # plans, so a cached result would lazily recompute against the
+        # deleted files; the checkpoint severs the lineage entirely
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bjr_orders")
+        spark.sql("DROP TABLE IF EXISTS bjr_lineitem")
+
+
+@register(
     "audio_chunks",
     oracle="""
     SELECT doc_id, u.i AS chunk_idx,
