@@ -110,3 +110,58 @@ def test_text_format_round_trips_are_value_exact(spark, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, str(tmp_path / "csv"), "csv")
+
+
+def test_zorder_tightens_file_stats_on_both_columns(spark, tmp_path):
+    """Z-ordered files must each cover a small rectangle of the
+    (user_id, value) space — the property that lets parquet min/max
+    stats prune on EITHER column — while a single-column sort only
+    shrinks its own column's ranges. Data must round-trip unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectorsearch_image_embeddings_databricks_spark.sources.layout import write_zordered
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zdir = str(tmp_path / "z")
+    write_zordered(ev, zdir, ["user_id", "value"], num_files=8)
+    tdir = str(tmp_path / "t")  # baseline: sorted by event_id only
+    ev.repartitionByRange(8, "event_id").sortWithinPartitions(
+        "event_id"
+    ).write.parquet(tdir)
+
+    def mean_area(d):
+        stats = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                u, v = cols["user_id"], cols["value"]
+                stats.append(
+                    (u.max - u.min) * (v.max - v.min)
+                )
+        return sum(stats) / len(stats)
+
+    # global envelope area for normalization
+    lo_hi = ev.groupBy().agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    total = (lo_hi[1] - lo_hi[0]) * (lo_hi[3] - lo_hi[2])
+    z_frac = mean_area(zdir) / total
+    t_frac = mean_area(tdir) / total
+    # each z file covers a small rectangle; the event_id-sorted layout
+    # leaves both dims near-full-range per file
+    assert z_frac < 0.5 * t_frac, (z_frac, t_frac)
+    assert z_frac < 0.35, z_frac
+
+    # round-trip: same multiset of rows
+    got = sorted(map(tuple, spark.read.parquet(zdir).collect()))
+    want = sorted(map(tuple, ev.collect()))
+    assert got == want

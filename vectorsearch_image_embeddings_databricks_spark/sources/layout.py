@@ -14,6 +14,9 @@ At 100 TB these determine whether joins shuffle at all:
 - **Compaction**: streaming/incremental pipelines accrete small files;
   scan throughput collapses when file count ≫ cores. Compact to a target
   in-memory-estimated size.
+- **Z-order clustering**: multi-dimensional layout (Morton-interleaved
+  sort key) so min/max stats prune on ANY clustered column, not just a
+  single sort axis.
 """
 
 from __future__ import annotations
@@ -52,6 +55,82 @@ def write_partitioned(
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_value(
+    cols: list, mins: list, maxs: list, bits_per_col: int = 8
+):
+    """Z-order (Morton) key over numeric columns as a pure column
+    expression: each column is uniform-bucketed to ``bits_per_col`` bits
+    inside its [min, max] envelope, then the bits are interleaved —
+    round-robin across columns, most-significant first — so rows close in
+    EVERY dimension get close keys.
+
+    The driver supplies the envelopes (a cheap min/max aggregate, or
+    known domain bounds); bucketing is uniform-width, which is the
+    standard practical trade-off (rank-exact bucketing would need a
+    global sort of each column first).
+    """
+    from pyspark.sql import functions as F
+
+    bucketed = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        span = span if span > 0 else 1.0
+        b = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit(float(1 << bits_per_col))
+        ).cast("long")
+        bucketed.append(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(b, F.lit((1 << bits_per_col) - 1).cast("long")),
+            )
+        )
+    z = F.lit(0).cast("long")
+    # interleave: output bit (bit_i * n + col_j) takes col_j's bit_i.
+    # bitwiseOR/bitwiseAND, not |/& — on Columns those are BOOLEAN ops.
+    for bit in range(bits_per_col - 1, -1, -1):
+        for b in bucketed:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1).cast("long"))
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    num_files: int,
+    bits_per_col: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering (Delta's OPTIMIZE ZORDER, natively):
+    range-partition + sort by the interleaved key so every output file
+    covers a small hyper-rectangle of the column space — parquet min/max
+    stats then prune files/row-groups for predicates on ANY of the
+    z-columns, where single-column sorting only helps its one column.
+    One range shuffle; envelope discovery is a single min/max aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [row[f"lo_{i}"] for i in range(len(cols))]
+    maxs = [row[f"hi_{i}"] for i in range(len(cols))]
+    z = zorder_value(cols, mins, maxs, bits_per_col)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def compact_parquet(
