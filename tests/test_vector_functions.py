@@ -128,3 +128,31 @@ def test_search_batch_local_topk_equals_window_plan(spark):
     base = canon(idx.search_batch(queries, k=5))
     local = canon(idx.search_batch(queries, k=5, local_topk=True))
     assert base == local and len(base) == 12 * 5
+
+
+def test_to_data_array_matches_reference_consumer_shape(spark):
+    """Code written against the notebook's positional dict unpack
+    (path = row[1], score last) must work unchanged on the adapter."""
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark.index.vector_index import (
+        VectorIndex,
+        to_data_array,
+    )
+    from .conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").withColumn(
+        "filepath", F.concat(F.lit("/imgs/"), F.col("vec_id"))
+    )
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    q = emb.limit(1).collect()[0]["embedding"]
+    res = to_data_array(idx.search(q, k=5, columns=["filepath"]))
+    rows = res["result"]["data_array"]
+    assert res["result"]["row_count"] == 5 and len(rows) == 5
+    # positional contract: [vec_id, filepath, score] — NMR:416's path[1]
+    assert [c["name"] for c in res["manifest"]["columns"]] == [
+        "vec_id", "filepath", "score",
+    ]
+    assert all(r[1].startswith("/imgs/") for r in rows)
+    assert all(isinstance(r[-1], float) for r in rows)
+    # ranked by score desc, self-match first with cos≈1
+    assert rows[0][-1] >= rows[-1][-1] and abs(rows[0][-1] - 1.0) < 1e-6

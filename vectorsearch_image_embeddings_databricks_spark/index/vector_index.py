@@ -257,3 +257,24 @@ class VectorIndex:
         """Rows violating the index invariants: wrong dimension or null
         components (declarative version of NMR:322's runtime dim probe)."""
         return self.df.filter(~dim_check(self.vector_col, self.dim))
+
+
+# --------------------------------------------------------------------- #
+# result-shape fidelity
+# --------------------------------------------------------------------- #
+
+def to_data_array(df: DataFrame, score_col: str = "score") -> dict:
+    """Adapter to the reference's ``similarity_search`` response shape:
+    ``{'manifest': {'columns': [...]}, 'result': {'data_array': [[...]],
+    'row_count': N}}`` with the score LAST in each positional row —
+    exactly what the notebook's consumers index into (``path[1]`` at
+    NMR:416 and NMR:452). Collects to the driver by design: feed it the
+    final k-row search result, never a corpus DataFrame. Typed DataFrames
+    remain the engine's primary surface (SURVEY §1.1); this exists so
+    code written against the reference's dict shape ports unchanged."""
+    cols = [c for c in df.columns if c != score_col] + [score_col]
+    rows = [[r[c] for c in cols] for r in df.select(*cols).collect()]
+    return {
+        "manifest": {"columns": [{"name": c} for c in cols]},
+        "result": {"data_array": rows, "row_count": len(rows)},
+    }
