@@ -125,3 +125,38 @@ def test_engine_query_type_routing(spark, tmp_path):
 
     with pytest.raises(ValueError):
         eng.search_images_by_text("x", query_type="nope")
+
+
+def test_hybrid_search_one_call_matches_composition(spark):
+    """The one-call hybrid entry point must reproduce the registry's
+    explicit keyword+vector+RRF composition when given the same inputs
+    and an unbounded candidate pool."""
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from vectorsearch_image_embeddings_databricks_spark.operators import hybrid
+    from vectorsearch_image_embeddings_databricks_spark.index.vector_index import VectorIndex
+    from .conftest import SF_SMALL
+
+    docs = registry.load_docs(spark, SF_SMALL)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == registry.KNN_QUERY_ID).collect()[0][
+        "embedding"
+    ]
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    got = [
+        (r["id"], round(r["rrf_score"], 6))
+        for r in hybrid.hybrid_search(
+            docs,
+            idx,
+            registry.HYBRID_TERMS,
+            qvec,
+            k=registry.HYBRID_TOPK,
+            scorer=hybrid.term_overlap_scores,
+            candidates=emb.count(),
+        ).collect()
+    ]
+    want = [
+        (r["id"], round(r["rrf_score"], 6))
+        for r in registry.QUERIES["hybrid_rrf"](spark, SF_SMALL).collect()
+    ]
+    assert got == want and len(got) == registry.HYBRID_TOPK

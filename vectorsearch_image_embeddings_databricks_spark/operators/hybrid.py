@@ -151,3 +151,41 @@ def bm25_scores(
         )
         score = score + idf * tf * F.lit(k1 + 1.0) / norm
     return scored.select("id", score.alias("score"))
+
+
+def hybrid_search(
+    docs: DataFrame,
+    index,
+    query_terms: list[str],
+    query_vector,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scorer=None,
+    candidates: int | None = None,
+    k0: int = RRF_K,
+):
+    """One-call hybrid retrieval — the API shape of the reference's
+    ``similarity_search(query_text=…, query_vector=…, query_type="hybrid")``
+    (NMR:386–387), composed from the pieces above: keyword scores over
+    ``docs`` (default TF-IDF), exact vector ranking from ``index``
+    (a ``VectorIndex``), RRF fusion, top-k.
+
+    ``candidates`` bounds the vector side's ranked pool (default 20·k —
+    RRF only moves items near the top, so a bounded pool changes nothing
+    for the final k in practice while keeping the rank window tiny at
+    corpus scale). Returns (id, rrf_score) ranked desc."""
+    scorer = scorer or tfidf_scores
+    # scorers emit the doc id either under id_col or as literal "id";
+    # rename before rank_by so its window tie-break isn't a lateral
+    # reference to its own select alias
+    kw = scorer(docs, id_col, text_col, list(query_terms))
+    kw = kw.withColumnRenamed(
+        id_col if id_col in kw.columns else "id", "__kw_id"
+    )
+    kw_ranked = rank_by(kw, "__kw_id", "kw_score")
+    pool = candidates if candidates is not None else max(20 * k, 100)
+    vec_scored = index.search(list(query_vector), k=pool)
+    vec_ranked = rank_by(vec_scored, index.key, "score")
+    fused = rrf_fuse(kw_ranked, vec_ranked, k0=k0)
+    return fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(k)
