@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1371,6 +1371,49 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id").agg(
         (F.max("session_id") + F.lit(1)).cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "moving_avg_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_no,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT day, revenue,
+           round(avg(revenue) OVER (
+               ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS ma7
+    FROM daily
+    """,
+)
+def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue: a RANGE window frame over
+    the day number — unlike a ROWS frame, gaps in the calendar shrink
+    the averaging set (value-based frame semantics; §2.2 windows row).
+    The groupBy shrinks input to |days| rows before the window, so the
+    unpartitioned frame scans a dimension-sized set."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("day_no"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 6).alias("ma7"),
     )
 
 
