@@ -13,7 +13,12 @@ from ..functions.text import lang_id, quality_score, token_count, tokenize
 
 
 def corpus_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
-    """Per-group document stats: doc count, char/token totals and averages."""
+    """Per-group document stats: doc count, char/token totals and averages.
+
+    Averages are exact micro-scaled integers ((sum * 1e6) div n, i.e. the
+    mean truncated at 6 decimal places): integer division is associative-
+    safe and engine-independent, where float avg() carries an ulp hazard
+    across partial-aggregation orders and engines."""
     return (
         df.withColumn("__toks", token_count(text_col))
         .groupBy(*group_cols)
@@ -21,8 +26,18 @@ def corpus_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFra
             F.count("*").alias("n_docs"),
             F.sum(F.length(text_col)).alias("total_chars"),
             F.sum("__toks").alias("total_tokens"),
-            F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
-            F.round(F.avg("__toks"), 6).alias("avg_tokens"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.expr("(total_chars * 1000000) div n_docs").alias(
+                "avg_chars_micro"
+            ),
+            F.expr("(total_tokens * 1000000) div n_docs").alias(
+                "avg_tokens_micro"
+            ),
         )
     )
 

@@ -226,7 +226,7 @@ def knn_batch_bigcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_norms",
     oracle="""
     SELECT vec_id,
-           len(embedding) AS dim,
+           CAST(len(embedding) AS INTEGER) AS dim,
            round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2,
            round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1
     FROM embeddings
@@ -421,9 +421,9 @@ def rolling_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts",
     oracle=f"""
     SELECT doc_id,
-           len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
-           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens,
-           length(text) AS n_chars_check
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_check
     FROM documents
     """,
 )
@@ -492,16 +492,25 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_stats",
     oracle="""
-    SELECT lang, source,
-           count(*) AS n_docs,
-           sum(length(text)) AS total_chars,
-           sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS total_tokens,
-           round(avg(length(text)), 6) AS avg_chars,
-           round(avg(len(list_filter(string_split(text,' '), t -> t <> ''))), 6) AS avg_tokens
-    FROM documents GROUP BY lang, source
+    WITH sums AS (
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(len(list_filter(string_split(text,' '), t -> t <> '')))
+                    AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_chars, total_tokens,
+           CAST((total_chars * 1000000) // n_docs AS BIGINT) AS avg_chars_micro,
+           CAST((total_tokens * 1000000) // n_docs AS BIGINT) AS avg_tokens_micro
+    FROM sums
     """,
 )
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-proof stats: integer totals stay BIGINT on both
+    sides (DuckDB sum() over ints is HUGEINT → cast in the oracle), and
+    averages are exact micro-scaled integers ((sum*1e6) div n) instead of
+    rounded doubles, so no float ulp/rounding policy can diverge."""
     docs = load(spark, sf_dir, "documents")
     return textstats.corpus_stats(docs, "text", ["lang", "source"])
 
@@ -515,7 +524,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (SELECT lang, term, count(*) AS cnt FROM terms GROUP BY lang, term)
     SELECT lang, term, cnt, rank
-    FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank FROM c)
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS INTEGER) AS rank FROM c)
     WHERE rank <= 5
     """,
 )
@@ -791,7 +800,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
                row_number() OVER (PARTITION BY c.c_custkey
-                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey)::INTEGER AS rk
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     )
     WHERE rk <= 3
@@ -849,19 +858,29 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_json",
-    oracle="""
+    oracle=r"""
+    WITH k AS (
+        SELECT event_type,
+               CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                    AS BIGINT) AS k
+        FROM events
+    )
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM k
     GROUP BY event_type
     """,
 )
 def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: get_json_object pushdown into an
-    integer aggregate (exact int sums — no float policy needed)."""
+    integer aggregate (exact int sums — no float policy needed).
+
+    Oracle hardening: the DuckDB side extracts k with a regexp (no JSON
+    extension semantics in play) and casts its integer sum from HUGEINT
+    back to BIGINT so both engines emit identical int64 columns."""
     ev = load_events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
@@ -874,12 +893,18 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_variant",
-    oracle="""
+    oracle=r"""
+    WITH k AS (
+        SELECT event_type,
+               CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                    AS BIGINT) AS k
+        FROM events
+    )
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
-    FROM events
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           count(DISTINCT k) AS n_distinct_k
+    FROM k
     GROUP BY event_type
     """,
 )
@@ -910,7 +935,7 @@ def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_meta",
     oracle="""
     SELECT doc_id,
-           length(text) AS n_bytes,
+           CAST(length(text) AS INTEGER) AS n_bytes,
            md5(text) AS content_md5,
            hex(encode(substr(text, 1, 8))) AS magic_hex
     FROM documents
@@ -1300,6 +1325,7 @@ def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 SESSION_GAP_NANOS = 30 * 60 * 1_000_000_000  # 30-minute inactivity gap
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # same gap in µs (oracle-safe unit)
 
 
 @register(
@@ -1350,24 +1376,31 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH flagged AS (
         SELECT user_id,
-               CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts
-                    ) > {SESSION_GAP_NANOS} THEN 1 ELSE 0 END AS new_sess
+                    ) > {SESSION_GAP_MICROS} THEN 1 ELSE 0 END AS new_sess
         FROM events
     )
     SELECT user_id,
-           1 + sum(new_sess) AS n_sessions,
+           CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions,
            count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
 )
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + cumulative-sum windows, one shuffle
-    on user_id) rolled up per user. n_sessions is max(session_id)+1."""
+    on user_id) rolled up per user. n_sessions is max(session_id)+1.
+
+    Gap math runs in MICROseconds on both sides (``ts div 1000`` here,
+    ``epoch_us`` in the oracle) so a nanos-encoded fixture cannot put the
+    two engines on different sides of the gap boundary; the oracle's
+    HUGEINT sum is cast back to BIGINT."""
     from .operators.temporal import sessionize
 
-    ev = load_events(spark, sf_dir).select("user_id", "ts")
-    sess = sessionize(ev, key="user_id", ts_col="ts", gap=SESSION_GAP_NANOS)
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    sess = sessionize(ev, key="user_id", ts_col="ts_us", gap=SESSION_GAP_MICROS)
     return sess.groupBy("user_id").agg(
         (F.max("session_id") + F.lit(1)).cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
@@ -1673,7 +1706,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS quartile
         FROM orders
     )
-    SELECT quartile,
+    SELECT CAST(quartile AS INTEGER) AS quartile,
            count(*) AS n_orders,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
                AS total_price
@@ -1893,26 +1926,27 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_documents",
     oracle="""
     SELECT 'doc_id' AS col_name, count(*) AS n_rows,
-           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
            count(DISTINCT doc_id) AS n_distinct,
            CAST(min(doc_id) AS VARCHAR) AS min_value,
            CAST(max(doc_id) AS VARCHAR) AS max_value
     FROM documents
     UNION ALL
     SELECT 'lang', count(*),
-           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT lang),
            CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
     FROM documents
     UNION ALL
     SELECT 'source', count(*),
-           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT source),
            CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
     FROM documents
     UNION ALL
     SELECT 'n_chars', count(*),
-           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT n_chars),
            CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
     FROM documents
@@ -2271,7 +2305,7 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment,
            count(*) AS n_gaps,
            round(avg(g.gap_days), 6) AS avg_gap_days,
-           max(g.gap_days) AS max_gap_days
+           CAST(max(g.gap_days) AS INTEGER) AS max_gap_days
     FROM (
         SELECT o_custkey,
                date_diff('day',
@@ -2529,7 +2563,7 @@ def stratified_sample_md5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_vecs
     FROM (SELECT label,
                  unnest(embedding::DOUBLE[]) AS e,
-                 generate_subscripts(embedding, 1) - 1 AS pos
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
           FROM embeddings)
     GROUP BY label, pos
     """,
@@ -2569,7 +2603,7 @@ EDIT_PREFIX = 80
     oracle=f"""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
-                       substr(b.text, 1, {EDIT_PREFIX})) AS edist
+                       substr(b.text, 1, {EDIT_PREFIX}))::INTEGER AS edist
     FROM documents a JOIN documents b
       ON a.lang = b.lang
      AND a.n_chars // 32 = b.n_chars // 32
@@ -2639,8 +2673,8 @@ FUNNEL_WINDOW_NS = 3_600_000_000_000  # 1 hour
     SELECT substr(CAST(v.first_view AS VARCHAR), 1, 10) AS day,
            count(*) AS n_view_users,
            count(c.user_id) AS n_converted,
-           coalesce(sum((epoch_us(c.first_click) - epoch_us(v.first_view))
-                        // 1000000), 0) AS total_delay_s
+           CAST(coalesce(sum((epoch_us(c.first_click) - epoch_us(v.first_view))
+                        // 1000000), 0) AS BIGINT) AS total_delay_s
     FROM v LEFT JOIN c ON v.user_id = c.user_id
     GROUP BY 1
     """,
@@ -2818,7 +2852,7 @@ Q7_NATION_B = "NATION_2"
     oracle=f"""
     WITH rev AS (
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-               year(l.l_shipdate) AS ship_year,
+               CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
                CAST(l.l_extendedprice AS DECIMAL(18,4))
                  * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume
         FROM lineitem l
@@ -2893,7 +2927,7 @@ Q8_NATION = "NATION_3"
     "market_share",
     oracle=f"""
     WITH base AS (
-        SELECT year(o.o_orderdate) AS o_year,
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
                CAST(l.l_extendedprice AS DECIMAL(18,4))
                  * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume,
                sn.n_name AS supp_nation
@@ -3245,7 +3279,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT (n_chars // 100) * 100 AS bucket_lo,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars
     FROM documents
@@ -3379,7 +3413,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "profit_by_nation_year",
     oracle="""
-    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
            round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
                           * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
                AS profit
@@ -3553,10 +3587,10 @@ Q12_SHIP_TO = "1997-01-01"
     "linestatus_priority_counts",
     oracle=f"""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '{Q12_SHIP_FROM} 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '{Q12_SHIP_TO} 00:00:00'
@@ -3718,7 +3752,7 @@ CURATION_SAMPLE_HEX = "80"  # md5(doc_id) < 0x80/0x100 ≈ 50%
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(toks) AS sum_tokens,
+           CAST(sum(toks) AS BIGINT) AS sum_tokens,
            round(avg(quality), 6) AS avg_quality
     FROM sampled
     GROUP BY lang
