@@ -130,7 +130,7 @@ def test_engine_query_type_routing(spark, tmp_path):
 def test_hybrid_search_one_call_matches_composition(spark):
     """The one-call hybrid entry point must reproduce the registry's
     explicit keyword+vector+RRF composition when given the same inputs
-    and an unbounded candidate pool."""
+    and the same (bounded) candidate pool."""
     from pyspark.sql import functions as F
     from vectorsearch_image_embeddings_databricks_spark import registry
     from vectorsearch_image_embeddings_databricks_spark.operators import hybrid
@@ -152,7 +152,7 @@ def test_hybrid_search_one_call_matches_composition(spark):
             qvec,
             k=registry.HYBRID_TOPK,
             scorer=hybrid.term_overlap_scores,
-            candidates=emb.count(),
+            candidates=registry.HYBRID_POOL,
         ).collect()
     ]
     want = [
@@ -160,3 +160,41 @@ def test_hybrid_search_one_call_matches_composition(spark):
         for r in registry.QUERIES["hybrid_rrf"](spark, SF_SMALL).collect()
     ]
     assert got == want and len(got) == registry.HYBRID_TOPK
+
+
+def test_hybrid_search_default_pool_agrees_with_full_pool(spark):
+    """The default bounded pool (20·k) must return the same final top-k
+    ids as the unbounded composition on the fixture corpus — the RRF tail
+    contribution (≤ 1/(60+pool)) is too small to reorder the head. This
+    pins the default-pool path itself, not just candidates=|corpus|."""
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from vectorsearch_image_embeddings_databricks_spark.operators import hybrid
+    from vectorsearch_image_embeddings_databricks_spark.index.vector_index import VectorIndex
+    from .conftest import SF_SMALL
+
+    docs = registry.load_docs(spark, SF_SMALL)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == registry.KNN_QUERY_ID).collect()[0][
+        "embedding"
+    ]
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+
+    def run(candidates):
+        return [
+            r["id"]
+            for r in hybrid.hybrid_search(
+                docs,
+                idx,
+                registry.HYBRID_TERMS,
+                qvec,
+                k=registry.HYBRID_TOPK,
+                scorer=hybrid.term_overlap_scores,
+                candidates=candidates,
+            ).collect()
+        ]
+
+    n = emb.count()
+    default_pool = max(20 * registry.HYBRID_TOPK, 100)
+    assert default_pool < n  # the bound is actually exercised
+    assert run(None) == run(n)

@@ -191,3 +191,20 @@ def test_knn_batch_bigcorpus_reduces_before_exchange(spark):
     assert "MapInPandas" in tree and "Exchange" in tree
     assert tree.index("Exchange") < tree.index("MapInPandas")  # top-down print
     assert "Window" in tree
+
+
+def test_hybrid_rrf_windows_only_over_bounded_pools(spark):
+    """The RRF rank windows must never see corpus-sized input: each
+    unpartitioned Window's child has to be a TakeOrderedAndProject (the
+    distributed bounded-pool top-N), and no eager count() job sets k —
+    the scale-killer shape (global row_number over the full corpus) is
+    plan-asserted away."""
+    plan = plan_of(registry.QUERIES["hybrid_rrf"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    lines = tree.splitlines()
+    window_lines = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert len(window_lines) == 2  # keyword rank + vector rank
+    for i in window_lines:
+        assert "TakeOrderedAndProject" in lines[i + 1]  # bounded input
+    # final fused top-k is also a TakeOrderedAndProject, not a full sort
+    assert sum("TakeOrderedAndProject" in ln for ln in lines) == 3

@@ -171,11 +171,15 @@ def hybrid_search(
     ``docs`` (default TF-IDF), exact vector ranking from ``index``
     (a ``VectorIndex``), RRF fusion, top-k.
 
-    ``candidates`` bounds the vector side's ranked pool (default 20·k —
-    RRF only moves items near the top, so a bounded pool changes nothing
-    for the final k in practice while keeping the rank window tiny at
-    corpus scale). Returns (id, rrf_score) ranked desc."""
+    ``candidates`` bounds BOTH ranked pools (default 20·k — RRF only
+    moves items near the top, so a bounded pool changes nothing for the
+    final k in practice while keeping each rank window tiny at corpus
+    scale). The keyword side is reduced with ``orderBy().limit(pool)``
+    (a distributed TakeOrderedAndProject) before its rank window, so no
+    unpartitioned window ever sees corpus-sized input. Returns
+    (id, rrf_score) ranked desc."""
     scorer = scorer or tfidf_scores
+    pool = candidates if candidates is not None else max(20 * k, 100)
     # scorers emit the doc id either under id_col or as literal "id";
     # rename before rank_by so its window tie-break isn't a lateral
     # reference to its own select alias
@@ -183,8 +187,9 @@ def hybrid_search(
     kw = kw.withColumnRenamed(
         id_col if id_col in kw.columns else "id", "__kw_id"
     )
-    kw_ranked = rank_by(kw, "__kw_id", "kw_score")
-    pool = candidates if candidates is not None else max(20 * k, 100)
+    kw_score_col = "kw_score" if "kw_score" in kw.columns else "score"
+    kw_pool = kw.orderBy(F.desc(kw_score_col), F.asc("__kw_id")).limit(pool)
+    kw_ranked = rank_by(kw_pool, "__kw_id", kw_score_col)
     vec_scored = index.search(list(query_vector), k=pool)
     vec_ranked = rank_by(vec_scored, index.key, "score")
     fused = rrf_fuse(kw_ranked, vec_ranked, k0=k0)

@@ -1055,6 +1055,7 @@ def audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HYBRID_TERMS = ["table", "join", "merge"]
 HYBRID_TOPK = 10
+HYBRID_POOL = 20 * HYBRID_TOPK  # bounded candidate pool per ranking side
 
 
 @register(
@@ -1070,14 +1071,20 @@ HYBRID_TOPK = 10
         FROM documents
     ),
     kwr AS (
-        SELECT id, row_number() OVER (ORDER BY kw_score DESC, id) AS rank
-        FROM kw WHERE kw_score > 0
+        SELECT id, rank FROM (
+            SELECT id, row_number() OVER (ORDER BY kw_score DESC, id) AS rank
+            FROM kw WHERE kw_score > 0
+        ) WHERE rank <= {HYBRID_POOL}
     ),
     vs AS (
         SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
         FROM embeddings e, q
     ),
-    vsr AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank FROM vs),
+    vsr AS (
+        SELECT id, rank FROM (
+            SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank FROM vs
+        ) WHERE rank <= {HYBRID_POOL}
+    ),
     f AS (
         SELECT coalesce(a.id, b.id) AS id,
                coalesce(1.0/(60 + a.rank), 0) + coalesce(1.0/(60 + b.rank), 0) AS rrf
@@ -1091,16 +1098,24 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (the reference's commented query_type='hybrid',
     NMR:386–387): keyword rank (distinct-term overlap) ⊕ vector rank
     (cosine), fused by Reciprocal Rank Fusion. Docs and embeddings join
-    positionally (doc_id ≡ vec_id in the fixtures)."""
+    positionally (doc_id ≡ vec_id in the fixtures).
+
+    Scale shape: BOTH rank pools are bounded to 20·k rows via
+    ``orderBy().limit(pool)`` — a distributed TakeOrderedAndProject —
+    *before* the unpartitioned rank window ever runs, so the single-task
+    window only sees ≤200 rows regardless of corpus size (no eager
+    count() job, no corpus-wide global sort; the oracle applies the same
+    bounded-pool semantics)."""
     docs = load_docs(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     qvec = (
         emb.filter(F.col("vec_id") == KNN_QUERY_ID).select("embedding").collect()[0][0]
     )
     kw = hybrid.term_overlap_scores(docs, "doc_id", "text", HYBRID_TERMS)
-    kw_ranked = hybrid.rank_by(kw, "doc_id", "kw_score")
+    kw_pool = kw.orderBy(F.desc("kw_score"), F.asc("doc_id")).limit(HYBRID_POOL)
+    kw_ranked = hybrid.rank_by(kw_pool, "doc_id", "kw_score")
     idx = VectorIndex(emb, key="vec_id", vector_col="embedding", dim=len(qvec))
-    vec_scored = idx.search(qvec, k=emb.count())
+    vec_scored = idx.search(qvec, k=HYBRID_POOL)
     vec_ranked = hybrid.rank_by(vec_scored, "vec_id", "score")
     fused = hybrid.rrf_fuse(kw_ranked, vec_ranked)
     return (
