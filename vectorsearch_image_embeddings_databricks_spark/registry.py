@@ -1200,10 +1200,50 @@ def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
-@register("minhash_near_dedup")
+@register(
+    "minhash_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT e.u, reach.v FROM e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS id, min(v) AS rep_id
+    FROM reach GROUP BY u HAVING min(v) < u
+    """,
+)
 def minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: MinHash-LSH near-dedup with connected-component representatives
-    (pytest asserts it recovers exactly the exact-Jaccard pairs here)."""
+    (pytest asserts it recovers exactly the exact-Jaccard pairs here).
+
+    Oracle: DuckDB recursive-CTE transitive closure over the exact
+    trigram-shingle Jaccard pair set (same shingle SQL as
+    near_dup_pairs_jaccard), rep = component min. LSH recall is 1.0 at
+    fixture scale with 32 hashes / 16 bands (pytest-pinned), so the
+    banded path must coincide with the exact closure — the driver now
+    hash-checks the full (id, rep_id) labeling."""
     docs = load_docs(spark, sf_dir)
     labels = dedup.near_dedup_minhash(
         docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
@@ -1219,11 +1259,19 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
 
 
-@register("incremental_refresh")
+@register(
+    "incremental_refresh",
+    oracle="""
+    SELECT vec_id, label FROM embeddings
+    """,
+)
 def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O15/E10: TRIGGERED-style availableNow refresh over a two-slice
-    change log; returns the final index (equivalence with full rebuild is
-    asserted inside, and independently in pytest)."""
+    change log; returns the final index. The refreshed index's final
+    state must equal the source table itself (the reference's delta-sync
+    contract, NMR:278/318) — exactly SQL-expressible, so the driver now
+    hash-checks it instead of a rows-only count. Equivalence with full
+    rebuild is additionally asserted inside and in pytest."""
     import tempfile
 
     from .streaming import IncrementalIndexer
@@ -1248,15 +1296,31 @@ def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final
 
 
-@register("continuous_rollup")
+@register(
+    "continuous_rollup",
+    oracle="""
+    SELECT substr(CAST(ts AS VARCHAR), 1, 10) AS day,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: per-day per-type event
     counts/value-sums maintained incrementally (partials per batch,
-    merge-on-read, compaction) over a two-slice append log; equivalence
-    with the one-shot batch aggregate is asserted inside and in pytest.
-    Rows-only driver check — the maintenance protocol itself is the
-    operator; the resulting VALUES are covered by the oracle-checked
-    events_daily family."""
+    merge-on-read, compaction) over a two-slice append log.
+
+    The maintained rollup's final state ≡ the one-shot daily aggregate —
+    the continuous-aggregate contract — and that final state IS
+    SQL-expressible, so the driver hash-checks it: decimal partial sums
+    are exact (associative), making incremental == one-shot bitwise, and
+    the day key is derived tz-free from the window start's raw epoch
+    (unix_micros — no session-timezone formatting step). Spark's time
+    windows align to the UTC epoch, so `substr(ts, 1, 10)` on the naive
+    stored timestamp is the same bucketing."""
     import tempfile
 
     from .streaming import ContinuousRollup
@@ -1286,26 +1350,56 @@ def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup.refresh(spark)
         rollup.compact(spark)
         assert rollup.verify_equivalence(spark)
+        day = F.date_from_unix_date(
+            F.expr("unix_micros(window_start) div 86400000000").cast("int")
+        ).cast("string")
         final = rollup.current(spark).select(
-            "window_start",
+            day.alias("day"),
             "event_type",
             "n_events",
-            F.round("sum_value", 4).alias("sum_value"),
-        )
+            F.col("sum_value").cast("double").alias("sum_value"),
+        ).withColumn("sum_value", F.round("sum_value", 4))
         final.cache().count()  # materialize before the tmpdir vanishes
         return final
 
 
-@register("image_pipeline")
+@register(
+    "image_pipeline",
+    oracle="""
+    WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    f AS (
+        SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.jpg'
+                   AS filename,
+               4 + octet_length(encode(text)) AS n_bytes
+        FROM sel
+    )
+    SELECT CAST(row_number() OVER (ORDER BY filename) - 1 AS INTEGER)
+               AS image_id,
+           filename,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(32 AS INTEGER) AS dim,
+           CAST(1.0 AS DOUBLE) AS norm
+    FROM f
+    """,
+)
 def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5–O12 end to end: binary ingest (glob-pruned scan, path cleanup) →
     distributed stub embedding → index → self-query. The fixture dir is
-    derived deterministically from the documents table."""
+    derived deterministically from the documents table.
+
+    Everything deterministic about the pipeline is oracle-checked: ids
+    (path-ordered row_number), filenames, payload byte counts from the
+    binaryFile scan, embedding dim, and unit L2 norm (NMR:209 semantics).
+    The self-query step runs inside and asserts the exact-search identity
+    property (querying with image 0's own vector returns image 0 at
+    rank 1, cos=1) — its scores are stub-specific, so they stay out of
+    the oracle-compared output."""
     import os
     import tempfile
 
     from .embed import StubImageEncoder, embed_column
     from .embed.udf import assign_ids
+    from .functions.vector import l2_norm
     from .sources import ingest_binary_dir
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
@@ -1324,12 +1418,19 @@ def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = assign_ids(emb, "image_id", order_by="path").select(
             "image_id",
             F.element_at(F.split("path", "/"), -1).alias("filename"),
+            F.col("length").alias("n_bytes"),
             "embedding",
         )
         idx = VectorIndex(emb, key="image_id", vector_col="embedding", dim=32)
         target = emb.filter(F.col("image_id") == 0).collect()[0]["embedding"]
-        res = idx.search(target, k=5, columns=["filename"]).select(
-            "image_id", "filename", F.round("score", 6).alias("score")
+        top = idx.search(target, k=1).collect()[0]
+        assert top["image_id"] == 0 and round(top["score"], 6) == 1.0
+        res = emb.select(
+            "image_id",
+            "filename",
+            "n_bytes",
+            F.size("embedding").alias("dim"),
+            F.round(l2_norm("embedding"), 4).cast("double").alias("norm"),
         )
         res.cache().count()
         return res
