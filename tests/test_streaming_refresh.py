@@ -105,3 +105,50 @@ def test_continuous_rollup_incremental_equals_batch(spark, tmp_path):
     rollup.compact(spark)
     assert sorted(map(tuple, rollup.current(spark).collect())) == before
     assert rollup.verify_equivalence(spark)
+
+
+def test_continuous_rollup_compact_crash_recovery(spark, tmp_path):
+    """compact() must never leave the rollup observably empty. The swap
+    cannot be one atomic rename (POSIX os.replace refuses a non-empty
+    target), so the contract is: the data always exists in at least one
+    _COMPLETE tree and every entry point finishes an interrupted swap.
+    Simulates a crash on each side of the marker."""
+    import os
+    import shutil
+
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from vectorsearch_image_embeddings_databricks_spark.streaming import ContinuousRollup
+    from vectorsearch_image_embeddings_databricks_spark.streaming.windows import with_event_time
+    from .conftest import SF_SMALL
+
+    ev = with_event_time(registry.load_events(spark, SF_SMALL)).select(
+        "event_time", "event_type", "value"
+    )
+    src = str(tmp_path / "log")
+    rollup = ContinuousRollup(
+        source_dir=src,
+        rollup_dir=str(tmp_path / "rollup"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=ev.schema,
+    )
+    ev.coalesce(1).write.mode("append").parquet(src)
+    rollup.refresh(spark)
+    before = sorted(map(tuple, rollup.current(spark).collect()))
+
+    # crash AFTER the staging tree is complete but BEFORE the swap:
+    # partials gone, staging holds the only copy (marked _COMPLETE)
+    partials = rollup._partials_dir()
+    staging = rollup._staging_dir()
+    os.replace(partials, staging)
+    open(os.path.join(staging, "_COMPLETE"), "w").close()
+    assert sorted(map(tuple, rollup.current(spark).collect())) == before
+    assert not os.path.exists(staging)  # swap was finished, not re-read
+
+    # crash DURING the staging write (no marker): old partials stay
+    # authoritative and the stale staging tree is discarded by compact()
+    os.makedirs(staging)
+    open(os.path.join(staging, "junk"), "w").close()
+    assert sorted(map(tuple, rollup.current(spark).collect())) == before
+    rollup.compact(spark)
+    assert sorted(map(tuple, rollup.current(spark).collect())) == before
+    assert rollup.verify_equivalence(spark)

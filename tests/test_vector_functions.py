@@ -156,3 +156,53 @@ def test_to_data_array_matches_reference_consumer_shape(spark):
     assert all(isinstance(r[-1], float) for r in rows)
     # ranked by score desc, self-match first with cos≈1
     assert rows[0][-1] >= rows[-1][-1] and abs(rows[0][-1] - 1.0) < 1e-6
+
+
+def test_search_batch_local_topk_payload_columns_stay_out_of_python(spark):
+    """Requesting payload columns (even the vector itself) with
+    local_topk=True must (a) return the same rows/values as the default
+    window plan, and (b) keep the payload out of the pandas fold — the
+    MapInPandas stage operates on exactly (query_id, key, score), with
+    the payload re-attached afterward by a broadcast join."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark.index.vector_index import VectorIndex
+    from .conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").repartition(7)
+    queries = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["label"], len(r["embedding"]),
+             round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    cols = ["label", "embedding"]
+    base = canon(idx.search_batch(queries, k=3, columns=cols))
+    local_df = idx.search_batch(queries, k=3, columns=cols, local_topk=True)
+    assert base == canon(local_df) and len(base) == 8 * 3
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        local_df.explain("formatted")
+    plan = buf.getvalue()
+    # the MapInPandas detail section lists its output attributes: the
+    # payload must not be among them
+    map_section = [
+        s for s in plan.split("\n\n") if s.startswith("(") and "MapInPandas" in s
+    ]
+    assert map_section and "embedding" not in map_section[0]
+    assert "label" not in map_section[0]
+    assert "BroadcastHashJoin" in plan  # payload re-attach probes the corpus

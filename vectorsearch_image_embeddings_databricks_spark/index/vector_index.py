@@ -177,14 +177,18 @@ class VectorIndex:
         Fine while that product is modest.
 
         ``local_topk=True`` is the big-corpus plan: scoring stays in JVM
-        codegen, then a partition-LOCAL top-k (``mapInPandas`` over the
-        narrow (query, key, score) rows — no vectors cross into Python,
-        memory bounded at |queries|·k per worker) reduces each corpus
-        partition to ≤ |queries|·k candidates BEFORE any exchange. The
-        final window then shuffles |partitions|·|queries|·k rows instead
-        of |corpus|·|queries| — the difference between shuffling the
-        corpus and shuffling a result-sized set at 100 TB. Results are
-        identical (same deterministic tie-break; pytest-asserted).
+        codegen, then a partition-LOCAL top-k (``mapInPandas`` over rows
+        projected down to exactly (query, key, score) — no vectors or
+        payload columns cross into Python, memory bounded at |queries|·k
+        per worker) reduces each corpus partition to ≤ |queries|·k
+        candidates BEFORE any exchange. The final window then shuffles
+        |partitions|·|queries|·k rows instead of |corpus|·|queries| — the
+        difference between shuffling the corpus and shuffling a
+        result-sized set at 100 TB. Any requested payload ``columns`` are
+        re-attached AFTER the final top-k by a broadcast join of the
+        (|queries|·k)-row result against the corpus — the corpus is
+        probed, never shuffled. Results are identical (same deterministic
+        tie-break; pytest-asserted).
         """
         q = F.broadcast(
             queries.select(
@@ -194,14 +198,15 @@ class VectorIndex:
                 F.sqrt(dot(query_vector_col, query_vector_col)).alias("__qn"),
             )
         )
-        cols = [self.key] + [
+        extra = [
             c
             for c in (columns or [])
             if c not in (self.key, score_col, query_key)
         ]
+        scored_cols = [self.key] + ([] if local_topk else extra)
         scored = self.df.crossJoin(q).select(
             query_key,
-            *cols,
+            *scored_cols,
             self._score(F.col("__qv"), query_norm=F.col("__qn")).alias(score_col),
         )
         if local_topk:
@@ -211,11 +216,17 @@ class VectorIndex:
         w = Window.partitionBy(query_key).orderBy(
             F.desc(score_col), F.asc(self.key)
         )
-        return (
+        topk = (
             scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
+        if local_topk and extra:
+            payload = self.df.select(self.key, *extra)
+            topk = payload.join(F.broadcast(topk), self.key).select(
+                query_key, self.key, *extra, score_col
+            )
+        return topk
 
     def _partition_local_topk(
         self, scored: DataFrame, k: int, query_key: str, score_col: str

@@ -58,6 +58,13 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Fixture loader. Pins NTZ inference OFF *before every read* so
+    parquet timestamps land in TimestampType with their stored micros as
+    the raw internal epoch — making ``unix_micros``-based tz-free math
+    valid everywhere. Without the pin the first query to run would
+    decide the session's timestamp flavor (load_events also sets this,
+    but query execution order must not matter)."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -1527,7 +1534,7 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_avg_revenue",
     oracle="""
     WITH daily AS (
-        SELECT CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_no,
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_no,
                strftime(o_orderdate, '%Y-%m-%d') AS day,
                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
                    AS revenue
@@ -1545,12 +1552,18 @@ def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the day number — unlike a ROWS frame, gaps in the calendar shrink
     the averaging set (value-based frame semantics; §2.2 windows row).
     The groupBy shrinks input to |days| rows before the window, so the
-    unpartitioned frame scans a dimension-sized set."""
+    unpartitioned frame scans a dimension-sized set.
+
+    day_no/day come from ``unix_micros`` epoch math — tz-free, like
+    every other temporal key in this package. ``unix_timestamp``/
+    ``date_format`` would route the value through the session timezone
+    and shift RANGE-frame membership on non-UTC hosts."""
     o = load(spark, sf_dir, "orders")
+    day_no = F.expr("unix_micros(o_orderdate) div 86400000000")
     daily = (
         o.groupBy(
-            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("day_no"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            day_no.alias("day_no"),
+            F.date_from_unix_date(day_no.cast("int")).cast("string").alias("day"),
         )
         .agg(
             F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(

@@ -70,11 +70,21 @@ def zorder_value(
     known domain bounds); bucketing is uniform-width, which is the
     standard practical trade-off (rank-exact bucketing would need a
     global sort of each column first).
+
+    NULLs bucket to 0 explicitly: without the coalesce a null input
+    nulls the bucket, and because least/greatest skip nulls the row
+    would silently land in the MAX bucket — polluting the top-corner
+    files' min/max envelopes and quietly degrading pruning on every
+    clustered column. Bucket 0 keeps null rows clustered together at the
+    low corner instead (nulls-first, matching Spark's default sort
+    order).
     """
     from pyspark.sql import functions as F
 
     bucketed = []
     for c, lo, hi in zip(cols, mins, maxs):
+        if lo is None or hi is None:  # all-null column: one bucket
+            lo, hi = 0.0, 1.0
         span = float(hi) - float(lo)
         span = span if span > 0 else 1.0
         b = F.floor(
@@ -82,6 +92,7 @@ def zorder_value(
             / F.lit(span)
             * F.lit(float(1 << bits_per_col))
         ).cast("long")
+        b = F.coalesce(b, F.lit(0).cast("long"))
         bucketed.append(
             F.greatest(
                 F.lit(0).cast("long"),

@@ -165,6 +165,33 @@ class ContinuousRollup:
     def _partials_dir(self) -> str:
         return os.path.join(self.rollup_dir, "partials")
 
+    def _staging_dir(self) -> str:
+        return os.path.join(self.rollup_dir, "_staging")
+
+    def _adopt_staging(self) -> None:
+        """Crash recovery for ``compact()``: a directory swap cannot be
+        atomic on POSIX (os.replace refuses a non-empty target), so
+        compact marks its staging tree ``_COMPLETE`` *before* removing the
+        old partials. If a crash lands between those two steps the data
+        still exists exactly once — in staging — and every entry point
+        adopts it here before reading or writing."""
+        staging = self._staging_dir()
+        marker = os.path.join(staging, "_COMPLETE")
+        partials = self._partials_dir()
+        if not os.path.exists(marker):
+            return
+        if os.path.exists(partials):
+            if os.listdir(partials):
+                # compact crashed after writing staging but before
+                # removing old partials: old tree is still authoritative
+                # (staging is a pure re-aggregation of it) — discard
+                # staging and let the next compact retry.
+                shutil.rmtree(staging)
+                return
+            os.rmdir(partials)
+        os.makedirs(self.rollup_dir, exist_ok=True)
+        os.replace(staging, partials)
+
     def _aggregate(self, df: DataFrame) -> DataFrame:
         aggs = [F.count("*").alias("n_events")]
         out_cols = ["n_events"]
@@ -191,6 +218,7 @@ class ContinuousRollup:
         )
 
     def _write_partials(self, batch: DataFrame, batch_id: int) -> None:
+        self._adopt_staging()
         out = os.path.join(self._partials_dir(), f"batch_id={batch_id}")
         self._aggregate(batch).write.mode("overwrite").parquet(out)
 
@@ -214,6 +242,7 @@ class ContinuousRollup:
 
     def current(self, spark: SparkSession) -> DataFrame | None:
         """Merge-on-read of the maintained rollup."""
+        self._adopt_staging()
         path = self._partials_dir()
         if not os.path.exists(path) or not os.listdir(path):
             return None
@@ -225,16 +254,29 @@ class ContinuousRollup:
 
     def compact(self, spark: SparkSession) -> None:
         """Fold all partials into a single pre-merged partial (batch_id=-1
-        by convention), bounding merge-on-read cost over long histories."""
+        by convention), bounding merge-on-read cost over long histories.
+
+        Crash-safe: the full compacted layout is built in a staging tree,
+        marked ``_COMPLETE``, and only then swapped in. A failure at any
+        point leaves the rollup recoverable — before the marker the old
+        partials are untouched; after it, ``_adopt_staging`` (run by every
+        entry point) finishes the swap. The rollup is never observable in
+        an empty intermediate state (the IncrementalIndexer
+        stage-then-single-swap contract)."""
         merged = self.current(spark)
         if merged is None:
             return
-        staging = os.path.join(self.rollup_dir, "_staging")
-        merged.write.mode("overwrite").parquet(staging)
+        staging = self._staging_dir()
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # stale tree from an earlier crash
+        merged.write.mode("overwrite").parquet(
+            os.path.join(staging, "batch_id=-1")
+        )
+        with open(os.path.join(staging, "_COMPLETE"), "w"):
+            pass
         partials = self._partials_dir()
         shutil.rmtree(partials)
-        os.makedirs(partials)
-        os.replace(staging, os.path.join(partials, "batch_id=-1"))
+        os.replace(staging, partials)
 
     def full_rebuild(self, spark: SparkSession) -> DataFrame:
         """The one-shot batch aggregate the incremental path must equal."""
