@@ -247,3 +247,100 @@ def test_chunk_audio_librosa_raises_cleanly(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, content binary")
     with pytest.raises(NotImplementedError, match="stub"):
         chunk_audio(df, id_col="id", decoder="librosa")
+
+
+# --------------------------------------------------------------------- #
+# Real-encoder seam (O23 / NMR:364–378): the pooling math is pure numpy
+# so the exact reference semantics are pinned WITHOUT torch; the model
+# forward itself is smoke-tested only where torch exists.
+# --------------------------------------------------------------------- #
+
+
+def test_masked_mean_pool_matches_reference_semantics():
+    """mean_pooling (NMR:364–367): masked token mean with clamp(1e-9).
+    Hand-computed: only unmasked tokens contribute, divided by their
+    count — padding rows never leak into the mean."""
+    import numpy as np
+    from vectorsearch_image_embeddings_databricks_spark.embed.encoders import masked_mean_pool
+
+    tok = np.array(
+        [
+            [[1.0, 3.0], [3.0, 5.0], [100.0, 100.0]],  # last token masked
+            [[2.0, 4.0], [0.0, 0.0], [0.0, 0.0]],  # single real token
+        ]
+    )
+    mask = np.array([[1, 1, 0], [1, 0, 0]])
+    got = masked_mean_pool(tok, mask)
+    assert np.allclose(got, [[2.0, 4.0], [2.0, 4.0]])
+    # fully-masked row: clamp keeps it finite (reference's clamp(min=1e-9))
+    all_masked = masked_mean_pool(tok[:1], np.array([[0, 0, 0]]))
+    assert np.isfinite(all_masked).all() and np.allclose(all_masked, 0.0)
+
+
+def test_layer_norm_then_l2_normalize_pipeline():
+    """layer_norm (NMR:375) → F.normalize (NMR:376): rows come out zero
+    mean (pre-normalize), unit L2 (post), invariant to per-row affine
+    shifts of the input — the property that makes the text pipeline's
+    pooled vectors comparable."""
+    import numpy as np
+    from vectorsearch_image_embeddings_databricks_spark.embed.encoders import (
+        l2_normalize,
+        layer_norm,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((5, 32))
+    normed = layer_norm(x)
+    assert np.allclose(normed.mean(axis=-1), 0.0, atol=1e-9)
+    out = l2_normalize(normed)
+    assert np.allclose(np.linalg.norm(out, axis=-1), 1.0)
+    # affine invariance: shift+scale per row changes nothing (up to eps)
+    shifted = layer_norm(3.0 * x + 11.0)
+    assert np.allclose(layer_norm(x), shifted, atol=1e-6)
+
+
+def _torch_available() -> bool:
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _torch_available(), reason="torch/transformers absent")
+def test_real_encoders_smoke():  # pragma: no cover - env-dependent
+    """Where torch exists: both real encoders construct, embed a tiny
+    batch, return unit-norm dim-correct vectors, and null-propagate."""
+    import numpy as np
+    import pandas as pd
+    from vectorsearch_image_embeddings_databricks_spark.embed import (
+        RealImageEncoder,
+        RealTextEncoder,
+    )
+
+    te = RealTextEncoder()
+    vecs = te.encode_batch(pd.Series(["hello world", None]))
+    assert vecs[1] is None and len(vecs[0]) == te.dim
+    assert abs(float(np.linalg.norm(vecs[0])) - 1.0) < 1e-3
+
+    ie = RealImageEncoder()
+    out = ie.encode_batch(pd.Series([None, b"not an image"]))
+    assert out == [None, None]  # decode failure -> None (NMR:211-213)
+
+
+def test_real_encoders_raise_cleanly_without_torch():
+    """In torch-free environments construction fails fast with
+    NotImplementedError (guarded seam, not a latent import crash)."""
+    if _torch_available():
+        pytest.skip("torch present - covered by the smoke test")
+    from vectorsearch_image_embeddings_databricks_spark.embed import (
+        RealImageEncoder,
+        RealTextEncoder,
+    )
+
+    with pytest.raises(NotImplementedError):
+        RealTextEncoder()
+    with pytest.raises(NotImplementedError):
+        RealImageEncoder()

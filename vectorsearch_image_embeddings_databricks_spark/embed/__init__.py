@@ -1,2 +1,8 @@
-from .encoders import Encoder, StubTextEncoder, StubImageEncoder  # noqa: F401
+from .encoders import (  # noqa: F401
+    Encoder,
+    RealImageEncoder,
+    RealTextEncoder,
+    StubImageEncoder,
+    StubTextEncoder,
+)
 from .udf import embed_column, make_embed_udf  # noqa: F401

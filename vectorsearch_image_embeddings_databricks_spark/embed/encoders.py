@@ -90,22 +90,183 @@ class StubImageEncoder:
         return out
 
 
-class RealImageEncoder:
-    """Placeholder for a real vision encoder (nomic-embed-vision-class,
-    NMR:188–189). Requires torch + transformers + PIL at executor import
-    time; deliberately NOT installed here."""
+# --------------------------------------------------------------------- #
+# Pooling math shared by the real encoders — pure numpy, so the exact
+# NMR:364–378 semantics are unit-testable without torch. The real
+# encoders run the model forward in torch and hand the hidden states to
+# these functions.
+# --------------------------------------------------------------------- #
 
-    def __init__(self, model_name: str = "nomic-ai/nomic-embed-vision-v1.5", dim: int = 768):
-        try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:  # pragma: no cover - environment-dependent
-            raise NotImplementedError(
-                "RealImageEncoder needs torch/transformers/PIL; use "
-                "StubImageEncoder in this environment"
-            ) from e
+
+def masked_mean_pool(
+    token_embeddings: np.ndarray, attention_mask: np.ndarray
+) -> np.ndarray:
+    """Attention-masked token mean (``mean_pooling``, NMR:364–367):
+    sum of unmasked token vectors / count of unmasked tokens, clamped
+    away from zero exactly like the reference's ``clamp(min=1e-9)``.
+
+    token_embeddings: (batch, tokens, dim); attention_mask: (batch, tokens).
+    """
+    mask = attention_mask[..., None].astype(token_embeddings.dtype)
+    summed = (token_embeddings * mask).sum(axis=1)
+    counts = np.clip(mask.sum(axis=1), 1e-9, None)
+    return summed / counts
+
+
+def layer_norm(x: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    """Per-row layer normalization over the last axis (``F.layer_norm``
+    with ``normalized_shape=[dim]``, NMR:375): zero mean, unit variance,
+    no learned affine."""
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps)
+
+
+def l2_normalize(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    """Row-wise L2 normalization (``F.normalize(p=2, dim=1)``,
+    NMR:209/376)."""
+    norms = np.clip(np.linalg.norm(x, axis=-1, keepdims=True), eps, None)
+    return x / norms
+
+
+def _require_torch(what: str):
+    try:
+        import torch
+        import transformers
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            f"{what} needs torch/transformers; use the Stub encoders in "
+            "this environment"
+        ) from e
+    return torch, transformers
+
+
+class RealImageEncoder:
+    """Real vision encoder (nomic-embed-vision-class, NMR:188–213):
+    bytes → PIL decode → processor → model forward (no grad) → CLS token
+    (``last_hidden_state[:, 0]``, NMR:208) → L2 normalize (NMR:209).
+
+    Unlike the reference's driver-global model + per-row loop
+    (NMR:188–189, 236–245), this object is built once per executor by
+    the iterator pandas UDF and consumes whole Arrow batches. Requires
+    torch + transformers + PIL at executor import time; deliberately NOT
+    installed here — construction raises and tests skipif."""
+
+    def __init__(
+        self,
+        model_name: str = "nomic-ai/nomic-embed-vision-v1.5",
+        dim: int = 768,
+        device: str | None = None,
+    ):
+        torch, transformers = _require_torch("RealImageEncoder")
         self.model_name = model_name
         self.dim = dim
+        # device selection lives inside the encoder plugin (NMR:177–178)
+        self.device = device or (
+            "cuda" if torch.cuda.is_available() else "cpu"
+        )
+        self.processor = transformers.AutoImageProcessor.from_pretrained(
+            model_name
+        )
+        self.model = (
+            transformers.AutoModel.from_pretrained(
+                model_name, trust_remote_code=True
+            )
+            .to(self.device)
+            .eval()
+        )
 
-    def encode_batch(self, batch: pd.Series):  # pragma: no cover
-        raise NotImplementedError("real model inference is out of scope here")
+    def encode_batch(self, batch: pd.Series) -> list[list[float] | None]:
+        import io
+
+        import torch
+        from PIL import Image
+
+        # per-row decode tolerance (NMR:211–213): failures become None
+        images, slots = [], []
+        out: list[list[float] | None] = [None] * len(batch)
+        for i, content in enumerate(batch):
+            if content is None:
+                continue
+            try:
+                images.append(
+                    Image.open(io.BytesIO(bytes(content))).convert("RGB")
+                )
+                slots.append(i)
+            except Exception:
+                pass
+        if not images:
+            return out
+        inputs = self.processor(images, return_tensors="pt").to(self.device)
+        with torch.no_grad():
+            hidden = self.model(**inputs).last_hidden_state.cpu().numpy()
+        cls = hidden[:, 0]  # NMR:208
+        vecs = l2_normalize(cls).astype(np.float32)
+        for slot, v in zip(slots, vecs):
+            out[slot] = [float(x) for x in v]
+        return out
+
+
+class RealTextEncoder:
+    """Real text encoder (nomic-embed-text-class, NMR:350–378), the
+    symmetric twin of ``RealImageEncoder``: tokenize (pad/truncate) →
+    model forward (no grad) → attention-masked mean pooling (NMR:364–367)
+    → layer_norm (NMR:375) → L2 normalize (NMR:376).
+
+    Pure function of its input batch — the reference's
+    ``generate_text_embedding`` tokenizes the *global* ``question``
+    instead of its argument (NMR:369–370, a bug SURVEY §1.4 pins as
+    do-not-replicate); nothing here reads ambient state. Task prefixes
+    ('search_query: …', NMR:399/403) are the caller's concern — text
+    passes through opaquely."""
+
+    def __init__(
+        self,
+        model_name: str = "nomic-ai/nomic-embed-text-v1.5",
+        dim: int = 768,
+        device: str | None = None,
+        max_length: int = 8192,
+    ):
+        torch, transformers = _require_torch("RealTextEncoder")
+        self.model_name = model_name
+        self.dim = dim
+        self.max_length = max_length
+        self.device = device or (
+            "cuda" if torch.cuda.is_available() else "cpu"
+        )
+        self.tokenizer = transformers.AutoTokenizer.from_pretrained(model_name)
+        self.model = (
+            transformers.AutoModel.from_pretrained(
+                model_name, trust_remote_code=True
+            )
+            .to(self.device)
+            .eval()
+        )
+
+    def encode_batch(self, batch: pd.Series) -> list[list[float] | None]:
+        import torch
+
+        texts, slots = [], []
+        out: list[list[float] | None] = [None] * len(batch)
+        for i, text in enumerate(batch):
+            if text is None:
+                continue
+            texts.append(str(text))
+            slots.append(i)
+        if not texts:
+            return out
+        enc = self.tokenizer(
+            texts,
+            padding=True,
+            truncation=True,
+            max_length=self.max_length,
+            return_tensors="pt",
+        ).to(self.device)
+        with torch.no_grad():
+            hidden = self.model(**enc).last_hidden_state.cpu().numpy()
+        mask = enc["attention_mask"].cpu().numpy()
+        pooled = masked_mean_pool(hidden, mask)  # NMR:364–367
+        vecs = l2_normalize(layer_norm(pooled)).astype(np.float32)  # NMR:375–376
+        for slot, v in zip(slots, vecs):
+            out[slot] = [float(x) for x in v]
+        return out
