@@ -33,7 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    # Ordered so each SURVEY §2 component's flagship query falls inside
+    # the driver's verification window (registry.DRIVER_PRIORITY).
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
