@@ -251,6 +251,7 @@ class IVFIndex:
         vector_col: str = "embedding",
         nlist: int = 16,
         seed: int = 42,
+        max_iter: int = 20,
     ) -> None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -259,7 +260,11 @@ class IVFIndex:
         self.vector_col = vector_col
         vecs = df.withColumn("__vec", array_to_vector(F.col(vector_col)))
         self.kmeans = KMeans(
-            k=nlist, seed=seed, featuresCol="__vec", predictionCol="centroid_id"
+            k=nlist,
+            seed=seed,
+            maxIter=max_iter,
+            featuresCol="__vec",
+            predictionCol="centroid_id",
         ).fit(vecs)
         self.assigned = self.kmeans.transform(vecs).drop("__vec").cache()
         self.centroids = [np.asarray(c) for c in self.kmeans.clusterCenters()]

@@ -85,6 +85,19 @@ def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings loader for compute-heavy vector operators (pair scans,
+    LSH banding, quantizer training). Same rationale as ``load_docs``:
+    the fixture is one file → one input split, which serializes
+    nested-loop pair scans and band self-joins onto a single core.
+    Repartitioning decouples compute parallelism from file layout; at
+    100 TB the source already has thousands of splits and AQE coalesces
+    the exchange away."""
+    return load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events loader, normalizing ``ts`` to epoch-nanos INT64.
 
@@ -274,7 +287,7 @@ COSINE_PAIR_THRESHOLD = 0.4
     """,
 )
 def near_dup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     res = dedup.near_dup_pairs_cosine(
         emb, "vec_id", "embedding", threshold=COSINE_PAIR_THRESHOLD
     )
@@ -1187,9 +1200,13 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     search (the 100 TB scale path for repeated queries)."""
     from .index.ann import IVFIndex
 
+    # plain load: KMeans at fixture scale is iteration-launch-bound, and
+    # repartitioning multiplies tiny tasks per iteration.
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]["embedding"]
-    ivf = IVFIndex(emb, nlist=8)
+    # max_iter=8: quantizer training converges in <8 rounds at fixture
+    # scale; at 100 TB train the quantizer on a sample, not the corpus.
+    ivf = IVFIndex(emb, nlist=8, max_iter=8)
     return ivf.search(q, k=KNN_K, nprobe=4).select(
         "vec_id", F.round("score", 6).alias("score")
     )
@@ -1201,7 +1218,7 @@ def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact pair operator by construction)."""
     from .index.ann import CosineLSHIndex
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     lsh = CosineLSHIndex(emb, num_bits=16, band_bits=4)
     res = lsh.similarity_self_join(COSINE_PAIR_THRESHOLD)
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
