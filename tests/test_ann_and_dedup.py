@@ -200,3 +200,58 @@ def test_minhash_driver_and_distributed_cc_paths_agree(docs):
         ).collect()
     }
     assert driver == dist
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc that embeds an eval doc's text verbatim must be
+    flagged with that eval doc as worst match; clean docs must survive
+    remove_contaminated untouched."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import decontam
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),          # eval
+        (1, "xx alpha beta gamma delta epsilon zeta yy"),    # contaminated
+        (2, "one two three four five six seven eight"),      # clean
+        (3, "nine ten eleven twelve thirteen fourteen"),     # clean
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    test = df.filter("doc_id = 0")
+    train = df.filter("doc_id != 0")
+    rep = decontam.decontaminate_report(
+        train, test, "doc_id", "text", n=3, min_shared=2
+    ).collect()
+    assert len(rep) == 1
+    assert rep[0]["train_id"] == 1
+    assert rep[0]["worst_test_doc"] == 0
+    assert rep[0]["max_shared"] >= 2
+
+    kept = decontam.remove_contaminated(
+        train, test, "doc_id", "text", n=3, min_shared=2
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_decontaminate_df_cap_drops_boilerplate_ngrams(spark):
+    """An n-gram present in more eval docs than df_cap must not create
+    pairs (the fan-out guard): with the cap at 1, a trigram shared by
+    both eval docs is excluded and nothing is flagged."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import decontam
+
+    boiler = "common header line here"
+    rows = [
+        (0, boiler + " unique eval zero"),
+        (20, boiler + " unique eval twenty"),
+        (1, boiler + " totally different body"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    test = df.filter("doc_id in (0, 20)")
+    train = df.filter("doc_id = 1")
+    flagged = decontam.contamination_pairs(
+        train, test, "doc_id", "text", n=3, min_shared=1, df_cap=1
+    ).collect()
+    assert flagged == []
+    # without the cap the boilerplate trigrams DO create pairs
+    flagged2 = decontam.contamination_pairs(
+        train, test, "doc_id", "text", n=3, min_shared=1, df_cap=None
+    ).collect()
+    assert len(flagged2) == 2

@@ -208,3 +208,14 @@ def test_hybrid_rrf_windows_only_over_bounded_pools(spark):
         assert "TakeOrderedAndProject" in lines[i + 1]  # bounded input
     # final fused top-k is also a TakeOrderedAndProject, not a full sort
     assert sum("TakeOrderedAndProject" in ln for ln in lines) == 3
+
+
+def test_decontaminate_broadcasts_eval_side_no_cartesian(spark):
+    """The contamination join must broadcast the eval postings and join
+    on the n-gram hash — never a nested-loop/cartesian product, and the
+    corpus-side postings must not be exchanged before the join."""
+    plan = plan_of(registry.QUERIES["ngram_decontaminate"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree

@@ -386,6 +386,78 @@ def duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Train/eval decontamination — n-gram overlap between corpus splits
+# --------------------------------------------------------------------- #
+
+DECONTAM_MIN_SHARED = 3
+DECONTAM_DF_CAP = 50
+
+
+@register(
+    "ngram_decontaminate",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    texp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
+    keep AS (SELECT g FROM texp GROUP BY g
+             HAVING count(*) <= {DECONTAM_DF_CAP}),
+    trexp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0),
+    pairs AS (
+        SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM trexp tr
+        JOIN (SELECT t.* FROM texp t JOIN keep k ON k.g = t.g) te
+          ON tr.g = te.g
+        GROUP BY 1, 2 HAVING count(*) >= {DECONTAM_MIN_SHARED}
+    ),
+    per_train AS (
+        SELECT train_id,
+               CAST(count(*) AS BIGINT) AS n_test_matches,
+               max(shared) AS max_shared
+        FROM pairs GROUP BY train_id
+    )
+    SELECT m.train_id, m.n_test_matches, m.max_shared,
+           min(p.test_id) AS worst_test_doc
+    FROM per_train m JOIN pairs p
+      ON p.train_id = m.train_id AND p.shared = m.max_shared
+    GROUP BY 1, 2, 3
+    """,
+)
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: train docs (doc_id % 20 != 0) sharing
+    ≥ {min_shared} distinct trigrams with any eval doc (doc_id % 20 = 0).
+    Inverted-index broadcast join on int64 n-gram hashes with an
+    eval-side document-frequency cap — the pre-training contamination
+    sweep of an LLM data pipeline (GPT-3-style n-gram decontamination),
+    never a cross join. See operators.decontam."""
+    from .operators import decontam
+
+    docs = load_docs(spark, sf_dir)
+    test = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontam.decontaminate_report(
+        train,
+        test,
+        "doc_id",
+        "text",
+        n=3,
+        min_shared=DECONTAM_MIN_SHARED,
+        df_cap=DECONTAM_DF_CAP,
+    )
+
+
+# --------------------------------------------------------------------- #
 # E6 — text analysis: fingerprints, token counts, corpus stats, top terms
 # --------------------------------------------------------------------- #
 
@@ -4006,9 +4078,9 @@ def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY: list[str] = [
     # vector search core (O16-O20 / E1-E2)
     "knn_exact", "knn_batch", "knn_batch_bigcorpus", "vector_norms",
-    # dedup family (E3-E5)
+    # dedup family (E3-E5) + decontamination
     "near_dup_pairs_cosine", "near_dup_pairs_jaccard",
-    "dedup_exact_summary", "duplicate_groups",
+    "dedup_exact_summary", "duplicate_groups", "ngram_decontaminate",
     # fingerprints (E13)
     "doc_fingerprints", "rolling_fingerprints",
     # text analysis (E6) + profiling
@@ -4035,7 +4107,7 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_md5", "salted_priority_revenue", "curation_pipeline",
     # physical-layout + representative TPC-H patterns
     "bucketed_join_revenue", "pricing_summary", "shipping_priority",
-    "region_revenue", "customers_without_orders", "waiting_suppliers",
+    "customers_without_orders", "waiting_suppliers",
 ]
 
 
