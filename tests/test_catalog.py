@@ -100,3 +100,32 @@ def test_ivf_save_load_same_answers(spark, tmp_path):
 
     dirs = os.listdir(str(tmp_path / "ivf" / "data"))
     assert any(d.startswith("centroid_id=") for d in dirs)
+
+
+def test_create_index_async_builds_and_polls(spark, tmp_path):
+    """Non-blocking build: handle polls to READY, wait() returns a
+    queryable index identical to a synchronous build, and the name is
+    resolvable afterwards."""
+    from vectorsearch_image_embeddings_databricks_spark.index.catalog import IndexCatalog
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cat = IndexCatalog(spark, str(tmp_path / "cat"))
+    h = cat.create_index_async("async_ix", emb)
+    idx = h.wait(timeout=120)
+    assert h.status() == "READY" and h.ready()
+    q = emb.limit(1).collect()[0]["embedding"]
+    assert len(idx.search(q, k=3).collect()) == 3
+    assert cat.exists("async_ix")
+
+
+def test_create_index_async_failure_surfaces_in_wait(spark, tmp_path):
+    from vectorsearch_image_embeddings_databricks_spark.index.catalog import IndexCatalog
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cat = IndexCatalog(spark, str(tmp_path / "cat2"))
+    cat.create_index("dup", emb)
+    h = cat.create_index_async("dup", emb)  # if_exists defaults to error
+    with pytest.raises(ValueError, match="already exists"):
+        h.wait(timeout=120)
+    assert h.status() == "FAILED"

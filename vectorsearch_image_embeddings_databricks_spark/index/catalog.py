@@ -91,6 +91,39 @@ class IndexCatalog:
             json.dump({"name": name, "source_table": source_table}, f)
         return VectorIndex.load(self.spark, path)
 
+    def create_index_async(self, name: str, source: DataFrame, **kwargs):
+        """Non-blocking build — the reference's commented
+        ``create_delta_sync_index`` variant (NMR:305–313) that returns
+        before the index is ready and lets the caller poll.
+
+        The build is the same distributed write as ``create_index``,
+        submitted from a background thread (Spark schedules jobs from
+        concurrent threads of one SparkSession independently). Returns an
+        ``IndexBuildHandle`` with ``status()`` / ``wait()``; the index is
+        invisible to ``get_index``/``exists`` until the write's final
+        metadata rename, so readers never observe a half-built index.
+        """
+        import threading
+
+        handle = IndexBuildHandle(name)
+
+        def _build() -> None:
+            try:
+                handle._result = self.create_index(name, source, **kwargs)
+                handle._status = "READY"
+            except BaseException as e:  # noqa: BLE001 - surfaced via .wait()
+                handle._error = e
+                handle._status = "FAILED"
+            finally:
+                handle._done.set()
+
+        handle._status = "RUNNING"
+        t = threading.Thread(
+            target=_build, name=f"index-build-{name}", daemon=True
+        )
+        t.start()
+        return handle
+
     def get_index(self, name: str) -> VectorIndex:
         """Lookup by name (``vs_client.get_index``, NMR:384)."""
         if not self.exists(name):
@@ -165,3 +198,37 @@ class IndexCatalog:
         """Convenience: ``get_index(name).search(...)`` — one call shaped
         like the reference's ``index.similarity_search`` (NMR:388)."""
         return self.get_index(name).search(query_vector, k=k, columns=columns)
+
+
+class IndexBuildHandle:
+    """Poll/wait handle for ``IndexCatalog.create_index_async`` —
+    the ``describe()``-status loop of the reference's non-blocking
+    variant (NMR:305–313), minus the remote service."""
+
+    def __init__(self, name: str) -> None:
+        import threading
+
+        self.name = name
+        self._status = "PENDING"
+        self._result: VectorIndex | None = None
+        self._error: BaseException | None = None
+        self._done = threading.Event()
+
+    def status(self) -> str:
+        """PENDING | RUNNING | READY | FAILED."""
+        return self._status
+
+    def ready(self) -> bool:
+        return self._done.is_set() and self._status == "READY"
+
+    def wait(self, timeout: float | None = None) -> VectorIndex:
+        """Block until the build finishes; re-raise a build failure."""
+        if not self._done.wait(timeout):
+            raise TimeoutError(
+                f"index build {self.name!r} still {self._status} "
+                f"after {timeout}s"
+            )
+        if self._error is not None:
+            raise self._error
+        assert self._result is not None
+        return self._result
