@@ -247,3 +247,55 @@ def test_rolling_fingerprints_position_invariant_overlap(spark):
         ).collect()
     }
     assert again == fps
+
+
+def test_pack_bins_respect_budget_overflow_bound(spark):
+    """Every bin's token total must be <= budget + (max_doc_tokens - 1);
+    docs longer than the budget open their own bin; the assignment is a
+    pure function of (id, tokens)."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import packing
+
+    rows = [(i, 10 + (i * 37) % 120) for i in range(200)] + [
+        (1000, 500),  # oversized: longer than the budget
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    budget = 128
+    rep = packing.pack_report(df, "doc_id", "tokens", budget=budget).collect()
+    max_doc = max(t for _, t in rows)
+    for r in rep:
+        assert r["token_sum"] <= budget + max_doc - 1
+    # oversized doc is alone in its bin
+    man = packing.pack_manifest(df, "doc_id", "tokens", budget=budget)
+    big_bin = man.filter("doc_id = 1000").collect()[0]["bin_id"]
+    assert man.filter(f"bin_id = {big_bin}").count() == 1
+    # deterministic across recomputation and repartitioning
+    a = sorted(map(tuple, man.collect()))
+    b = sorted(map(tuple, packing.pack_manifest(
+        df.repartition(7), "doc_id", "tokens", budget=budget).collect()))
+    assert a == b
+
+
+def test_mixture_rebalance_hits_target_shares(spark):
+    """The sampled mixture must match the target shares (floor rounding)
+    and the binding stratum must be kept ~in full; unlisted strata drop
+    to zero."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.sampling import (
+        mixture_rebalance_plan,
+    )
+
+    rows = (
+        [(i, "en") for i in range(600)]
+        + [(i + 1000, "de") for i in range(100)]
+        + [(i + 2000, "xx") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    plan = {r["lang"]: r for r in mixture_rebalance_plan(
+        df, "lang", {"en": 800_000, "de": 200_000}
+    ).collect()}
+    # de is binding: 100 docs for a 20% share -> total budget 500
+    assert plan["de"]["n_keep"] == 100
+    assert plan["en"]["n_keep"] == 400
+    assert plan["xx"]["n_keep"] == 0 and plan["xx"]["rate_micro"] == 0
+    # achieved shares: 400/500 and 100/500
+    total = sum(p["n_keep"] for p in plan.values())
+    assert plan["en"]["n_keep"] * 1_000_000 // total == 800_000

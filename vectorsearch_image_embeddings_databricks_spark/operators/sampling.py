@@ -86,3 +86,63 @@ def stratified_sample_md5(
     for value, hexcut in cut_hex.items():
         cut = F.when(F.col(strata_col) == value, F.lit(hexcut)).otherwise(cut)
     return df.filter(digest < cut)
+
+
+def mixture_rebalance_plan(
+    df: DataFrame,
+    strata_col: str,
+    target_shares_micro: Mapping[str, int],
+) -> DataFrame:
+    """Per-stratum downsampling plan to hit a target corpus mixture.
+
+    Data-mixing step of a training pipeline: given target shares per
+    domain (micro-units, summing to 1_000_000), compute how many docs of
+    each stratum to keep so the sampled corpus has exactly the target
+    mixture, without upsampling any stratum. The binding stratum (the one
+    scarcest relative to its target) is kept in full:
+
+        n_budget  = min_s (count_s * 1e6 div target_s)   -- achievable total
+        n_keep_s  = target_s * n_budget div 1e6
+        rate_s    = n_keep_s * 1e6 div count_s           -- micro-units
+
+    All integer math (div = floor for the non-negative operands here), so
+    the plan is engine-exact and oracle-checkable. Strata absent from
+    ``target_shares_micro`` get n_keep = 0 (dropped from the mixture).
+
+    Scale shape: one partial-aggregated groupBy over the corpus produces
+    |strata| rows; the scalar min is broadcast back — no wide shuffle,
+    no collect. Feed the rates to ``stratified_sample`` (production) or
+    ``stratified_sample_md5`` (auditable) to materialize the sample.
+    """
+    total = sum(target_shares_micro.values())
+    if not 0 < total <= 1_000_000:
+        raise ValueError(
+            f"target shares must sum to (0, 1e6], got {total}"
+        )
+    target = F.lit(None).cast("long")
+    for value, share in target_shares_micro.items():
+        target = (
+            F.when(F.col(strata_col) == value, F.lit(int(share)))
+            .otherwise(target)
+        )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("__target", target)
+    )
+    budget = counts.filter(F.col("__target").isNotNull()).agg(
+        F.min(F.expr("(n_docs * 1000000) div __target")).alias("__budget")
+    )
+    return (
+        counts.crossJoin(F.broadcast(budget))
+        .select(
+            strata_col,
+            "n_docs",
+            F.coalesce(
+                F.expr("(__target * __budget) div 1000000"), F.lit(0)
+            ).alias("n_keep"),
+        )
+        .withColumn(
+            "rate_micro", F.expr("(n_keep * 1000000) div n_docs")
+        )
+    )

@@ -458,6 +458,108 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Sequence packing + mixture rebalancing — batch-construction operators
+# --------------------------------------------------------------------- #
+
+PACK_BUDGET = 256
+PACK_STREAMS = 4
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text,' '), x -> x <> ''))
+                    AS BIGINT) AS tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, tokens, doc_id % {PACK_STREAMS} AS stream,
+               sum(tokens) OVER (
+                   PARTITION BY doc_id % {PACK_STREAMS}
+                   ORDER BY tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    ),
+    b AS (
+        SELECT CAST(stream * 1000000000 + (cum - tokens) // {PACK_BUDGET}
+                    AS BIGINT) AS bin_id,
+               tokens
+        FROM m
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS token_sum,
+           CAST((sum(tokens) * 1000000) // {PACK_BUDGET} AS BIGINT)
+               AS utilization_micro
+    FROM b GROUP BY bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: longest-first offset
+    binning inside parallel packing streams (every window PARTITIONED —
+    no global sort), token budget {PACK_BUDGET}. Per-bin doc counts,
+    token totals, and utilization; integer-exact, window math mirrored
+    verbatim in the oracle. See operators.packing."""
+    from .operators import packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("tokens")
+    )
+    return packing.pack_report(
+        docs, "doc_id", "tokens", budget=PACK_BUDGET, num_streams=PACK_STREAMS
+    )
+
+
+MIXTURE_TARGETS_MICRO = {
+    "en": 400_000,
+    "de": 150_000,
+    "es": 150_000,
+    "fr": 150_000,
+    "zh": 150_000,
+}
+
+
+@register(
+    "mixture_rebalance",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    t AS (
+        SELECT lang, n_docs,
+               CASE lang
+                   {' '.join(f"WHEN '{k}' THEN CAST({v} AS BIGINT)" for k, v in MIXTURE_TARGETS_MICRO.items())}
+               END AS tgt
+        FROM c
+    ),
+    b AS (
+        SELECT min((n_docs * 1000000) // tgt) AS budget
+        FROM t WHERE tgt IS NOT NULL
+    )
+    SELECT t.lang, t.n_docs,
+           CAST(coalesce((t.tgt * b.budget) // 1000000, 0) AS BIGINT)
+               AS n_keep,
+           CAST((coalesce((t.tgt * b.budget) // 1000000, 0) * 1000000)
+                // t.n_docs AS BIGINT) AS rate_micro
+    FROM t, b
+    """,
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: per-language keep counts/rates that hit a target
+    corpus mixture (en 40%, others 15%) without upsampling — the binding
+    stratum is kept in full. Integer-exact plan; one partial-agg groupBy
+    plus a broadcast scalar. See operators.sampling.mixture_rebalance_plan."""
+    from .operators.sampling import mixture_rebalance_plan
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_rebalance_plan(docs, "lang", MIXTURE_TARGETS_MICRO)
+
+
+# --------------------------------------------------------------------- #
 # E6 — text analysis: fingerprints, token counts, corpus stats, top terms
 # --------------------------------------------------------------------- #
 
@@ -4103,11 +4205,11 @@ DRIVER_PRIORITY: list[str] = [
     "asof_click_attribution", "range_join_events",
     # window frames / reshaping (§2.2)
     "moving_avg_revenue", "unpivot_order_measures", "rollup_revenue",
-    # sampling / skew / composition
+    # sampling / skew / composition / batch construction
     "stratified_sample_md5", "salted_priority_revenue", "curation_pipeline",
+    "pack_sequences", "mixture_rebalance",
     # physical-layout + representative TPC-H patterns
-    "bucketed_join_revenue", "pricing_summary", "shipping_priority",
-    "customers_without_orders", "waiting_suppliers",
+    "bucketed_join_revenue", "pricing_summary", "waiting_suppliers",
 ]
 
 
