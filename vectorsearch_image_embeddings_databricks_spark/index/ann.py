@@ -16,7 +16,8 @@ Three complementary structures:
   100 TB self-similarity join shuffle on bucket keys instead of
   comparing all pairs.
 
-- **IVFIndex** — inverted-file index: MLlib KMeans coarse quantizer;
+- **IVFIndex** — inverted-file index: sample-trained spherical-KMeans
+  coarse quantizer (driver numpy, codegen'd corpus assignment);
   corpus stored partitioned by centroid id; a query probes the
   ``nprobe`` nearest centroids, turning top-k into a partition-pruned
   exact search over ~nprobe/k of the data.
@@ -235,13 +236,91 @@ class CosineLSHIndex:
 # IVF (inverted file) index: KMeans coarse quantizer + partition pruning
 # --------------------------------------------------------------------- #
 
+def _normalize_rows(X: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return X / norms
+
+
+def _spherical_kmeans(
+    sample: np.ndarray, k: int, seed: int, max_iter: int, n_init: int = 8
+) -> list[np.ndarray]:
+    """Seeded spherical k-means (k-means++ init, Lloyd's iterations,
+    unit-norm centroids) on the driver-side training sample.
+
+    Spherical because the index's search metric is COSINE: partitioning
+    the sphere by direction matches the query geometry, where Euclidean
+    centroids would split clusters by magnitude the metric ignores.
+    ``n_init`` independent k-means++ restarts keep the best quantizer by
+    inertia (mean max-cosine) — single-shot ++ init is noticeably
+    recall-unstable at small nlist. Deterministic for fixed
+    (sample, k, seed, max_iter, n_init); early-exits on assignment
+    convergence."""
+    S = _normalize_rows(np.asarray(sample, dtype=np.float64))
+    n = len(S)
+    if n == 0:
+        raise ValueError("empty training sample for IVF quantizer")
+    k = min(k, n)
+
+    def one_run(rng: np.random.Generator) -> tuple[float, np.ndarray]:
+        # k-means++ seeding under cosine distance (1 - dot, unit vectors)
+        centers = [S[rng.integers(n)]]
+        d = np.maximum(1.0 - S @ centers[0], 0.0)
+        for _ in range(1, k):
+            total = d.sum()
+            if total <= 0:
+                centers.append(S[rng.integers(n)])
+                continue
+            centers.append(S[rng.choice(n, p=d / total)])
+            d = np.minimum(d, np.maximum(1.0 - S @ centers[-1], 0.0))
+        C = np.asarray(centers)
+        labels = None
+        for _ in range(max_iter):
+            sims = S @ C.T
+            new_labels = sims.argmax(axis=1)
+            if labels is not None and np.array_equal(labels, new_labels):
+                break
+            labels = new_labels
+            for j in range(k):
+                members = S[labels == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+            C = _normalize_rows(C)
+        inertia = float((S @ C.T).max(axis=1).mean())
+        return inertia, C
+
+    best = None
+    for r in range(n_init):
+        inertia, C = one_run(np.random.default_rng(seed + r))
+        if best is None or inertia > best[0]:
+            best = (inertia, C)
+    C = best[1]
+    return [C[j] for j in range(k)]
+
+
 class IVFIndex:
-    """IVF-flat: cluster the corpus with KMeans; search probes the
-    ``nprobe`` nearest centroids and runs exact top-k inside them.
+    """IVF-flat: coarse-quantize the corpus against KMeans centroids;
+    search probes the ``nprobe`` nearest centroids and runs exact top-k
+    inside them.
+
+    Scale design (the way IVF is actually built at corpus scale):
+    - The quantizer trains on a bounded **sample** collected to the
+      driver (``train_sample`` rows, picked deterministically as the
+      smallest ``xxhash64(key)`` values — a TakeOrderedAndProject, one
+      scan, no full sort, no full-corpus MLlib job). A KMeans over all
+      of 100 TB is wasted work; centroid quality saturates at a few
+      thousand samples per centroid.
+    - Lloyd's iterations run in numpy on that sample (seeded, so the
+      quantizer is bitwise-reproducible).
+    - Corpus assignment is ONE codegen'd expression: argmin over the
+      nlist squared distances, each ``‖c‖² − 2·v·c`` with the centroid
+      embedded as a literal array (the ``v·v`` term is constant across
+      centroids and dropped). No Python boundary, no MLlib transform —
+      the assignment stays inside whole-stage codegen.
 
     At 100 TB the assigned corpus is written partitioned by
-    ``centroid_id`` so a probe is a partition-pruned scan (reads
-    nprobe/nlist of the data); here the filter plays that role.
+    ``centroid_id`` (see ``save``) so a probe is a partition-pruned scan
+    reading ~nprobe/nlist of the data; here the filter plays that role.
     """
 
     def __init__(
@@ -252,22 +331,51 @@ class IVFIndex:
         nlist: int = 16,
         seed: int = 42,
         max_iter: int = 20,
+        train_sample: int = 4096,
+        replication: int = 2,
     ) -> None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
         self.key = key
         self.vector_col = vector_col
-        vecs = df.withColumn("__vec", array_to_vector(F.col(vector_col)))
-        self.kmeans = KMeans(
-            k=nlist,
-            seed=seed,
-            maxIter=max_iter,
-            featuresCol="__vec",
-            predictionCol="centroid_id",
-        ).fit(vecs)
-        self.assigned = self.kmeans.transform(vecs).drop("__vec").cache()
-        self.centroids = [np.asarray(c) for c in self.kmeans.clusterCenters()]
+        self.replication = max(1, int(replication))
+        sample = np.asarray(
+            [
+                r[0]
+                for r in df.select(vector_col)
+                .orderBy(F.xxhash64(F.col(key), F.lit(seed)))
+                .limit(train_sample)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        self.centroids = _spherical_kmeans(sample, nlist, seed, max_iter)
+        self.assigned = df.withColumn(
+            "centroid_id", F.explode(self._assign_expr())
+        ).cache()
+
+    def _assign_expr(self) -> F.Column:
+        """Top-``replication`` centroids by v·ĉ_j (cosine assignment —
+        ‖v‖ is constant across j) as a pure expression: array_sort over
+        (−dot, j) structs (deterministic smallest-j tie-break), sliced.
+
+        replication > 1 is SPANN-style boundary replication: a vector
+        near a cell boundary is stored in its runner-up cell(s) too, so
+        a query probing the *wrong* side of the boundary still finds it.
+        Costs ``replication×`` index storage for a large recall gain at
+        fixed nprobe — the knob that makes IVF recall robust without
+        probing more of the corpus."""
+        scored = [
+            F.struct(
+                (-dot(self.vector_col, _query_literal(c))).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(self.centroids)
+        ]
+        ranked = F.slice(
+            F.array_sort(F.array(*scored)),
+            1,
+            min(self.replication, len(self.centroids)),
+        )
+        return F.transform(ranked, lambda s: s["j"])
 
     def save(self, path: str) -> None:
         """Persist quantizer + centroid-assigned corpus, written
@@ -277,28 +385,33 @@ class IVFIndex:
         import json
         import os
 
-        self.kmeans.write().overwrite().save(os.path.join(path, "model"))
         self.assigned.write.mode("overwrite").partitionBy(
             "centroid_id"
         ).parquet(os.path.join(path, "data"))
         with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
-            json.dump({"key": self.key, "vector_col": self.vector_col}, f)
+            json.dump(
+                {
+                    "key": self.key,
+                    "vector_col": self.vector_col,
+                    "replication": self.replication,
+                    "centroids": [list(map(float, c)) for c in self.centroids],
+                },
+                f,
+            )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
         import json
         import os
 
-        from pyspark.ml.clustering import KMeansModel
-
         with open(os.path.join(path, "_ivf_meta.json")) as f:
             meta = json.load(f)
         obj = cls.__new__(cls)
         obj.key = meta["key"]
         obj.vector_col = meta["vector_col"]
-        obj.kmeans = KMeansModel.load(os.path.join(path, "model"))
+        obj.replication = meta.get("replication", 1)
+        obj.centroids = [np.asarray(c, dtype=np.float64) for c in meta["centroids"]]
         obj.assigned = spark.read.parquet(os.path.join(path, "data"))
-        obj.centroids = [np.asarray(c) for c in obj.kmeans.clusterCenters()]
         return obj
 
     def search(
@@ -308,14 +421,20 @@ class IVFIndex:
         nprobe: int = 4,
         score_col: str = "score",
     ) -> DataFrame:
-        """Probe the nprobe nearest centroids (driver-side — centroids are
-        tiny), then exact cosine top-k within them."""
+        """Probe the nprobe most-aligned centroids (driver-side —
+        centroids are tiny), then exact cosine top-k within them. Probe
+        order uses the same cosine geometry as assignment: q·ĉ_j with a
+        deterministic index tie-break."""
         q = np.asarray(list(query_vector), dtype=float)
-        dists = [float(np.linalg.norm(c - q)) for c in self.centroids]
-        probes = list(np.argsort(dists)[:nprobe])
+        dots = np.array([float(np.dot(c, q)) for c in self.centroids])
+        probes = list(np.argsort(-dots, kind="stable")[:nprobe])
         shard = self.assigned.filter(
             F.col("centroid_id").isin([int(p) for p in probes])
         )
+        if self.replication > 1:
+            # boundary-replicated rows can appear in two probed cells;
+            # dedup by key (bounded to the probed nprobe/nlist slice)
+            shard = shard.dropDuplicates([self.key])
         idx = VectorIndex(
             shard, key=self.key, vector_col=self.vector_col, dim=len(q)
         )
