@@ -129,6 +129,9 @@ def mixture_rebalance_plan(
         df.groupBy(strata_col)
         .agg(F.count("*").alias("n_docs"))
         .withColumn("__target", target)
+        # |strata| rows; materialize once so the scalar-min branch and
+        # the output branch don't each rescan the corpus
+        .localCheckpoint(eager=True)
     )
     budget = counts.filter(F.col("__target").isNotNull()).agg(
         F.min(F.expr("(n_docs * 1000000) div __target")).alias("__budget")
