@@ -299,3 +299,58 @@ def test_mixture_rebalance_hits_target_shares(spark):
     # achieved shares: 400/500 and 100/500
     total = sum(p["n_keep"] for p in plan.values())
     assert plan["en"]["n_keep"] * 1_000_000 // total == 800_000
+
+
+def test_redact_patterns_scrubs_planted_pii(spark):
+    """Emails, URLs, and long digit runs are redacted; clean text is
+    untouched; pattern_counts counts each family independently."""
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark.functions.text import (
+        pattern_counts,
+        redact_patterns,
+    )
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or call 12345678 now"),
+        (1, "see https://example.com/a?b=c for details"),
+        (2, "perfectly clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_patterns("text").alias("red"),
+            *pattern_counts("text"),
+        ).collect()
+    }
+    assert "@" not in out[0]["red"] and "12345678" not in out[0]["red"]
+    assert out[0]["n_email"] == 1 and out[0]["n_long_digits"] == 1
+    assert "https://" not in out[1]["red"] and out[1]["n_url"] == 1
+    assert out[2]["red"] == rows[2][1]
+    assert out[2]["n_email"] == out[2]["n_url"] == out[2]["n_long_digits"] == 0
+
+
+def test_repetition_ratio_flags_looping_text(spark):
+    """Degenerate looping text scores high; all-distinct text scores 0;
+    short docs don't divide by zero."""
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark.functions.text import (
+        repetition_ratio,
+    )
+
+    rows = [
+        (0, " ".join(["spam ham eggs"] * 20)),          # loops hard
+        (1, " ".join(f"w{i}" for i in range(30))),      # all distinct
+        (2, "tiny"),                                     # < n tokens
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: r["rep"]
+        for r in df.select(
+            "id", repetition_ratio("text", 3).alias("rep")
+        ).collect()
+    }
+    assert got[0] > 0.9
+    assert got[1] == 0.0
+    assert got[2] == 0.0

@@ -184,3 +184,77 @@ def lang_id(text: Column | str, min_score: float = 0.05) -> Column:
         pred = F.when((s == best_score) & (s >= min_score), F.lit(lang)).otherwise(pred)
     has_cjk = F.regexp_like(t, F.lit("[\\x{4e00}-\\x{9fff}]"))
     return F.when(has_cjk, F.lit("zh")).otherwise(pred)
+
+
+# --------------------------------------------------------------------- #
+# repetition + curation rules (Gopher-style quality filters)
+# --------------------------------------------------------------------- #
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Repeated-n-gram fraction: 1 − distinct/total word n-gram windows.
+
+    The boilerplate/looping-text detector of quality-filter stacks
+    (Gopher's "repetition" rules family): natural prose repeats few
+    trigram windows, template/boilerplate and degenerate generations
+    repeat many. 0 = all windows distinct. Pure HOF expression — total
+    windows is arithmetic on token count, distinct comes from
+    ``word_shingles`` — so it is SQL-restatable verbatim."""
+    t = _c(text)
+    total = F.greatest(token_count(t) - F.lit(n - 1), F.lit(1))
+    distinct = F.size(word_shingles(t, n))
+    return F.lit(1.0) - distinct.cast("double") / total.cast("double")
+
+
+#: PII-ish scrub patterns, kept to syntax Java regex and RE2 share so the
+#: DuckDB oracle applies the identical patterns. Ordered: applied in
+#: sequence by redact_patterns.
+SCRUB_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url": "https?://[^ ]+",
+    "long_digits": "[0-9]{6,}",
+}
+
+
+def redact_patterns(
+    text: Column | str,
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[REDACTED]",
+) -> Column:
+    """Scrub every ``patterns`` match (default ``SCRUB_PATTERNS``: emails,
+    URLs, long digit runs) — the PII pass of a training-data pipeline.
+    One chained ``regexp_replace`` per pattern, all JVM-side."""
+    out = _c(text)
+    for pat in (patterns or SCRUB_PATTERNS).values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def pattern_counts(
+    text: Column | str, patterns: dict[str, str] | None = None
+) -> list[Column]:
+    """One count column per scrub pattern (aliased ``n_<name>``)."""
+    t = _c(text)
+    return [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in (patterns or SCRUB_PATTERNS).items()
+    ]
+
+
+#: Gopher-flavored curation rule set. Each rule is a named boolean
+#: expression; a doc is kept when every rule passes. Thresholds are the
+#: public Gopher/C4-family ballpark adapted to whitespace tokenization.
+def curation_rules(text: Column | str, n_rep: int = 3) -> dict[str, Column]:
+    t = _c(text)
+    toks = token_count(t)
+    nonspace = F.length(F.regexp_replace(t, " ", ""))
+    avg_wlen = F.when(toks == 0, F.lit(0.0)).otherwise(
+        nonspace.cast("double") / toks.cast("double")
+    )
+    return {
+        "min_tokens": toks >= 50,
+        "max_tokens": toks <= 100_000,
+        "word_len": (avg_wlen >= 3.0) & (avg_wlen <= 10.0),
+        "alpha": char_class_ratio(t, "[A-Za-z ]") >= 0.8,
+        "digits": char_class_ratio(t, "[0-9]") <= 0.2,
+        "repetition": repetition_ratio(t, n_rep) <= 0.05,
+    }

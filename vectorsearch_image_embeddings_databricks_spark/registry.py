@@ -758,6 +758,128 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_SQL_BASE = """
+    WITH x AS (
+        SELECT lang,
+            (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+                / length(text) AS alpha,
+            (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                / length(text) AS digit,
+            len(list_filter(string_split(text,' '), t -> t <> '')) AS toks,
+            length(replace(text, ' ', '')) AS nospace,
+            len(list_distinct(list_transform(
+                range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 2, 1) + 1),
+                i -> array_to_string(list_filter(
+                    [list_filter(string_split(text,' '), t -> t <> '')[i],
+                     list_filter(string_split(text,' '), t -> t <> '')[i+1],
+                     list_filter(string_split(text,' '), t -> t <> '')[i+2]],
+                    x -> x IS NOT NULL), ' ')
+            ))) AS d3
+        FROM documents
+    ),
+    r AS (
+        SELECT lang,
+            (toks >= 50) AS r_min_tokens,
+            (toks <= 100000) AS r_max_tokens,
+            (CASE WHEN toks = 0 THEN 0.0 ELSE nospace::DOUBLE / toks END
+                 BETWEEN 3.0 AND 10.0) AS r_word_len,
+            (alpha >= 0.8) AS r_alpha,
+            (digit <= 0.2) AS r_digits,
+            (1.0 - d3::DOUBLE / greatest(toks - 2, 1) <= 0.05) AS r_repetition
+        FROM x
+    )
+"""
+
+
+@register(
+    "curation_rules_summary",
+    oracle=_CURATION_SQL_BASE
+    + """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r_min_tokens::INT) AS BIGINT) AS pass_min_tokens,
+           CAST(sum(r_max_tokens::INT) AS BIGINT) AS pass_max_tokens,
+           CAST(sum(r_word_len::INT) AS BIGINT) AS pass_word_len,
+           CAST(sum(r_alpha::INT) AS BIGINT) AS pass_alpha,
+           CAST(sum(r_digits::INT) AS BIGINT) AS pass_digits,
+           CAST(sum(r_repetition::INT) AS BIGINT) AS pass_repetition,
+           CAST(sum((r_min_tokens AND r_max_tokens AND r_word_len
+                     AND r_alpha AND r_digits AND r_repetition)::INT)
+                AS BIGINT) AS n_keep
+    FROM r GROUP BY lang
+    """,
+)
+def curation_rules_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style curation rule bundle: per-language pass counts for
+    each named quality rule (token bounds, mean word length, alpha/digit
+    ratios, trigram repetition) and the docs surviving all of them — the
+    rule-attrition report a quality-filter stack emits before training.
+    Single scan, partial-agg groupBy; every rule is a codegen'd
+    expression restated verbatim in the oracle
+    (functions.text.curation_rules)."""
+    from .functions.text import curation_rules
+
+    docs = load_docs(spark, sf_dir)
+    rules = curation_rules("text")
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(expr.cast("long")).alias(f"pass_{name}")
+            for name, expr in rules.items()
+        ],
+        F.sum(keep.cast("long")).alias("n_keep"),
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=r"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+               AS n_email,
+           CAST(sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS BIGINT)
+               AS n_url,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]{6,}'))) AS BIGINT)
+               AS n_long_digits,
+           CAST(sum(length(text) - length(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+                   'https?://[^ ]+', '', 'g'),
+                   '[0-9]{6,}', '', 'g'))) AS BIGINT) AS chars_scrubbed
+    FROM documents GROUP BY lang
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-language match counts for each scrub pattern
+    (emails, URLs, long digit runs — functions.text.SCRUB_PATTERNS) and
+    total characters removed by the redaction chain. Counts are per
+    pattern on the raw text; chars_scrubbed applies the same chain the
+    production ``redact_patterns`` uses (empty replacement here so the
+    removal is measurable). All JVM regexp — no UDFs."""
+    from .functions.text import SCRUB_PATTERNS, pattern_counts, redact_patterns
+
+    docs = load_docs(spark, sf_dir)
+    per_doc = docs.select(
+        "lang",
+        *pattern_counts("text"),
+        (
+            F.length("text")
+            - F.length(redact_patterns("text", replacement=""))
+        ).alias("__scrubbed"),
+    )
+    return per_doc.groupBy("lang").agg(
+        *[
+            F.sum(f"n_{name}").alias(f"n_{name}")
+            for name in SCRUB_PATTERNS
+        ],
+        F.sum("__scrubbed").alias("chars_scrubbed"),
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return (
@@ -4185,9 +4307,10 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_summary", "duplicate_groups", "ngram_decontaminate",
     # fingerprints (E13)
     "doc_fingerprints", "rolling_fingerprints",
-    # text analysis (E6) + profiling
+    # text analysis (E6) + profiling + curation rules / PII scrub
     "token_counts", "udtf_token_explode", "corpus_stats", "top_terms",
     "text_quality", "lang_id_pred", "profile_documents",
+    "curation_rules_summary", "pii_scrub_stats",
     # search surface (E7-E8, O11-O13/O18)
     "keyword_search_bm25", "hybrid_rrf", "embed_documents_stub",
     # ANN + LSH scale paths (O16, E3 scale tier)
@@ -4200,11 +4323,11 @@ DRIVER_PRIORITY: list[str] = [
     # temporal / sessionization / SCD (E15-E17, §2.2 streaming rows)
     "scd2_customers", "session_stats", "session_window_stats",
     # events + semi-structured (§2.2 scalar-fns / variant rows)
-    "events_daily", "events_json", "events_variant",
+    "events_json", "events_variant",
     # interval joins (§2.2 range/as-of)
     "asof_click_attribution", "range_join_events",
     # window frames / reshaping (§2.2)
-    "moving_avg_revenue", "unpivot_order_measures", "rollup_revenue",
+    "moving_avg_revenue", "unpivot_order_measures",
     # sampling / skew / composition / batch construction
     "stratified_sample_md5", "salted_priority_revenue", "curation_pipeline",
     "pack_sequences", "mixture_rebalance",
