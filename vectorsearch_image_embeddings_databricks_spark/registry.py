@@ -3241,12 +3241,12 @@ def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name, c_custkey,
            round(total_spend, 2) AS total_spend,
-           round(percent_rank() OVER
-                 (PARTITION BY n_name ORDER BY total_spend, c_custkey), 6)
-               AS spend_pr,
-           round(cume_dist() OVER
-                 (PARTITION BY n_name ORDER BY total_spend, c_custkey), 6)
-               AS spend_cd
+           CAST(floor(percent_rank() OVER
+                 (PARTITION BY n_name ORDER BY total_spend, c_custkey)
+                 * 1000000) AS BIGINT) AS spend_pr_micro,
+           CAST(floor(cume_dist() OVER
+                 (PARTITION BY n_name ORDER BY total_spend, c_custkey)
+                 * 1000000) AS BIGINT) AS spend_cd_micro
     FROM spend
     """,
 )
@@ -3256,7 +3256,15 @@ def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles total: one keyed agg (customer×nation), one window
     exchange on n_name; nation is broadcast. The window ORDER BY
     tie-breaks on c_custkey so ranks are deterministic, and spend is an
-    exact decimal sum so both engines rank identical values."""
+    exact decimal sum so both engines rank identical values.
+
+    The normalized ranks are emitted as floor-truncated micro-units, not
+    round(x, 6): cume_dist = k/n lands EXACTLY on a .5 rounding boundary
+    whenever 10^6·k/n is a half-integer (first hit at sf0.1:
+    41/640 = 0.0640625), and there Spark's HALF_UP on the shortest
+    decimal string disagrees with DuckDB's C-double rounding. floor is
+    applied to bitwise-identical IEEE doubles (same k, n → same division
+    and multiply result in both engines), so it cannot diverge."""
     from pyspark.sql import Window
 
     c = load(spark, sf_dir, "customer")
@@ -3273,8 +3281,12 @@ def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "c_custkey",
         F.round("total_spend", 2).alias("total_spend"),
-        F.round(F.percent_rank().over(w), 6).alias("spend_pr"),
-        F.round(F.cume_dist().over(w), 6).alias("spend_cd"),
+        F.floor(F.percent_rank().over(w) * F.lit(1e6))
+        .cast("long")
+        .alias("spend_pr_micro"),
+        F.floor(F.cume_dist().over(w) * F.lit(1e6))
+        .cast("long")
+        .alias("spend_cd_micro"),
     )
 
 
