@@ -143,8 +143,10 @@ def test_hybrid_search_one_call_matches_composition(spark):
         "embedding"
     ]
     idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    import math
+
     got = [
-        (r["id"], round(r["rrf_score"], 6))
+        (r["id"], math.floor(r["rrf_score"] * 1e6))
         for r in hybrid.hybrid_search(
             docs,
             idx,
@@ -156,7 +158,7 @@ def test_hybrid_search_one_call_matches_composition(spark):
         ).collect()
     ]
     want = [
-        (r["id"], round(r["rrf_score"], 6))
+        (r["id"], r["rrf_micro"])
         for r in registry.QUERIES["hybrid_rrf"](spark, SF_SMALL).collect()
     ]
     assert got == want and len(got) == registry.HYBRID_TOPK

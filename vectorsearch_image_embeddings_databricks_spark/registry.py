@@ -325,7 +325,7 @@ JACCARD_THRESHOLD = 0.7
                  / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
         FROM s a JOIN s b ON a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, round(jac, 6) AS jac FROM p WHERE jac >= {JACCARD_THRESHOLD}
+    SELECT id_a, id_b, CAST(floor(jac * 1000000) AS BIGINT) AS jac_micro FROM p WHERE jac >= {JACCARD_THRESHOLD}
     """,
 )
 def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,7 +336,11 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = dedup.near_dup_pairs_jaccard(
         docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
     )
-    return res.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    return res.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jac") * F.lit(1e6)).cast("long").alias("jac_micro"),
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -741,11 +745,11 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           round(least(1.0, greatest(0.0,
+           CAST(floor(least(1.0, greatest(0.0,
                alpha * 0.6
                + greatest(0.0, 1.0 - abs(CASE WHEN toks = 0 THEN 0.0
                                               ELSE nospace::DOUBLE / toks END - 5.0) / 5.0) * 0.3
-               + (1.0 - digit) * 0.1)), 6) AS quality
+               + (1.0 - digit) * 0.1)) * 1000000) AS BIGINT) AS quality_micro
     FROM x
     """,
 )
@@ -754,7 +758,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle needs DuckDB's 'g' flag to match Spark's replace-all default."""
     docs = load_docs(spark, sf_dir)
     return docs.select(
-        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+        "doc_id",
+        F.floor(quality_score("text") * F.lit(1e6)).cast("long").alias("quality_micro"),
     )
 
 
@@ -934,16 +939,16 @@ Q1_CUTOFF = "1998-09-02 00:00:00"
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                           * CAST(1 - l_discount AS DECIMAL(18,4))
-                          * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                          * CAST(1 + l_tax AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+           CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_qty_micro,
+           CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_price_micro,
+           CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_disc_micro,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
@@ -954,22 +959,37 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary. Scale notes: predicate pushes to the
     parquet scan; partial (map-side) aggregation means the shuffle carries
     |groups| rows per partition, not data rows. Decimal sums are exact, so
-    results are independent of partitioning/add order."""
+    results are independent of partitioning/add order.
+
+    Canonicalization policy (see customer_spend_rank): sums round in
+    DECIMAL space (exact HALF_UP, engine-identical) before the double
+    cast — a 4-decimal sum ending in .xx50 is a double-rounding coin
+    flip otherwise; averages (decimal-sum / count ratios) emit as
+    floor-truncated micro-units, which involves no rounding policy at
+    all on the bitwise-identical quotient doubles."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz")
     )
     disc_price = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * dec(F.lit(1.0) + F.col("l_tax"))
+
+    def avg_micro(c):
+        return (
+            F.floor(
+                F.sum(dec(c)).cast("double") / F.count("*") * F.lit(1e6)
+            ).cast("long")
+        )
+
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
-            F.round(F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
-            F.round(F.sum(dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            avg_micro("l_quantity").alias("avg_qty_micro"),
+            avg_micro("l_extendedprice").alias("avg_price_micro"),
+            avg_micro("l_discount").alias("avg_disc_micro"),
             F.count("*").alias("count_order"),
         )
     )
@@ -983,8 +1003,8 @@ Q3_DATE = "1998-06-01 00:00:00"
     "shipping_priority",
     oracle=f"""
     SELECT l.l_orderkey,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
            o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1015,7 +1035,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -1034,8 +1054,8 @@ Q5_REGION = "ASIA"
     "region_revenue",
     oracle=f"""
     SELECT n.n_name,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM region r
       JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -1063,7 +1083,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg(
-            F.round(revenue.cast("double"), 2).alias("revenue"),
+            F.round(revenue, 2).cast("double").alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -1076,8 +1096,8 @@ Q6_END = "1997-01-01 00:00:00"
 @register(
     "forecast_revenue",
     oracle=f"""
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
@@ -1103,8 +1123,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.agg(
         F.round(
-            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 2
-        ).alias("revenue"),
+            F.sum(dec("l_extendedprice") * dec("l_discount")), 2).cast("double").alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
 
@@ -1152,7 +1171,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1167,7 +1186,7 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum(dec("value", 6)).cast("double"), 4).alias("total_value"),
+            F.round(F.sum(dec("value", 6)), 4).cast("double").alias("total_value"),
         )
     )
 
@@ -1276,8 +1295,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_items,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -1315,7 +1334,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = joined.groupBy("o_orderpriority").agg(
             F.count("*").alias("n_items"),
-            F.round(revenue.cast("double"), 2).alias("revenue"),
+            F.round(revenue, 2).cast("double").alias("revenue"),
         )
         tree = explain_str(out).split("\n\n")[0]
         # bucket-to-bucket SMJ: the only exchange is the aggregation's
@@ -1406,7 +1425,7 @@ HYBRID_POOL = 20 * HYBRID_TOPK  # bounded candidate pool per ranking side
                coalesce(1.0/(60 + a.rank), 0) + coalesce(1.0/(60 + b.rank), 0) AS rrf
         FROM kwr a FULL OUTER JOIN vsr b ON a.id = b.id
     )
-    SELECT id, round(rrf, 6) AS rrf_score
+    SELECT id, CAST(floor(rrf * 1000000) AS BIGINT) AS rrf_micro
     FROM f ORDER BY rrf DESC, id LIMIT {HYBRID_TOPK}
     """,
 )
@@ -1437,7 +1456,10 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused.orderBy(F.desc("rrf_score"), F.asc("id"))
         .limit(HYBRID_TOPK)
-        .select("id", F.round("rrf_score", 6).alias("rrf_score"))
+        .select(
+            "id",
+            F.floor(F.col("rrf_score") * F.lit(1e6)).cast("long").alias("rrf_micro"),
+        )
     )
 
 
@@ -1622,7 +1644,7 @@ def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT substr(CAST(ts AS VARCHAR), 1, 10) AS day,
            event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
                AS sum_value
     FROM events
     GROUP BY 1, 2
@@ -1849,7 +1871,7 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_no,
                strftime(o_orderdate, '%Y-%m-%d') AS day,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS revenue
         FROM orders GROUP BY 1, 2
     )
@@ -1879,7 +1901,7 @@ def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_from_unix_date(day_no.cast("int")).cast("string").alias("day"),
         )
         .agg(
-            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -2002,9 +2024,9 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wide AS (
         SELECT o_orderpriority,
                CAST(count(*) AS DOUBLE) AS n_orders,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS total_price,
-               round(CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               CAST(round(max(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS max_price
         FROM orders GROUP BY o_orderpriority
     )
@@ -2024,10 +2046,10 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderpriority").agg(
         F.count("*").cast("double").alias("n_orders"),
-        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias(
             "total_price"
         ),
-        F.round(F.max(dec("o_totalprice")).cast("double"), 2).alias(
+        F.round(F.max(dec("o_totalprice")), 2).cast("double").alias(
             "max_price"
         ),
     )
@@ -2048,7 +2070,7 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
     SELECT r.r_name, n.n_name,
-           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS total_price,
            count(*) AS n_orders
     FROM orders o
@@ -2076,7 +2098,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(dims, o.o_custkey == dims.c_custkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias(
                 "total_price"
             ),
             F.count("*").alias("n_orders"),
@@ -2118,7 +2140,7 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -2131,7 +2153,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias(
             "total_price"
         ),
     )
@@ -2150,7 +2172,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(quartile AS INTEGER) AS quartile,
            count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS total_price
     FROM ranked GROUP BY quartile
     """,
@@ -2170,7 +2192,7 @@ def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias(
                 "total_price"
             ),
         )
@@ -2188,7 +2210,7 @@ def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS total_value
     FROM events
     GROUP BY 1, 2
@@ -2206,7 +2228,7 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(dec("value")).cast("double"), 2).alias("total_value"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("string").alias("window_start"),
@@ -2494,8 +2516,9 @@ Q17_BRAND = "Brand#13"
 @register(
     "small_qty_revenue",
     oracle=f"""
-    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
-               AS avg_yearly,
+    SELECT CAST(floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                           AS DOUBLE) / 7.0 * 1000000) AS BIGINT)
+               AS avg_yearly_micro,
            count(*) AS n_rows
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = '{Q17_BRAND}'
@@ -2533,9 +2556,13 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__qty_thresh"))
         .agg(
-            F.round(
-                F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
-            ).alias("avg_yearly"),
+            F.floor(
+                F.sum(dec("l_extendedprice")).cast("double")
+                / F.lit(7.0)
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("avg_yearly_micro"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -2581,7 +2608,7 @@ Q18_MIN_QTY = 250
     "large_volume_customers",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
-           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS total_qty
     FROM customer c
       JOIN orders o   ON o.o_custkey  = c.c_custkey
@@ -2617,7 +2644,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             "o_totalprice",
-            F.round(F.col("__qty").cast("double"), 2).alias("total_qty"),
+            F.round(F.col("__qty"), 2).cast("double").alias("total_qty"),
         )
     )
 
@@ -2677,7 +2704,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -2694,7 +2721,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
     ).agg(
-        F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
 
@@ -2746,7 +2773,7 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            count(*) AS n_gaps,
-           round(avg(g.gap_days), 6) AS avg_gap_days,
+           CAST(floor(avg(g.gap_days) * 1000000) AS BIGINT) AS avg_gap_micro,
            CAST(max(g.gap_days) AS INTEGER) AS max_gap_days
     FROM (
         SELECT o_custkey,
@@ -2786,7 +2813,7 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_gaps"),
-            F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+            F.floor(F.avg("gap_days") * F.lit(1e6)).cast("long").alias("avg_gap_micro"),
             F.max("gap_days").alias("max_gap_days"),
         )
     )
@@ -2797,7 +2824,7 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) AS src_num,
            count(*) AS n_docs,
-           round(avg(n_chars), 6) AS avg_chars,
+           CAST(floor(avg(n_chars) * 1000000) AS BIGINT) AS avg_chars_micro,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars
     FROM documents
@@ -2820,7 +2847,7 @@ def source_regexp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_num")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.floor(F.avg("n_chars") * F.lit(1e6)).cast("long").alias("avg_chars_micro"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
@@ -2840,9 +2867,9 @@ def source_regexp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT month,
            round(CAST(rev AS DOUBLE), 2) AS revenue,
            n_orders,
-           round(CAST(sum(rev) OVER (ORDER BY month
+           CAST(round(sum(rev) OVER (ORDER BY month
                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS DOUBLE), 2)
+                                     AND CURRENT ROW), 2) AS DOUBLE)
                AS cum_revenue
     FROM m
     """,
@@ -2871,9 +2898,9 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
     return monthly.select(
         "month",
-        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
         "n_orders",
-        F.round(F.sum("__rev").over(w).cast("double"), 2).alias("cum_revenue"),
+        F.round(F.sum("__rev").over(w), 2).cast("double").alias("cum_revenue"),
     )
 
 
@@ -3000,8 +3027,8 @@ def stratified_sample_md5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroids",
     oracle="""
     SELECT label, pos,
-           round(CAST(sum(CAST(e AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
-               AS centroid,
+           CAST(floor(CAST(sum(CAST(e AS DECIMAL(18,9))) AS DOUBLE)
+                      / count(*) * 1000000) AS BIGINT) AS centroid_micro,
            count(*) AS n_vecs
     FROM (SELECT label,
                  unnest(embedding::DOUBLE[]) AS e,
@@ -3024,9 +3051,13 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "e"),
     )
     return ex.groupBy("label", "pos").agg(
-        F.round(
-            F.sum(F.col("e").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
-        ).alias("centroid"),
+        F.floor(
+            F.sum(F.col("e").cast("decimal(18,9)")).cast("double")
+            / F.count("*")
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("centroid_micro"),
         F.count("*").alias("n_vecs"),
     )
 
@@ -3174,8 +3205,8 @@ def funnel_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_bracket_revenue",
     oracle="""
     SELECT p.p_brand,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS revenue,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -3215,7 +3246,7 @@ def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(bracket)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -3319,7 +3350,7 @@ Q7_NATION_B = "NATION_2"
            OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
     )
     SELECT supp_nation, cust_nation, ship_year,
-           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM rev
     GROUP BY supp_nation, cust_nation, ship_year
@@ -3367,7 +3398,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("ship_year"),
         )
         .agg(
-            F.round(F.sum(volume).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(volume), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -3399,7 +3430,7 @@ Q8_NATION = "NATION_3"
                                THEN volume
                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                  / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
-           round(CAST(sum(volume) AS DOUBLE), 2) AS total_volume
+           CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume
     FROM base
     GROUP BY o_year
     """,
@@ -3438,9 +3469,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(focal).cast("double") / F.sum(volume).cast("double"), 6
-            ).alias("mkt_share"),
-            F.round(F.sum(volume).cast("double"), 2).alias("total_volume"),
+                F.sum(focal).cast("double") / F.sum(volume), 6).cast("double").alias("mkt_share"),
+            F.round(F.sum(volume), 2).cast("double").alias("total_volume"),
         )
     )
 
@@ -3545,7 +3575,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_rev"),
         )
     )
 
@@ -3597,7 +3627,7 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_mktsegment,
            count(*) AS n_cust,
-           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS total_bal
     FROM customer c, thresh
     WHERE c.c_acctbal > thresh.ab
@@ -3627,7 +3657,7 @@ def above_avg_balance_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(F.sum(dec("c_acctbal")).cast("double"), 2).alias(
+            F.round(F.sum(dec("c_acctbal")), 2).cast("double").alias(
                 "total_bal"
             ),
         )
@@ -3868,8 +3898,8 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profit_by_nation_year",
     oracle="""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS profit
     FROM lineitem l
       JOIN part p     ON p.p_partkey  = l.l_partkey AND p.p_name LIKE '%red%'
@@ -3903,7 +3933,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(profit.cast("double"), 2).alias("profit"))
+        .agg(F.round(profit, 2).cast("double").alias("profit"))
     )
 
 
@@ -3943,7 +3973,7 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_value") > F.col("thresh"))
         .select(
             "l_partkey",
-            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+            F.round(F.col("part_value"), 2).cast("double").alias("part_value"),
         )
     )
 
@@ -4207,7 +4237,8 @@ CURATION_SAMPLE_HEX = "80"  # md5(doc_id) < 0x80/0x100 ≈ 50%
     SELECT lang,
            count(*) AS n_docs,
            CAST(sum(toks) AS BIGINT) AS sum_tokens,
-           round(avg(quality), 6) AS avg_quality
+           CAST(floor(CAST(sum(CAST(quality AS DECIMAL(18,12))) AS DOUBLE)
+                      / count(*) * 1000000) AS BIGINT) AS avg_quality_micro
     FROM sampled
     GROUP BY lang
     """,
@@ -4248,7 +4279,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("toks").alias("sum_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.floor(
+            F.sum(F.col("quality").cast("decimal(18,12)")).cast("double")
+            / F.count("*")
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("avg_quality_micro"),
     )
 
 
@@ -4263,8 +4300,8 @@ SALT_FACTOR = 8
     "salted_priority_revenue",
     oracle="""
     SELECT o.o_orderpriority,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -4293,7 +4330,7 @@ def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.sum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")))
     return joined.groupBy("o_orderpriority").agg(
-        F.round(revenue.cast("double"), 2).alias("revenue"),
+        F.round(revenue, 2).cast("double").alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
 
