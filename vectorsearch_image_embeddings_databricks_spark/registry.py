@@ -3937,7 +3937,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q11_FRACTION = 0.0005
+Q11_AVG_MULT = 1.5
 
 
 @register(
@@ -3952,25 +3952,38 @@ Q11_FRACTION = 0.0005
     SELECT l_partkey,
            round(CAST(part_value AS DOUBLE), 2) AS part_value
     FROM val
-    WHERE part_value > (SELECT sum(part_value) * {Q11_FRACTION} FROM val)
+    WHERE CAST(part_value AS DOUBLE)
+          > {Q11_AVG_MULT} * (SELECT CAST(sum(part_value) AS DOUBLE)
+                                     / count(*) FROM val)
     """,
 )
 def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-shaped global-scalar-subquery filter: parts whose total
-    traded value exceeds a fraction of the whole market. The per-part agg
-    is computed once and reused for both the threshold (a 1-row global agg,
-    broadcast cross-joined — no driver round-trip, stays one Spark job)
-    and the filter, so lineitem is scanned exactly once."""
+    traded value exceeds {Q11_AVG_MULT}× the average part's. The per-part
+    agg is computed once and reused for both the threshold (a 1-row
+    global agg, broadcast cross-joined — no driver round-trip, stays one
+    Spark job) and the filter, so lineitem is scanned exactly once.
+
+    The threshold is a multiple of the AVERAGE, not (as raw Q11) a fixed
+    fraction of the total: a fixed fraction is scale-dependent — at 10×
+    the parts every share shrinks 10× and the result set collapses to
+    empty (TPC-H itself rescales Q11's fraction by 1/SF). The average
+    multiple keeps the selectivity, and therefore the verified result,
+    scale-proportional. Threshold math is a sum/count ratio of exact
+    decimals in double space — identical IEEE values in both engines."""
     li = load(spark, sf_dir, "lineitem")
     val = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice")).alias("part_value")
     )
     thresh = val.agg(
-        (F.sum("part_value") * F.lit(Q11_FRACTION)).alias("thresh")
+        (
+            F.lit(Q11_AVG_MULT)
+            * (F.sum("part_value").cast("double") / F.count("*"))
+        ).alias("thresh")
     )
     return (
         val.crossJoin(F.broadcast(thresh))
-        .filter(F.col("part_value") > F.col("thresh"))
+        .filter(F.col("part_value").cast("double") > F.col("thresh"))
         .select(
             "l_partkey",
             F.round(F.col("part_value"), 2).cast("double").alias("part_value"),
