@@ -219,3 +219,23 @@ def test_decontaminate_broadcasts_eval_side_no_cartesian(spark):
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_pack_sequences_windows_are_partitioned(spark):
+    """Packing must never global-sort: its window partitions by stream,
+    so the plan has no unpartitioned Window (single-reducer) stage and
+    exactly two exchanges (stream partition + bin aggregation)."""
+    plan = plan_of(registry.QUERIES["pack_sequences"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    assert "Window" in tree
+    # an unpartitioned window logs "No Partition Defined" and plans a
+    # SinglePartition exchange feeding the Window — assert it's absent
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+    assert tree.count("Exchange") <= 2
+
+
+def test_mixture_rebalance_single_corpus_scan(spark):
+    """The corpus is aggregated once (localCheckpointed |strata| rows);
+    the scalar-min branch must reuse it, not rescan the parquet."""
+    plan = plan_of(registry.QUERIES["mixture_rebalance"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") <= 1

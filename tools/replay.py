@@ -7,6 +7,7 @@ Prints one line per query with elapsed seconds so slow queries (driver
 wall-cap hazard) are visible.
 """
 import importlib.util
+import os
 import sys
 import time
 import datetime as dt
@@ -25,8 +26,8 @@ spec.loader.exec_module(mod)
 from pyspark.sql import SparkSession  # noqa: E402
 
 spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "16")
+    SparkSession.builder.master(os.environ.get("REPLAY_MASTER", "local[8]"))
+    .config("spark.sql.shuffle.partitions", os.environ.get("REPLAY_SHUFFLE", "16"))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
