@@ -354,3 +354,49 @@ def test_repetition_ratio_flags_looping_text(spark):
     assert got[0] > 0.9
     assert got[1] == 0.0
     assert got[2] == 0.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+    budget=st.integers(min_value=16, max_value=256),
+)
+def test_pack_manifest_invariants_hold_for_any_corpus(spark, tokens, budget):
+    """For arbitrary token-count corpora: every doc is assigned exactly
+    once, and every bin total respects budget + max_doc - 1."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], ["doc_id", "tokens"]
+    )
+    man = packing.pack_manifest(df, "doc_id", "tokens", budget=budget).collect()
+    assert sorted(r["doc_id"] for r in man) == list(range(len(tokens)))
+    totals = {}
+    for r in man:
+        totals[r["bin_id"]] = totals.get(r["bin_id"], 0) + r["tokens"]
+    bound = budget + max(tokens) - 1
+    assert all(t <= bound for t in totals.values())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=40), min_size=2, max_size=12
+    )
+)
+def test_remove_contaminated_leaves_no_flagged_overlap(spark, texts):
+    """After remove_contaminated, re-running contamination_pairs on the
+    survivors finds nothing — the closure property of the sweep."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import decontam
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    test = df.filter("doc_id % 3 = 0")
+    train = df.filter("doc_id % 3 != 0")
+    kept = decontam.remove_contaminated(
+        train, test, "doc_id", "text", n=2, min_shared=1
+    )
+    left = decontam.contamination_pairs(
+        kept, test, "doc_id", "text", n=2, min_shared=1
+    ).collect()
+    assert left == []
