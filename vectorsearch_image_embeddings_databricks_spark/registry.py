@@ -4019,7 +4019,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
 
 
-Q20_QTY_FACTOR = 0.5
+Q20_QTY_FACTOR = 0.1
 
 
 @register(
@@ -4047,8 +4047,11 @@ Q20_QTY_FACTOR = 0.5
 )
 def bolt_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-shaped dominant-supplier query (adapted: availqty does not
-    exist, so 'dominant' = supplied more than half of a part's total traded
-    quantity). Two aggregations over lineitem — one part-filtered by a
+    exist, so 'major' = supplied more than 10% of a part's total traded
+    quantity; at a half-share cutoff the result is empty at EVERY fixture
+    scale because quantity is spread across many suppliers per part —
+    a 10% share keeps the result non-empty and scale-proportional:
+    10/79/254 suppliers at sf0.001/0.01/0.1). Two aggregations over lineitem — one part-filtered by a
     broadcast semi join, one global per-part — joined on partkey, then a
     broadcast join to supplier for names and a distinct on the supplier
     key."""
