@@ -2327,20 +2327,38 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 
+INACTIVE_CUTOFF = "2000-01-01 00:00:00"
+
+
 @register(
     "customers_without_orders",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name, count(*) AS n_customers
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{INACTIVE_CUTOFF}')
     GROUP BY n.n_name
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS as a left-anti hash join (the right side carries only
-    the distinct join key), then a broadcast dim join for the rollup."""
+    the distinct join key after its pushed date filter), then a broadcast
+    dim join for the rollup. The anti join tests *inactivity since a
+    cutoff* rather than never-ordered: every fixture customer has at
+    least one order, so the unconditioned variant verified an anti join
+    with a trivially empty probe side (0 rows at the driver's sf0.01) —
+    the cutoff keeps the result non-empty and scale-proportional
+    (14/135/1355 customers at sf0.001/0.01/0.1)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit(INACTIVE_CUTOFF).cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
     n = load(spark, sf_dir, "nation")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
@@ -3619,7 +3637,7 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "above_avg_balance_no_orders",
-    oracle="""
+    oracle=f"""
     WITH thresh AS (
         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
                / count(*) AS ab
@@ -3631,19 +3649,29 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS total_bal
     FROM customer c, thresh
     WHERE c.c_acctbal > thresh.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{INACTIVE_CUTOFF}')
     GROUP BY c.c_mktsegment
     """,
 )
 def above_avg_balance_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style: customers with above-average positive balance and
-    no orders, rolled up by market segment. The global average is computed
-    as exact-decimal-sum / count (NOT a float avg — float partial-agg
-    order would make the comparison boundary engine-dependent), broadcast
-    as a one-row join; the no-orders test is a LEFT ANTI join on the
-    distinct o_custkey set."""
+    no recent orders (see customers_without_orders for why the anti join
+    is cutoff-conditioned), rolled up by market segment. The global
+    average is computed as exact-decimal-sum / count (NOT a float avg —
+    float partial-agg order would make the comparison boundary
+    engine-dependent), broadcast as a one-row join; the inactivity test
+    is a LEFT ANTI join on the distinct recent o_custkey set."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit(INACTIVE_CUTOFF).cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
     thresh = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(
