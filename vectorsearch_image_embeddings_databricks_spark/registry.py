@@ -1530,6 +1530,37 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_exhaustive",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings e, q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probed exhaustively (nprobe = nlist) must reproduce exact
+    top-k — the lossless-partitioning property of the inverted file:
+    every vector is reachable through its assigned cell(s) and the
+    boundary-replication dedup drops only true duplicates. This gives
+    the ANN machinery (quantizer → assignment → probe → dedup → top-k) a
+    hash-verified driver row, complementing the approximate nprobe<nlist
+    query whose output is recall-pinned in pytest instead."""
+    from .index.ann import IVFIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]["embedding"]
+    ivf = IVFIndex(emb, nlist=8, max_iter=8)
+    return ivf.search(q, k=KNN_K, nprobe=8).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 @register("cosine_lsh_near_dup")
 def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 scale path: sign-LSH candidates + exact cosine verify (subset of
@@ -4406,8 +4437,10 @@ DRIVER_PRIORITY: list[str] = [
     "curation_rules_summary", "pii_scrub_stats",
     # search surface (E7-E8, O11-O13/O18)
     "keyword_search_bm25", "hybrid_rrf", "embed_documents_stub",
-    # ANN + LSH scale paths (O16, E3 scale tier)
-    "ann_lsh_knn", "ann_ivf_knn", "cosine_lsh_near_dup",
+    # ANN + LSH scale paths (O16, E3 scale tier); ann_ivf_exhaustive is
+    # the hash-verified lossless-partitioning row for the IVF machinery
+    "ann_lsh_knn", "ann_ivf_knn", "ann_ivf_exhaustive",
+    "cosine_lsh_near_dup",
     "minhash_near_dedup", "simhash_near_dup",
     # streaming / incremental (O15, E10, E14-E16)
     "incremental_refresh", "continuous_rollup",
@@ -4425,7 +4458,7 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_md5", "salted_priority_revenue", "curation_pipeline",
     "pack_sequences", "mixture_rebalance",
     # physical-layout + representative TPC-H patterns
-    "bucketed_join_revenue", "pricing_summary", "waiting_suppliers",
+    "bucketed_join_revenue", "pricing_summary",
 ]
 
 
