@@ -217,3 +217,30 @@ def test_scd2_apply_invariants(spark):
     }
     assert closed[(2, "b1")]["valid_to"] == t3
     assert closed[(1, "a0")]["valid_to"] == t2  # untouched history
+
+
+def test_gapfill_locf_densifies_and_carries_forward(spark):
+    """Missing buckets appear with carried-forward values; leading gaps
+    (before a series' first value) stay null; counts are per-bucket."""
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    rows = [
+        ("a", 10, 1.0),
+        ("a", 13, 4.0),   # gap at 11, 12
+        ("b", 12, 9.0),   # leading gap at 10, 11
+    ]
+    df = spark.createDataFrame(rows, ["s", "b", "v"])
+    out = gapfill_locf(
+        df, "s", "b", {"n": F.count("*"), "v": F.sum("v")}, fill_cols=["v"]
+    )
+    got = {(r["s"], r["b"]): (r["n"], r["v"]) for r in out.collect()}
+    assert len(got) == 8  # buckets 10..13 x 2 series
+    assert got[("a", 11)] == (None, 1.0)   # carried forward
+    assert got[("a", 12)] == (None, 1.0)
+    assert got[("a", 13)] == (1, 4.0)
+    assert got[("b", 10)] == (None, None)  # leading gap: nothing to carry
+    assert got[("b", 12)] == (1, 9.0)
+    assert got[("b", 13)] == (None, 9.0)

@@ -136,3 +136,49 @@ def range_join(
         *[F.col(c) for c in left.columns],
         *[F.col(f"{c}{suffix}") for c in payload_cols],
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    series_col: str,
+    bucket_col: str,
+    agg_cols: dict,
+    fill_cols: list[str],
+) -> DataFrame:
+    """Hypertable-style gap filling: densify integer time buckets per
+    series and carry values forward (LOCF) across the gaps.
+
+    ``df`` is the RAW event table with an integer ``bucket_col`` already
+    derived (e.g. ``ts div 3_600_000_000_000`` for hours over epoch
+    nanos — keep it integer and timezone-free). ``agg_cols`` maps output
+    name -> aggregate Column over a bucket; names in ``fill_cols`` are
+    forward-filled across empty buckets (others default per their
+    aggregate's null → caller coalesces).
+
+    Scale shape: the heavy work is the per-bucket aggregate (partial-agg
+    groupBy, one shuffle keyed (series, bucket)). The dense grid is
+    |series| × |buckets| — a function of calendar span, not corpus size —
+    built from a 1-row global extent via ``sequence``/``explode`` and a
+    broadcast of the distinct series keys. The LOCF window partitions by
+    series (never unpartitioned) over grid-sized input.
+    """
+    agg = df.groupBy(series_col, bucket_col).agg(
+        *[c.alias(name) for name, c in agg_cols.items()]
+    )
+    extent = agg.agg(
+        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
+    )
+    buckets = extent.select(
+        F.explode(F.sequence("__mn", "__mx")).alias(bucket_col)
+    )
+    series = df.select(series_col).distinct()
+    grid = buckets.crossJoin(F.broadcast(series))
+    dense = grid.join(agg, [series_col, bucket_col], "left")
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for name in fill_cols:
+        dense = dense.withColumn(name, F.last(name, ignorenulls=True).over(w))
+    return dense

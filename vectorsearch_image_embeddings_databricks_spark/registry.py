@@ -1192,6 +1192,63 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour_no,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(value AS DECIMAL(18,6))) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT min(hour_no) AS mn, max(hour_no) AS mx FROM h),
+    grid AS (
+        SELECT t.event_type, g.hour_no
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(mn, mx)) AS hour_no FROM ext) g
+    ),
+    j AS (
+        SELECT grid.event_type, grid.hour_no,
+               coalesce(h.n_events, 0) AS n_events, h.sv
+        FROM grid LEFT JOIN h USING (event_type, hour_no)
+    )
+    SELECT event_type, hour_no,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(round(last_value(sv IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hour_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ), 4) AS DOUBLE) AS value_locf
+    FROM j
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: hourly per-type event buckets
+    densified over the full span (the fixture is ~5% gappy at hourly
+    grain) with the value sum carried forward across empty buckets
+    (LOCF). Hour index is tz-free integer epoch math; counts coalesce to
+    zero; the carried sum stays exact decimal until the final
+    decimal-space round. See operators.temporal.gapfill_locf for the
+    scale shape (grid is calendar-sized, not corpus-sized)."""
+    from .operators.temporal import gapfill_locf
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "hour_no", F.expr("ts div 3600000000000")
+    )
+    dense = gapfill_locf(
+        ev,
+        "event_type",
+        "hour_no",
+        {"n_events": F.count("*"), "sv": F.sum(dec("value", 6))},
+        fill_cols=["sv"],
+    )
+    return dense.select(
+        "event_type",
+        "hour_no",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(F.col("sv"), 4).cast("double").alias("value_locf"),
+    )
+
+
+@register(
     "events_json",
     oracle=r"""
     WITH k AS (
