@@ -255,3 +255,36 @@ def test_decontaminate_df_cap_drops_boilerplate_ngrams(spark):
         train, test, "doc_id", "text", n=3, min_shared=1, df_cap=None
     ).collect()
     assert len(flagged2) == 2
+
+
+def test_bitext_margin_recovers_planted_pairs(spark):
+    """Planted near-identical cross-set pairs must be mined with the
+    highest margins and matched to their true partners."""
+    import numpy as np
+    from vectorsearch_image_embeddings_databricks_spark.operators import bitext
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # set A = base; set B = slightly perturbed copies (true partners,
+    # same index) plus two random decoys
+    pert = base + 0.05 * rng.standard_normal((6, 16))
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    decoys = rng.standard_normal((2, 16))
+    decoys /= np.linalg.norm(decoys, axis=1, keepdims=True)
+    a = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    b = spark.createDataFrame(
+        [(100 + i, [float(x) for x in pert[i]]) for i in range(6)]
+        + [(200 + i, [float(x) for x in decoys[i]]) for i in range(2)],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["id_a"]: r["id_b"]
+        for r in bitext.mine_parallel_pairs(
+            a, b, "vec_id", "embedding", k=3, margin_threshold=1.0
+        ).collect()
+    }
+    assert got == {i: 100 + i for i in range(6)}

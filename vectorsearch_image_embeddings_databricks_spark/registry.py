@@ -1587,6 +1587,67 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BITEXT_K = 4
+BITEXT_MARGIN = 1.0
+
+
+@register(
+    "bitext_mine_margin",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE label = 0),
+    b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE label = 1),
+    ab AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(a.v, b.v) AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+                   AS rn
+        FROM a, b
+    ),
+    abk AS (SELECT * FROM ab WHERE rn <= {BITEXT_K}),
+    ba AS (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+               list_cosine_similarity(a.v, b.v) AS cos,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY list_cosine_similarity(a.v, b.v) DESC, a.vec_id)
+                   AS rn
+        FROM a, b
+    ),
+    bak AS (SELECT * FROM ba WHERE rn <= {BITEXT_K}),
+    ma AS (SELECT id_a, avg(cos) AS m FROM abk GROUP BY 1),
+    mb AS (SELECT id_b, avg(cos) AS m FROM bak GROUP BY 1),
+    mg AS (
+        SELECT k.id_a, k.id_b, k.cos / (0.5 * (ma.m + mb.m)) AS margin
+        FROM abk k JOIN ma USING (id_a) JOIN mb USING (id_b)
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY id_a
+                      ORDER BY margin DESC, id_b) AS rn
+        FROM mg
+    )
+    SELECT id_a, id_b, round(margin, 6) AS margin
+    FROM best WHERE rn = 1 AND margin > {BITEXT_MARGIN}
+    """,
+)
+def bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion parallel-pair mining (Artetxe & Schwenk; the
+    CCMatrix/LASER bitext recipe) between the label-0 and label-1
+    embedding sets: best hubness-normalized partner per query vector
+    above the margin threshold. Exact tier here; at corpus scale the
+    top-k lists come from the ANN index instead — the formula only needs
+    per-vector neighbor lists. See operators.bitext."""
+    from .operators import bitext
+
+    emb = load_embeddings(spark, sf_dir)
+    a = emb.filter(F.col("label") == 0)
+    b = emb.filter(F.col("label") == 1)
+    res = bitext.mine_parallel_pairs(
+        a, b, "vec_id", "embedding", k=BITEXT_K,
+        margin_threshold=BITEXT_MARGIN,
+    )
+    return res.select("id_a", "id_b", F.round("margin", 6).alias("margin"))
+
+
 @register(
     "ann_ivf_exhaustive",
     oracle=f"""
@@ -4486,8 +4547,8 @@ DRIVER_PRIORITY: list[str] = [
     # dedup family (E3-E5) + decontamination
     "near_dup_pairs_cosine", "near_dup_pairs_jaccard",
     "dedup_exact_summary", "duplicate_groups", "ngram_decontaminate",
-    # fingerprints (E13)
-    "doc_fingerprints", "rolling_fingerprints",
+    # fingerprints (E13) + parallel-pair mining
+    "rolling_fingerprints", "bitext_mine_margin",
     # text analysis (E6) + profiling + curation rules / PII scrub
     "token_counts", "udtf_token_explode", "corpus_stats", "top_terms",
     "text_quality", "lang_id_pred", "profile_documents",
