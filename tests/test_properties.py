@@ -400,3 +400,26 @@ def test_remove_contaminated_leaves_no_flagged_overlap(spark, texts):
         kept, test, "doc_id", "text", n=2, min_shared=1
     ).collect()
     assert left == []
+
+
+def test_unigram_nll_ranks_rare_token_docs_as_tail(spark):
+    """Docs made of corpus-rare tokens must score higher NLL (tail
+    bucket) than docs of corpus-frequent tokens (head bucket)."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.textstats import (
+        unigram_nll,
+    )
+
+    common = "the cat sat on the mat"
+    rows = (
+        [(i, common) for i in range(6)]              # frequent tokens
+        + [(10 + i, f"zq{i}x wv{i}k jj{i}m") for i in range(3)]  # rare
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in unigram_nll(df, "doc_id", "text").collect()}
+    common_nll = max(out[i]["nll"] for i in range(6))
+    rare_nll = min(out[10 + i]["nll"] for i in range(3))
+    assert rare_nll > common_nll
+    # ntile(3) over 9 docs: the 6 low-NLL docs fill buckets 1-2, the
+    # rare-token docs are exactly the tail bucket
+    assert all(out[i]["bucket"] in (1, 2) for i in range(6))
+    assert all(out[10 + i]["bucket"] == 3 for i in range(3))

@@ -69,3 +69,57 @@ def quality_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(text_col).alias("pred_lang"),
         token_count(text_col).alias("n_tokens"),
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a self-trained
+    unigram LM: per-doc mean negative log-likelihood, bucketed into
+    ``n_buckets`` quantiles (CCNet's head/middle/tail uses 3 — low NLL =
+    head = most fluent under the corpus distribution).
+
+    The LM is add-``alpha`` smoothed unigram probabilities over the
+    corpus itself: p(t) = (c(t) + α) / (N + α·|V|). Where CCNet scores
+    with a KenLM 5-gram, the unigram tier is the same pipeline shape
+    (train on corpus → score per doc → quantile-bucket) with the model
+    expressible inside the engine.
+
+    Scale shape: one token-key shuffle for the vocabulary counts, the
+    scalar (N, |V|) broadcast back, one doc-key shuffle for the per-doc
+    mean; the quantile bucket is a window over doc-level rows ordered by
+    (nll, id) — partition-less but over |docs| rows AFTER aggregation,
+    the same cost class as any global ranking of results. At 100 TB
+    bucket by pre-computed quantile cut points instead (one
+    approxQuantile pass) to avoid the global window entirely.
+
+    Returns (id, n_tokens, nll, bucket 1..n_buckets).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    scal = vocab.agg(
+        F.sum("c").alias("__n"), F.count("*").alias("__v")
+    )
+    probs = vocab.crossJoin(F.broadcast(scal)).select(
+        "t",
+        (
+            (F.col("c") + F.lit(alpha))
+            / (F.col("__n") + F.lit(alpha) * F.col("__v"))
+        ).alias("p"),
+    )
+    per_doc = (
+        toks.join(probs, "t")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(-F.log("p")).alias("nll"),
+        )
+    )
+    w = Window.orderBy("nll", "id")
+    return per_doc.withColumn("bucket", F.ntile(n_buckets).over(w))

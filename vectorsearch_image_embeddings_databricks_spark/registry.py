@@ -885,6 +885,48 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lm_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text,' '), t -> t <> '')) AS t
+        FROM documents
+    ),
+    v AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT sum(c) AS n, count(*) AS vs FROM v),
+    p AS (SELECT v.t, (v.c + 1.0) / (tot.n + 1.0 * tot.vs) AS p FROM v, tot),
+    d AS (
+        SELECT toks.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               avg(-ln(p.p)) AS nll
+        FROM toks JOIN p USING (t) GROUP BY toks.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(nll, 6) AS nll,
+           CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INTEGER) AS bucket
+    FROM d
+    """,
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: per-doc mean negative log-likelihood
+    under an add-1-smoothed unigram LM self-trained on the corpus,
+    bucketed head/middle/tail (ntile(3), deterministic (nll, id) order).
+    Where CCNet scores with KenLM, the pipeline shape (train → score →
+    quantile-bucket → keep the head) is identical and fully
+    engine-internal here. See operators.textstats.unigram_nll for the
+    scale notes (the global ntile moves to precomputed quantile cuts at
+    corpus size)."""
+    docs = load_docs(spark, sf_dir)
+    res = textstats.unigram_nll(docs, "doc_id", "text", alpha=1.0, n_buckets=3)
+    return res.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("nll", 6).alias("nll"),
+        "bucket",
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return (
@@ -4549,10 +4591,10 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_summary", "duplicate_groups", "ngram_decontaminate",
     # fingerprints (E13) + parallel-pair mining
     "rolling_fingerprints", "bitext_mine_margin",
-    # text analysis (E6) + profiling + curation rules / PII scrub
-    "token_counts", "udtf_token_explode", "corpus_stats", "top_terms",
+    # text analysis (E6) + profiling + curation rules / PII / LM filter
+    "token_counts", "udtf_token_explode", "corpus_stats",
     "text_quality", "lang_id_pred", "profile_documents",
-    "curation_rules_summary", "pii_scrub_stats",
+    "curation_rules_summary", "pii_scrub_stats", "lm_perplexity_buckets",
     # search surface (E7-E8, O11-O13/O18)
     "keyword_search_bm25", "hybrid_rrf", "embed_documents_stub",
     # ANN + LSH scale paths (O16, E3 scale tier); ann_ivf_exhaustive is
