@@ -288,3 +288,45 @@ def test_bitext_margin_recovers_planted_pairs(spark):
         ).collect()
     }
     assert got == {i: 100 + i for i in range(6)}
+
+
+def test_semantic_dedup_recovers_planted_duplicate_groups(spark):
+    """Planted high-cosine duplicate groups (tiny perturbations of the
+    same base vector) resolve to min-id components; unique vectors label
+    themselves; result matches the exact-pair closure."""
+    import numpy as np
+    from vectorsearch_image_embeddings_databricks_spark.operators import dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((10, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    # group of 3 duplicates of base[0]: ids 0, 100, 200
+    for gid in (0, 100, 200):
+        v = base[0] + 0.01 * rng.standard_normal(32)
+        rows.append((gid, [float(x) for x in v / np.linalg.norm(v)]))
+    # pair of duplicates of base[1]: ids 1, 101
+    for gid in (1, 101):
+        v = base[1] + 0.01 * rng.standard_normal(32)
+        rows.append((gid, [float(x) for x in v / np.linalg.norm(v)]))
+    # uniques
+    for i in range(2, 10):
+        rows.append((i, [float(x) for x in base[i]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["id"]: r["rep_id"]
+        for r in dedup.semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.95, nlist=4
+        ).collect()
+    }
+    assert got[0] == got[100] == got[200] == 0
+    assert got[1] == got[101] == 1
+    for i in range(2, 10):
+        assert got[i] == i
+    # exact closure agreement: same components as the exact pair operator
+    exact_pairs = dedup.near_dup_pairs_cosine(
+        df, "vec_id", "embedding", 0.95
+    ).select("id_a", "id_b").collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact_pairs} == {
+        (0, 100), (0, 200), (100, 200), (1, 101)
+    }

@@ -297,6 +297,31 @@ def near_dedup_minhash(
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)  # read 1-3x below (count, collect | union)
     )
+    return resolve_components(
+        sigs.select("id"),
+        verified,
+        driver_cc_max_edges=driver_cc_max_edges,
+        max_iter=max_iter,
+    )
+
+
+def resolve_components(
+    ids: DataFrame,
+    verified: DataFrame,
+    driver_cc_max_edges: int = 5_000_000,
+    max_iter: int = 32,
+) -> DataFrame:
+    """Connected-component labeling shared by the near-dedup family:
+    (id, rep_id) for every row of ``ids`` (single-column ``id``), where
+    rep_id = min id of the component under the ``verified`` (id_a, id_b)
+    edge set; edge-free ids label themselves.
+
+    Size-gated hybrid (see near_dedup_minhash for the rationale): driver
+    union-find while the edge set fits (it is the corpus's *duplicate
+    pairs*, not the corpus), else distributed min-label propagation with
+    pointer jumping. ``verified`` should already be materialized
+    (localCheckpoint) — it is read 1-3x."""
+    sigs = ids
     id_type = sigs.schema["id"].dataType
     # size gate folded into the collect: fetch at most gate+1 edges in one
     # job — if the limit isn't hit we already hold the whole edge set, so
@@ -306,7 +331,7 @@ def near_dedup_minhash(
     probe = verified.limit(driver_cc_max_edges + 1).collect()
     if len(probe) <= driver_cc_max_edges:
         rows = _union_find_components([(r[0], r[1]) for r in probe])
-        spark = df.sparkSession
+        spark = ids.sparkSession
         labels = spark.createDataFrame(
             rows,
             T.StructType(
@@ -383,6 +408,7 @@ def near_dedup_minhash(
         .join(labels.withColumnRenamed("rep_id", "__rep"), "id", "left")
         .select("id", F.coalesce("__rep", F.col("id")).alias("rep_id"))
     )
+
 
 
 # --------------------------------------------------------------------- #
@@ -533,4 +559,68 @@ def near_dup_pairs_cosine(
         .withColumn("cos", cosine_similarity("__va", "__vb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+# --------------------------------------------------------------------- #
+# semantic (embedding-space) dedup — SemDeDup-style cluster scoping
+# --------------------------------------------------------------------- #
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    replication: int = 2,
+    driver_cc_max_edges: int = 5_000_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantic duplicates — documents
+    whose EMBEDDINGS are near-identical even when their text is not —
+    by clustering the corpus and comparing only within clusters.
+
+    (id, rep_id) labeling: rep_id = min id of the duplicate component
+    under cos ≥ ``threshold``; unique docs label themselves. Keep one row
+    per rep_id to materialize the deduped corpus.
+
+    Scale shape: the coarse quantizer trains on a bounded sample
+    (index.ann.IVFIndex); candidate pairs are *within-cell* self-joins,
+    so pair count is Σ|cell|² instead of n² — the SemDeDup argument.
+    ``replication`` > 1 stores boundary vectors in their runner-up cells
+    too, so high-cosine pairs (which sit close on the sphere and thus
+    share cells with high probability at a duplicate-grade threshold)
+    are not lost to a cell boundary. Exact cosine verifies every
+    candidate; components resolve via the shared size-gated machinery
+    (``resolve_components``).
+    """
+    from ..index.ann import IVFIndex
+
+    ivf = IVFIndex(
+        df,
+        key=id_col,
+        vector_col=vec_col,
+        nlist=nlist,
+        replication=replication,
+        seed=seed,
+    )
+    a = ivf.assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "centroid_id"
+    )
+    b = ivf.assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "centroid_id"
+    )
+    verified = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .distinct()  # replicated vectors can meet in two cells
+        .filter(cosine_similarity("__va", "__vb") >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return resolve_components(
+        ids, verified, driver_cc_max_edges=driver_cc_max_edges
     )
