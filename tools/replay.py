@@ -28,6 +28,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 spark = (
     SparkSession.builder.master(os.environ.get("REPLAY_MASTER", "local[8]"))
     .config("spark.sql.shuffle.partitions", os.environ.get("REPLAY_SHUFFLE", "16"))
+    .config(
+        "spark.sql.adaptive.enabled", os.environ.get("REPLAY_AQE", "true")
+    )
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
