@@ -81,6 +81,11 @@ NEW_OPS = [
     "pack_sequences",
     "mixture_rebalance",
     "ann_ivf_knn",
+    "curation_rules_summary",
+    "pii_scrub_stats",
+    "events_gapfill_hourly",
+    "bitext_mine_margin",
+    "lm_perplexity_buckets",
 ]
 
 

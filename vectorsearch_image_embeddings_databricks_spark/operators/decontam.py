@@ -33,11 +33,17 @@ from ..functions.text import word_shingles
 
 def _postings(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, gh) postings: one row per distinct n-gram per document,
-    n-grams carried as int64 xxhash64 keys."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("g"),
-    ).select("id", F.xxhash64("g").alias("gh"))
+    n-grams carried as int64 xxhash64 keys. Empty documents contribute
+    no postings (word_shingles emits [''] for them; two empty docs
+    sharing the sentinel must not count as contamination)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select("id", F.xxhash64("g").alias("gh"))
+    )
 
 
 def contamination_pairs(

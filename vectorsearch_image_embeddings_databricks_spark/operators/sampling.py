@@ -108,6 +108,10 @@ def mixture_rebalance_plan(
     All integer math (div = floor for the non-negative operands here), so
     the plan is engine-exact and oracle-checkable. Strata absent from
     ``target_shares_micro`` get n_keep = 0 (dropped from the mixture).
+    A LISTED stratum with zero rows in ``df`` simply contributes no
+    plan row: the remaining strata keep their relative target ratios but
+    the exact absolute mixture is unachievable — check the output covers
+    every targeted stratum if that matters to the caller.
 
     Scale shape: one partial-aggregated groupBy over the corpus produces
     |strata| rows; the scalar min is broadcast back — no wide shuffle,

@@ -1655,7 +1655,12 @@ def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .embed import StubTextEncoder, embed_column
     from .functions.vector import l2_norm
 
-    docs = load_docs(spark, sf_dir)
+    # pandas-UDF stages want FEWER, FULLER partitions than the codegen'd
+    # HOF ops load_docs serves: each partition pays a python-worker +
+    # Arrow-channel setup, so 32 workers for 5k rows is spawn-dominated
+    # (measured ~2x slower and far noisier than 8). At corpus scale the
+    # source's own splits set the parallelism and no repartition runs.
+    docs = load(spark, sf_dir, "documents").repartition(8)
     emb = embed_column(docs, "text", lambda: StubTextEncoder(dim=64))
     return emb.select(
         "doc_id",
