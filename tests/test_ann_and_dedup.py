@@ -330,3 +330,22 @@ def test_semantic_dedup_recovers_planted_duplicate_groups(spark):
     assert {(r["id_a"], r["id_b"]) for r in exact_pairs} == {
         (0, 100), (0, 200), (100, 200), (1, 101)
     }
+
+
+def test_recursive_reach_equals_cc_closure(spark):
+    """The Spark 4 recursive-CTE bounded reachability must produce the
+    same (id, rep_id) labeling as the iterative connected-component
+    operator (component diameters at fixture scale are well under the
+    depth bound)."""
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from .conftest import SF_SMALL
+
+    rec = {
+        (r["id"], r["rep_id"])
+        for r in registry.QUERIES["dup_reach_recursive"](spark, SF_SMALL).collect()
+    }
+    mh = {
+        (r["id"], r["rep_id"])
+        for r in registry.QUERIES["minhash_near_dedup"](spark, SF_SMALL).collect()
+    }
+    assert rec == mh and len(rec) > 0

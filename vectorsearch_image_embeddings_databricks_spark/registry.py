@@ -1857,6 +1857,80 @@ def minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.filter(F.col("id") != F.col("rep_id")).orderBy("id")
 
 
+RECURSIVE_REACH_DEPTH = 6
+
+
+@register(
+    "dup_reach_recursive",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(u, v, lvl) AS (
+        SELECT u, v, 1 FROM e
+        UNION ALL
+        SELECT e.u, reach.v, reach.lvl + 1
+        FROM e JOIN reach ON reach.u = e.v
+        WHERE reach.lvl < {RECURSIVE_REACH_DEPTH}
+    )
+    SELECT u AS id, min(v) AS rep_id
+    FROM (SELECT DISTINCT u, v FROM reach)
+    GROUP BY u HAVING min(v) < u
+    """,
+)
+def dup_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE over the exact-Jaccard dup graph:
+    depth-bounded reachability (UNION ALL + level guard — Spark's
+    recursive CTEs don't support the deduplicating UNION, so an
+    unbounded cyclic closure would not terminate) with a DISTINCT
+    collapse, rep = min reachable id. Equals the full connected-component
+    closure whenever component diameter ≤ {RECURSIVE_REACH_DEPTH}
+    (pytest-pinned against near_dedup_minhash at fixture scale) — the
+    declarative counterpart of the operator family's iterative label
+    propagation. Both engines run the same bounded recursion."""
+    docs = load_docs(spark, sf_dir)
+    pairs = dedup.near_dup_pairs_jaccard(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    view = "dup_pairs_recursive_src"
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(f"""
+    WITH RECURSIVE e AS (
+        SELECT id_a AS u, id_b AS v FROM {view}
+        UNION ALL SELECT id_b, id_a FROM {view}
+    ),
+    reach(u, v, lvl) AS (
+        SELECT u, v, 1 FROM e
+        UNION ALL
+        SELECT e.u, reach.v, reach.lvl + 1
+        FROM e JOIN reach ON reach.u = e.v
+        WHERE reach.lvl < {RECURSIVE_REACH_DEPTH}
+    )
+    SELECT u AS id, min(v) AS rep_id
+    FROM (SELECT DISTINCT u, v FROM reach)
+    GROUP BY u HAVING min(v) < u
+    """)
+
+
 @register("simhash_near_dup")
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole band joins."""
