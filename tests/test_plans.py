@@ -239,3 +239,24 @@ def test_mixture_rebalance_single_corpus_scan(spark):
     the scalar-min branch must reuse it, not rescan the parquet."""
     plan = plan_of(registry.QUERIES["mixture_rebalance"](spark, SF_SMALL))
     assert plan.count("Scan parquet") <= 1
+
+
+def test_gapfill_window_is_partitioned_and_grid_broadcast(spark):
+    """Gap filling must LOCF through a series-partitioned window (no
+    single-reducer window over the dense grid) and build the grid via a
+    broadcast of the distinct series keys."""
+    plan = plan_of(registry.QUERIES["events_gapfill_hourly"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    assert "Window" in tree
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in plan
+
+
+def test_perplexity_vocab_scalar_is_broadcast(spark):
+    """The unigram LM's (N, |V|) scalar must come back as a broadcast,
+    not a shuffle, and the plan needs only the vocab + per-doc keyed
+    exchanges plus the bucket window."""
+    plan = plan_of(registry.QUERIES["lm_perplexity_buckets"](spark, SF_SMALL))
+    tree = tree_of(plan)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in tree
