@@ -1857,7 +1857,7 @@ def minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.filter(F.col("id") != F.col("rep_id")).orderBy("id")
 
 
-RECURSIVE_REACH_DEPTH = 6
+RECURSIVE_REACH_DEPTH = 4
 
 
 @register(
