@@ -423,3 +423,17 @@ def test_unigram_nll_ranks_rare_token_docs_as_tail(spark):
     # rare-token docs are exactly the tail bucket
     assert all(out[i]["bucket"] in (1, 2) for i in range(6))
     assert all(out[10 + i]["bucket"] == 3 for i in range(3))
+
+
+def test_deterministic_shuffle_is_stable_and_seed_sensitive(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    a = [r["k"] for r in deterministic_shuffle(df, "k", seed=1).collect()]
+    b = [r["k"] for r in deterministic_shuffle(df.repartition(7), "k", seed=1).collect()]
+    c = [r["k"] for r in deterministic_shuffle(df, "k", seed=2).collect()]
+    assert a == b            # partitioning-independent
+    assert a != c            # epochs differ
+    assert sorted(a) == list(range(200))  # a permutation

@@ -153,3 +153,17 @@ def mixture_rebalance_plan(
             "rate_micro", F.expr("(n_keep * 1000000) div n_docs")
         )
     )
+
+
+def deterministic_shuffle(df: DataFrame, key: str, seed: int = 0) -> DataFrame:
+    """Reproducible global shuffle for training order: sort by
+    ``xxhash64(key, seed)`` (ties broken by the key itself, so the order
+    is total). The standard pre-training materialization step — epoch k
+    uses seed k, and the order is identical across reruns, partitionings
+    and cluster sizes, unlike ``orderBy(rand())``.
+
+    This IS a full sort (range-partitioned exchange + per-partition
+    sort) — the one shuffle a training-data pipeline deliberately pays
+    right before writing shards. Write the result with
+    ``df.write.parquet`` and downstream readers stream it in order."""
+    return df.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
