@@ -212,9 +212,22 @@ def test_hybrid_rrf_windows_only_over_bounded_pools(spark):
 
 def test_decontaminate_broadcasts_eval_side_no_cartesian(spark):
     """The contamination join must broadcast the eval postings and join
-    on the n-gram hash — never a nested-loop/cartesian product, and the
-    corpus-side postings must not be exchanged before the join."""
-    plan = plan_of(registry.QUERIES["ngram_decontaminate"](spark, SF_SMALL))
+    on the n-gram hash — never a nested-loop/cartesian product. Checked
+    on contamination_pairs directly: the report checkpoints the pair set
+    (so its own plan starts from the materialized RDD and the join isn't
+    visible there)."""
+    from pyspark.sql import functions as F
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from vectorsearch_image_embeddings_databricks_spark.operators import decontam
+
+    docs = registry.load_docs(spark, SF_SMALL)
+    pairs = decontam.contamination_pairs(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+    )
+    plan = plan_of(pairs)
     tree = tree_of(plan)
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree

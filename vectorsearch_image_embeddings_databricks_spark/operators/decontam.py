@@ -95,7 +95,12 @@ def decontaminate_report(
     achieving it. Drop these train ids before training."""
     pairs = contamination_pairs(
         train, test, id_col, text_col, n, min_shared, df_cap, broadcast_test
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the report reads pairs twice (per-train rollup + worst-match
+    # join-back); without materialization Catalyst re-executes the whole
+    # shingle/join lineage — including the corpus scan — once per branch.
+    # The pair set is the *contamination*, orders of magnitude smaller
+    # than the corpus, so materializing it is the scalable shape.
     per_train = pairs.groupBy("train_id").agg(
         F.count("*").alias("n_test_matches"),
         F.max("shared").alias("max_shared"),
