@@ -1,0 +1,43 @@
+"""Regenerate the operator trees embedded in PLANS.md.
+
+Prints `##### <name>` + the formatted-plan tree for each flagship query
+at sf0.001; paste into PLANS.md (commentary is maintained by hand).
+"""
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+FLAGSHIPS = [
+    "knn_exact",
+    "knn_batch_bigcorpus",
+    "pricing_summary",
+    "hybrid_rrf",
+    "near_dup_pairs_jaccard",
+    "pack_sequences",
+    "lm_perplexity_buckets",
+    "events_gapfill_hourly",
+    "salted_priority_revenue",
+]
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from vectorsearch_image_embeddings_databricks_spark import registry  # noqa: E402
+
+for name in FLAGSHIPS:
+    df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    print(f"##### {name}")
+    print(buf.getvalue().split("\n\n")[0])
+    print()

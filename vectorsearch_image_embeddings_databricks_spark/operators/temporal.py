@@ -162,8 +162,14 @@ def gapfill_locf(
     broadcast of the distinct series keys. The LOCF window partitions by
     series (never unpartitioned) over grid-sized input.
     """
-    agg = df.groupBy(series_col, bucket_col).agg(
-        *[c.alias(name) for name, c in agg_cols.items()]
+    # |series|·|occupied buckets| rows; materialized once — the extent
+    # scalar, the series key set, and the grid join all read it, and
+    # without the checkpoint each branch re-runs the corpus-wide
+    # aggregate (three full scans observed in the physical plan)
+    agg = (
+        df.groupBy(series_col, bucket_col)
+        .agg(*[c.alias(name) for name, c in agg_cols.items()])
+        .localCheckpoint(eager=True)
     )
     extent = agg.agg(
         F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
@@ -171,7 +177,7 @@ def gapfill_locf(
     buckets = extent.select(
         F.explode(F.sequence("__mn", "__mx")).alias(bucket_col)
     )
-    series = df.select(series_col).distinct()
+    series = agg.select(series_col).distinct()
     grid = buckets.crossJoin(F.broadcast(series))
     dense = grid.join(agg, [series_col, bucket_col], "left")
     w = (

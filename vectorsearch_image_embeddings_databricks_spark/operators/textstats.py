@@ -102,7 +102,14 @@ def unigram_nll(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("t")
     )
-    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    # |V| rows; materialized once — the (N, |V|) scalar and the prob
+    # table both read it, and without the checkpoint each branch would
+    # re-run the corpus-wide explode+count (a full extra scan at scale)
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     scal = vocab.agg(
         F.sum("c").alias("__n"), F.count("*").alias("__v")
     )
