@@ -57,8 +57,11 @@ def mine_parallel_pairs(
     neighborhood average; CCMatrix ships ~1.06 for real bitext).
 
     Deterministic: the argmax tie-breaks on the smallest id_b."""
-    ab = _topk_cross(a, b, id_col, vec_col, k)
-    ba = _topk_cross(b, a, id_col, vec_col, k)
+    # |a|·k and |b|·k rows; materialized once — each list feeds both a
+    # neighbor-mean aggregate and the margin join, and without the
+    # checkpoint every consumer re-runs the full cross scoring
+    ab = _topk_cross(a, b, id_col, vec_col, k).localCheckpoint(eager=True)
+    ba = _topk_cross(b, a, id_col, vec_col, k).localCheckpoint(eager=True)
     mean_a = ab.groupBy("id_a").agg(F.avg("cos").alias("__ma"))
     mean_b = ba.groupBy(F.col("id_a").alias("id_b")).agg(
         F.avg("cos").alias("__mb")
