@@ -2668,6 +2668,51 @@ INACTIVE_CUTOFF = "2000-01-01 00:00:00"
 
 
 @register(
+    "lateral_latest_order",
+    oracle="""
+    WITH topc AS (
+        SELECT c_custkey FROM customer
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+    )
+    SELECT topc.c_custkey, l.o_orderkey,
+           substr(CAST(l.o_orderdate AS VARCHAR), 1, 10) AS latest_order_day
+    FROM topc,
+    LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = topc.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey LIMIT 1
+    ) l
+    """,
+)
+def lateral_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT (§2.2 subqueries row): the
+    most recent order of each top-20-balance customer, written as SQL
+    LATERAL on both engines — Catalyst decorrelates it into a
+    DomainJoin/window shape rather than per-row re-execution. Inner
+    customers are dropped (LATERAL inner join) if they have no orders;
+    day string is tz-free (dates stored at midnight)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql("""
+    WITH topc AS (
+        SELECT c_custkey FROM customer_lat
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+    )
+    SELECT topc.c_custkey, l.o_orderkey,
+           CAST(date_from_unix_date(CAST(unix_micros(l.o_orderdate)
+                div 86400000000 AS INT)) AS STRING) AS latest_order_day
+    FROM topc,
+    LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders_lat o
+        WHERE o.o_custkey = topc.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey LIMIT 1
+    ) l
+    """)
+    # day via raw-epoch math, NOT CAST(ts AS STRING): the cast formats in
+    # the session timezone and would shift the day on non-UTC drivers
+
+
+@register(
     "customers_without_orders",
     oracle=f"""
     SELECT n.n_name, count(*) AS n_customers
