@@ -65,7 +65,7 @@ def canon(cols, rows):
 
 qs, osql = mod.queries(), mod.oracle_sql()
 fails, timings = [], []
-for name in sorted(qs):
+for name in sorted(qs, reverse=os.environ.get("REPLAY_REVERSE") == "1"):
     if ONLY and name not in ONLY:
         continue
     t0 = time.time()

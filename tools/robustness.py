@@ -29,6 +29,11 @@ CONFIGS = [
             "REPLAY_AQE": "false",
         },
     ),
+    # reverse order defeats masking by queries that pin session state
+    # (e.g. the windowed-events queries set session tz to UTC; in
+    # forward alphabetical order every later query inherits it). This
+    # config caught the DST-interval and literal-boundary bugs.
+    ("tz-newyork-reverse", {"TZ": "America/New_York", "REPLAY_REVERSE": "1"}),
 ]
 
 failed = []

@@ -120,6 +120,38 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+
+def day_date(col_name: str) -> F.Column:
+    """Timezone-free DateType from a (midnight-anchored, UTC-stored)
+    timestamp column: raw-epoch day math, no session-timezone step —
+    unlike cast-to-date / date_trunc / year(), which all render the
+    instant through the session timezone first."""
+    return F.date_from_unix_date(
+        F.expr(f"CAST(unix_micros({col_name}) div 86400000000 AS INT)")
+    )
+
+
+def year_of(col_name: str) -> F.Column:
+    """Timezone-free calendar year of a UTC-stored timestamp column."""
+    return F.year(day_date(col_name))
+
+
+def ts_us(literal: str) -> int:
+    """Epoch microseconds of a UTC wall-time literal 'YYYY-MM-DD HH:MM:SS'.
+
+    Timestamp-literal comparisons (`col >= lit(s).cast("timestamp[_ntz]")`)
+    resolve the literal through the SESSION TIMEZONE when the column is
+    TimestampType, silently shifting filter boundaries on non-UTC
+    drivers (caught by the robustness matrix: the inactivity-cutoff
+    queries lost the UTC-midnight rows under America/New_York). Raw
+    integer epoch comparison has no timezone step on either engine."""
+    import datetime as _dt
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in literal else "%Y-%m-%d"
+    d = _dt.datetime.strptime(literal, fmt).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp() * 1_000_000)
+
+
 NANOS_PER_DAY = 86_400_000_000_000
 
 
@@ -1010,7 +1042,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-truncated micro-units, which involves no rounding policy at
     all on the bitwise-identical quotient doubles."""
     li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz")
+        F.col("l_shipdate") <= F.timestamp_micros(F.lit(ts_us(Q1_CUTOFF)))
     )
     disc_price = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * dec(F.lit(1.0) + F.col("l_tax"))
@@ -1047,7 +1079,7 @@ Q3_DATE = "1998-06-01 00:00:00"
     SELECT l.l_orderkey,
            CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
                           * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           substr(CAST(o.o_orderdate AS VARCHAR), 1, 10) AS o_orderdate,
            o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1067,10 +1099,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == Q3_SEGMENT
     )
     orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp_ntz")
+        F.col("o_orderdate") < F.timestamp_micros(F.lit(ts_us(Q3_DATE)))
     )
     li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp_ntz")
+        F.col("l_shipdate") > F.timestamp_micros(F.lit(ts_us(Q3_DATE)))
     )
     revenue = F.sum(dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount")))
     return (
@@ -1081,7 +1113,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            # tz-free day string (cast-to-string renders via session tz)
+            F.date_from_unix_date(
+                F.expr("CAST(unix_micros(o_orderdate) div 86400000000 AS INT)")
+            ).cast("string").alias("o_orderdate"),
             "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -1157,8 +1192,8 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. Window shifted to the fixture's 1995–2001 shipdate range
     (TPC-H's 1994 window matches zero fixture rows)."""
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp_ntz"))
+        (F.col("l_shipdate") >= F.timestamp_micros(F.lit(ts_us(Q6_START))))
+        & (F.col("l_shipdate") < F.timestamp_micros(F.lit(ts_us(Q6_END))))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -2735,8 +2770,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         load(spark, sf_dir, "orders")
         .filter(
-            F.col("o_orderdate")
-            >= F.lit(INACTIVE_CUTOFF).cast("timestamp_ntz")
+            F.col("o_orderdate") >= F.timestamp_micros(F.lit(ts_us(INACTIVE_CUTOFF)))
         )
         .select("o_custkey")
         .distinct()
@@ -2993,8 +3027,12 @@ def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         (F.col("o_orderkey") == F.col("l_orderkey"))
         & (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            # fixed 86400s days in epoch space: `+ INTERVAL n DAY` on a
+            # session-tz timestamp is DST-aware and diverges from the
+            # oracle's naive-timestamp arithmetic under DST timezones
+            F.unix_micros(F.col("l_shipdate"))
+            > F.unix_micros(F.col("o_orderdate"))
+            + F.lit(60 * 86_400_000_000)
         ),
         "left_semi",
     )
@@ -3077,8 +3115,8 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimals so the ratio is bit-identical across engines."""
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp_ntz"))
+        (F.col("l_shipdate") >= F.timestamp_micros(F.lit(ts_us(Q14_START))))
+        & (F.col("l_shipdate") < F.timestamp_micros(F.lit(ts_us(Q14_END))))
     )
     disc_price = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
@@ -3286,9 +3324,7 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     monthly = (
         o.groupBy(
-            F.substring(
-                F.date_trunc("month", F.col("o_orderdate")).cast("string"), 1, 7
-            ).alias("month")
+            F.substring(day_date("o_orderdate").cast("string"), 1, 7).alias("month")
         )
         .agg(
             F.sum(dec("o_totalprice")).alias("__rev"),
@@ -3795,7 +3831,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("ship_year"),
+            year_of("l_shipdate").alias("ship_year"),
         )
         .agg(
             F.round(F.sum(volume), 2).cast("double").alias("revenue"),
@@ -3866,7 +3902,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders_in_region, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(year_of("o_orderdate").alias("o_year"))
         .agg(
             F.round(
                 F.sum(focal).cast("double") / F.sum(volume), 6).cast("double").alias("mkt_share"),
@@ -3906,8 +3942,8 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, so the selected row set is engine-independent."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= F.timestamp_micros(F.lit(ts_us(Q10_START))))
+        & (F.col("o_orderdate") < F.timestamp_micros(F.lit(ts_us(Q10_END))))
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
@@ -3959,8 +3995,8 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     are well-defined. supplier is broadcast; the scalar max is a one-row
     cross join (Spark plans a BroadcastNestedLoopJoin)."""
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp_ntz"))
+        (F.col("l_shipdate") >= F.timestamp_micros(F.lit(ts_us(Q15_START))))
+        & (F.col("l_shipdate") < F.timestamp_micros(F.lit(ts_us(Q15_END))))
     )
     s = load(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
@@ -4048,8 +4084,7 @@ def above_avg_balance_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         load(spark, sf_dir, "orders")
         .filter(
-            F.col("o_orderdate")
-            >= F.lit(INACTIVE_CUTOFF).cast("timestamp_ntz")
+            F.col("o_orderdate") >= F.timestamp_micros(F.lit(ts_us(INACTIVE_CUTOFF)))
         )
         .select("o_custkey")
         .distinct()
@@ -4341,7 +4376,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            year_of("o_orderdate").alias("o_year"),
         )
         .agg(F.round(profit, 2).cast("double").alias("profit"))
     )
@@ -4515,8 +4550,8 @@ def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o_orderkey, o_orderpriority) so the shuffled build side stays narrow;
     the CASE aggregation is a map-side partial agg."""
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q12_SHIP_FROM).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q12_SHIP_TO).cast("timestamp"))
+        (F.col("l_shipdate") >= F.timestamp_micros(F.lit(ts_us(Q12_SHIP_FROM))))
+        & (F.col("l_shipdate") < F.timestamp_micros(F.lit(ts_us(Q12_SHIP_TO))))
     ).select("l_orderkey", "l_linestatus")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -4589,8 +4624,9 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_suppkey",
         (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+            F.unix_micros(F.col("l_shipdate"))
+            > F.unix_micros(F.col("o_orderdate"))
+            + F.lit(Q21_LATE_DAYS * 86_400_000_000)  # fixed-day epoch math (DST, see late_order_priority)
         ).alias("is_late"),
     )
     per_order = flagged.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
