@@ -25,7 +25,12 @@ def profile_table(
 ) -> DataFrame:
     """Profile ``cols`` (default: all) → one row per column:
     (col_name, n_rows, n_null, n_distinct, min_value, max_value).
-    min/max are computed on the native type, then rendered as strings."""
+    min/max are computed on the native type, then rendered as strings.
+
+    Caveat: the min/max string rendering of TIMESTAMP columns goes
+    through the session timezone (Spark cast-to-string semantics) —
+    pin ``spark.sql.session.timeZone`` or derive a tz-free column first
+    if the profile must be reproducible across drivers."""
     cols = list(cols) if cols is not None else list(df.columns)
     nd = (
         (lambda c: F.approx_count_distinct(c))
