@@ -153,6 +153,7 @@ def ts_us(literal: str) -> int:
 
 
 NANOS_PER_DAY = 86_400_000_000_000
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # session gap in µs (oracle-safe unit)
 
 
 def day_of(ts_nanos) -> F.Column:
@@ -1336,6 +1337,89 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessions_state",
+    oracle=f"""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events
+               WHERE user_id < 20),
+    f AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                    > {SESSION_GAP_MICROS} THEN 1 ELSE 0 END AS brk
+        FROM t
+    ),
+    s AS (
+        SELECT user_id, us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_sessions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState gap
+    sessionization) with a hard oracle: a two-slice feed plus one
+    watermark-advancing sentinel event (a fake key far past every real
+    session's gap deadline) forces EVERY session to emit — so the sink,
+    sentinel excluded, must equal the batch lag/cumsum sessionization the
+    SQL oracle computes. Gap math in µs on both sides."""
+    import tempfile
+    import uuid
+
+    from .streaming import sessionize_stream
+    from .streaming.windows import with_event_time
+
+    # bounded slice: the stateful-operator semantics are under test, not
+    # volume; the full feed only multiplies python-state micro-batch cost
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    gap_s = SESSION_GAP_MICROS // 1_000_000
+    sentinel_ts = int(hi) + 100 * SESSION_GAP_MICROS * 1000  # nanos
+    sink = f"sessions_state_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/session_log"
+        # two micro-batches: all events, then the sentinel — open sessions
+        # must survive the batch boundary in state and flush on timeout
+        # when the sentinel advances the watermark (mid-session chunk
+        # splits are exercised by the pytest layer)
+        ev.coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(-1, sentinel_ts)], "user_id long, ts long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = with_event_time(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sess = sessionize_stream(stream, gap_seconds=gap_s)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = (
+            spark.table(sink)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id", "session_start_us", "session_end_us", "n_events"
+            )
+        )
+        final.cache().count()  # materialize before the tmpdir vanishes
+        return final
+
+
+@register(
     "events_gapfill_hourly",
     oracle="""
     WITH h AS (
@@ -2155,7 +2239,6 @@ def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 SESSION_GAP_NANOS = 30 * 60 * 1_000_000_000  # 30-minute inactivity gap
-SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # same gap in µs (oracle-safe unit)
 
 
 @register(
