@@ -1420,6 +1420,84 @@ def streaming_sessions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_state",
+    oracle="""
+    SELECT v.user_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(c.ts) AS click_us
+    FROM events v JOIN events c ON c.user_id = v.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND v.user_id < 20
+      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def streaming_interval_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with a hard oracle: view events joined
+    to same-user click events within 2 hours, both sides fed as
+    two-slice streams under availableNow — every match must emit (inner
+    join emits on arrival; the watermark only bounds state), so the sink
+    equals the plain SQL interval join. The 2-HOUR bound is a day-time
+    interval (fixed microseconds, timezone-proof, unlike calendar DAY
+    intervals); output times are raw epoch µs."""
+    import tempfile
+    import uuid
+
+    from .streaming import interval_join_streams
+    from .streaming.windows import with_event_time
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 20)  # bounded slice (semantics test)
+        .select("user_id", "ts", "event_type")
+    )
+    sink = f"ivjoin_state_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        for side, etype in (("views", "view"), ("clicks", "click")):
+            part = ev.filter(F.col("event_type") == etype)
+            mid = part.select(
+                F.expr("percentile(CAST(ts AS DOUBLE), 0.5)").alias("m")
+            ).collect()[0]["m"]
+            for pred in (F.col("ts") < mid, F.col("ts") >= mid):
+                part.filter(pred).coalesce(1).write.mode("append").parquet(
+                    f"{tmp}/{side}"
+                )
+
+        def read(side):
+            return with_event_time(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/{side}")
+            )
+
+        views = read("views").withColumnRenamed("event_time", "view_time")
+        clicks = read("clicks").withColumnRenamed("event_time", "click_time")
+        joined = interval_join_streams(
+            views,
+            clicks,
+            key="user_id",
+            left_time="view_time",
+            right_time="click_time",
+            max_delay="2 HOURS",
+            watermark="1 hour",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.table(sink).select(
+            "user_id",
+            F.unix_micros("view_time").alias("view_us"),
+            F.unix_micros("click_time").alias("click_us"),
+        )
+        final.cache().count()  # materialize before the tmpdir vanishes
+        return final
+
+
+@register(
     "events_gapfill_hourly",
     oracle="""
     WITH h AS (

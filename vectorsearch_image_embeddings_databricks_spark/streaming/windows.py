@@ -159,6 +159,7 @@ def sessionize_stream(
     key_col: str = "user_id",
     event_time: str = "event_time",
     watermark: str = "0 seconds",
+    epoch_ns_col: str | None = "ts",
 ) -> DataFrame:
     """Streaming gap-sessionization via ``applyInPandasWithState``.
 
@@ -168,6 +169,13 @@ def sessionize_stream(
     'gap'; sessions closed because the event-time watermark passed their
     ``last + gap`` deadline are emitted with reason 'timeout'. State per
     key is a single open (start, last, n) triple — O(keys), not O(events).
+
+    Session times come from ``epoch_ns_col`` (raw int64 epoch nanos) when
+    the input carries one: Arrow hands the UDF the TIMESTAMP ``event_time``
+    as session-timezone-naive datetimes, so epoch math derived from it
+    shifts on non-UTC drivers — the raw integer column has no timezone
+    step. Pass ``epoch_ns_col=None`` to fall back to ``event_time``
+    (then pin ``spark.sql.session.timeZone``).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -185,9 +193,14 @@ def sessionize_stream(
         else:
             times: list[int] = []
             for pdf in pdfs:
-                times.extend(
-                    (pdf[event_time].astype("int64") // 1000).tolist()
-                )
+                if epoch_ns_col is not None and epoch_ns_col in pdf.columns:
+                    times.extend(
+                        (pdf[epoch_ns_col].astype("int64") // 1000).tolist()
+                    )
+                else:
+                    times.extend(
+                        (pdf[event_time].astype("int64") // 1000).tolist()
+                    )
             times.sort()
             prev = state.get if state.exists else None
             closed, cur = _fold_sessions(times, gap_us, prev)
