@@ -273,3 +273,25 @@ def test_perplexity_vocab_scalar_is_broadcast(spark):
     tree = tree_of(plan)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in tree
+
+
+def test_perplexity_bucket_window_is_partitioned(spark):
+    """The quantile bucket must come from the distributed global rank
+    (range exchange + per-partition window + broadcast offsets), not an
+    ntile over an unpartitioned window: no Exchange SinglePartition
+    anywhere (the single-reducer sort is exactly the stage that dies at
+    100 TB). Asserted on the pre-checkpoint ranking stage — the eager
+    localCheckpoint truncates the final query's visible plan — plus the
+    final plan for completeness."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import textstats
+    from vectorsearch_image_embeddings_databricks_spark import registry as reg
+
+    docs = reg.load_docs(spark, SF_SMALL).limit(50)
+    per_doc = docs.selectExpr("doc_id AS id", "length(text) * 1.0 AS nll")
+    stage = textstats._range_ranked(per_doc, ["nll", "id"], None)
+    plan = plan_of(stage)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" in tree_of(plan)
+    full = plan_of(registry.QUERIES["lm_perplexity_buckets"](spark, SF_SMALL))
+    assert "Exchange SinglePartition" not in full

@@ -437,3 +437,30 @@ def test_deterministic_shuffle_is_stable_and_seed_sensitive(spark):
     assert a == b            # partitioning-independent
     assert a != c            # epochs differ
     assert sorted(a) == list(range(200))  # a permutation
+
+
+def test_distributed_ntile_matches_builtin_ntile(spark):
+    """distributed_ntile must be bit-identical to ntile() OVER (ORDER BY)
+    for awkward (N, n_buckets) combos — including N < n, N % n != 0, and
+    heavy ties on the primary order column (the unique tiebreak makes the
+    order total)."""
+    from pyspark.sql import Window
+
+    from vectorsearch_image_embeddings_databricks_spark.operators.textstats import (
+        distributed_ntile,
+    )
+
+    for n_rows, n_buckets in ((1, 3), (2, 3), (7, 3), (30, 4), (100, 7)):
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") % 5).alias("v")
+        )
+        w = Window.orderBy("v", "id")
+        want = {
+            (r["id"]): r["b"]
+            for r in df.withColumn("b", F.ntile(n_buckets).over(w)).collect()
+        }
+        got = {
+            (r["id"]): r["bucket"]
+            for r in distributed_ntile(df, ["v", "id"], n_buckets).collect()
+        }
+        assert got == want, (n_rows, n_buckets)

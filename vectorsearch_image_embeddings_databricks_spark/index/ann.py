@@ -406,6 +406,13 @@ class IVFIndex:
 
         with open(os.path.join(path, "_ivf_meta.json")) as f:
             meta = json.load(f)
+        if "centroids" not in meta:
+            raise ValueError(
+                f"IVF index at {path!r} uses the legacy save format "
+                "(no 'centroids' in _ivf_meta.json; quantizer lived in a "
+                "separate KMeans model dir). No migration path — rebuild "
+                "the index with IVFIndex(...).save(path)."
+            )
         obj = cls.__new__(cls)
         obj.key = meta["key"]
         obj.vector_col = meta["vector_col"]

@@ -91,11 +91,14 @@ def unigram_nll(
 
     Scale shape: one token-key shuffle for the vocabulary counts, the
     scalar (N, |V|) broadcast back, one doc-key shuffle for the per-doc
-    mean; the quantile bucket is a window over doc-level rows ordered by
-    (nll, id) — partition-less but over |docs| rows AFTER aggregation,
-    the same cost class as any global ranking of results. At 100 TB
-    bucket by pre-computed quantile cut points instead (one
-    approxQuantile pass) to avoid the global window entirely.
+    mean; the quantile bucket is a DISTRIBUTED global rank — range
+    repartition on (nll, id), per-partition row_number (a partitioned
+    window), plus a |partitions|-row offset table folded in by broadcast
+    join — then the exact SQL-standard ntile formula in integer math.
+    No unpartitioned window anywhere: the single-reducer sort the naive
+    ``ntile() OVER (ORDER BY ...)`` plans is replaced by a range
+    exchange whose every partition ranks independently
+    (plan-regression-tested).
 
     Returns (id, n_tokens, nll, bucket 1..n_buckets).
     """
@@ -128,5 +131,88 @@ def unigram_nll(
             F.avg(-F.log("p")).alias("nll"),
         )
     )
-    w = Window.orderBy("nll", "id")
-    return per_doc.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return distributed_ntile(per_doc, ["nll", "id"], n_buckets)
+
+
+def _range_ranked(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> DataFrame:
+    """Range-exchange + per-partition row_number — the pre-checkpoint
+    ranking stage of ``distributed_ntile``, exposed so the plan test can
+    assert it contains NO Exchange SinglePartition (the checkpoint
+    truncates the final query's visible plan)."""
+    if num_partitions is None:
+        ranked = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    else:
+        ranked = df.repartitionByRange(
+            num_partitions, *[F.col(c) for c in order_cols]
+        )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return ranked.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lrn", F.row_number().over(w)
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    num_partitions: int | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` without the
+    single-reducer global window.
+
+    ``order_cols`` must be a total order (include a unique tiebreak
+    column) — ties straddling a range-partition boundary would otherwise
+    make ranks partition-dependent.
+
+    Plan: ``repartitionByRange(order_cols)`` (a range exchange — every
+    partition then ranks independently with a PARTITIONED window on
+    ``spark_partition_id()``), a |partitions|-row count collect to
+    compute prefix offsets (scalar-class driver work), and the
+    SQL-standard ntile formula in pure integer math:
+    with N rows and n buckets, q = N div n, r = N mod n, the first r
+    buckets hold q+1 rows — bucket(rank) = ceil(rank/(q+1)) while
+    rank ≤ r·(q+1), else r + ceil((rank − r·(q+1))/q). Bit-identical to
+    both Spark's and DuckDB's ntile (oracle-hash-verified)."""
+    # materialized once: both the offset collect and the final output
+    # read the ranked rows, and partition ids must not be recomputed
+    ranked = _range_ranked(df, order_cols, num_partitions).localCheckpoint(
+        eager=True
+    )
+    counts = sorted(
+        (r["__pid"], r["c"])
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    )
+    total = sum(c for _, c in counts)
+    if total == 0:
+        return df.withColumn(bucket_col, F.lit(None).cast("int"))
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    q, r = divmod(total, n_buckets)
+    rank = F.col("__off") + F.col("__lrn")
+    if q == 0:
+        # fewer rows than buckets: ntile assigns bucket = rank
+        bucket = rank
+    else:
+        bucket = F.when(
+            rank <= F.lit(r * (q + 1)),
+            F.expr(f"(__off + __lrn + {q}) div {q + 1}"),
+        ).otherwise(
+            F.lit(r) + F.expr(f"(__off + __lrn - {r * (q + 1)} + {q - 1}) div {q}")
+        )
+    return (
+        ranked.join(off_df, "__pid")
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("__pid", "__lrn", "__off")
+    )

@@ -446,10 +446,15 @@ DECONTAM_DF_CAP = 50
                )) AS sh
         FROM w
     ),
-    texp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 = 0),
+    -- g <> '' drops the sentinel shingle emitted for token-less docs,
+    -- matching operators.decontam._postings exactly for ALL
+    -- parameterizations (not just the registered min_shared)
+    texp AS (SELECT * FROM (SELECT doc_id, unnest(sh) AS g FROM s
+             WHERE doc_id % 20 = 0) WHERE g <> ''),
     keep AS (SELECT g FROM texp GROUP BY g
              HAVING count(*) <= {DECONTAM_DF_CAP}),
-    trexp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0),
+    trexp AS (SELECT * FROM (SELECT doc_id, unnest(sh) AS g FROM s
+              WHERE doc_id % 20 <> 0) WHERE g <> ''),
     pairs AS (
         SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
                CAST(count(*) AS BIGINT) AS shared
@@ -1269,6 +1274,32 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_ordered_slices(src: str, slices) -> None:
+    """Write each DataFrame slice as ONE parquet file whose name is
+    lexicographically increasing AND whose mtime is strictly increasing,
+    so FileStreamSource (``latestFirst=false``) batches the slices in
+    feed order even on coarse-mtime filesystems. Without this, an
+    appended later slice can be picked up first, advancing the watermark
+    so the earlier slice's rows are dropped by
+    dropDuplicatesWithinWatermark / state timeouts and the hash-verified
+    result goes flaky."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    os.makedirs(src, exist_ok=True)
+    base = time.time()
+    for i, chunk in enumerate(slices):
+        stage = f"{src}__stage{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:05d}-slice.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (base + i, base + i))
+        shutil.rmtree(stage)
+
+
 @register(
     "streaming_dedup_state",
     oracle="""
@@ -1303,14 +1334,20 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"dedup_state_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory() as tmp:
         src = f"{tmp}/dup_log"
-        for pred in (F.col("ts") < mid, F.col("ts") >= mid):
-            chunk = ev.filter(pred)
-            # every row twice inside one slice: duplicates are guaranteed
-            # to arrive within the watermark horizon
-            chunk.union(chunk).coalesce(1).write.mode("append").parquet(src)
+        # every row twice inside one slice: duplicates are guaranteed
+        # to arrive within the watermark horizon; ordered names + mtimes
+        # pin slice pickup order (see _write_ordered_slices)
+        _write_ordered_slices(
+            src,
+            [
+                ev.filter(pred).union(ev.filter(pred))
+                for pred in (F.col("ts") < mid, F.col("ts") >= mid)
+            ],
+        )
         stream = with_event_time(
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
             .parquet(src)
         )
         dd = dedup_stream(stream, keys=["event_id"], watermark="1 hour")
@@ -1389,14 +1426,21 @@ def streaming_sessions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two micro-batches: all events, then the sentinel — open sessions
         # must survive the batch boundary in state and flush on timeout
         # when the sentinel advances the watermark (mid-session chunk
-        # splits are exercised by the pytest layer)
-        ev.coalesce(1).write.mode("append").parquet(src)
-        spark.createDataFrame(
-            [(-1, sentinel_ts)], "user_id long, ts long"
-        ).coalesce(1).write.mode("append").parquet(src)
+        # splits are exercised by the pytest layer); ordered names +
+        # mtimes pin the sentinel to arrive LAST (_write_ordered_slices)
+        _write_ordered_slices(
+            src,
+            [
+                ev,
+                spark.createDataFrame(
+                    [(-1, sentinel_ts)], "user_id long, ts long"
+                ),
+            ],
+        )
         stream = with_event_time(
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
             .parquet(src)
         )
         sess = sessionize_stream(stream, gap_seconds=gap_s)
@@ -1457,15 +1501,19 @@ def streaming_interval_join_state(spark: SparkSession, sf_dir: str) -> DataFrame
             mid = part.select(
                 F.expr("percentile(CAST(ts AS DOUBLE), 0.5)").alias("m")
             ).collect()[0]["m"]
-            for pred in (F.col("ts") < mid, F.col("ts") >= mid):
-                part.filter(pred).coalesce(1).write.mode("append").parquet(
-                    f"{tmp}/{side}"
-                )
+            _write_ordered_slices(
+                f"{tmp}/{side}",
+                [
+                    part.filter(pred)
+                    for pred in (F.col("ts") < mid, F.col("ts") >= mid)
+                ],
+            )
 
         def read(side):
             return with_event_time(
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
                 .parquet(f"{tmp}/{side}")
             )
 
