@@ -349,3 +349,136 @@ def test_recursive_reach_equals_cc_closure(spark):
         for r in registry.QUERIES["minhash_near_dedup"](spark, SF_SMALL).collect()
     }
     assert rec == mh and len(rec) > 0
+
+
+def test_semdedup_fixture_ivf_cell_recall_is_total(spark):
+    """The semantic_dedup registry oracle (recursive closure over EXACT
+    cosine pairs) equals the operator's output only if the IVF candidate
+    pass finds EVERY exact pair at the fixture threshold. Assert that
+    recall directly: cell-scoped candidates ⊇ exact pairs on the planted
+    fixture, at the registry's exact parameterization."""
+    from vectorsearch_image_embeddings_databricks_spark import registry as reg
+    from vectorsearch_image_embeddings_databricks_spark.index.ann import IVFIndex
+    from vectorsearch_image_embeddings_databricks_spark.operators import dedup
+
+    aug = reg._semdedup_aug(spark, SF_SMALL)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs_cosine(
+            aug, "id", "v", reg.SEMDEDUP_THRESHOLD
+        ).collect()
+    }
+    assert exact, "fixture must plant at least one duplicate pair"
+    ivf = IVFIndex(aug, key="id", vector_col="v", nlist=16, replication=2)
+    a = ivf.assigned.select(F.col("id").alias("id_a"), "centroid_id")
+    b = ivf.assigned.select(F.col("id").alias("id_b"), "centroid_id")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert exact <= cand  # recall 1.0 — every exact pair shares a cell
+    # and the end-to-end labeling matches the exact closure
+    got = {
+        r["id"]: r["rep_id"]
+        for r in dedup.semantic_dedup(
+            aug, "id", "v", threshold=reg.SEMDEDUP_THRESHOLD,
+            nlist=16, replication=2,
+        ).collect()
+    }
+    dups = {i: r for i, r in got.items() if i != r}
+    assert len(dups) == 30  # 20 exact copies + 10 perturbed copies
+    for i, r in dups.items():
+        assert r == i % 100000
+
+
+def test_bitext_ivf_tier_matches_exact_at_full_probe(spark):
+    """strategy='ivf' with nprobe=nlist probes every cell, so candidates
+    cover all pairs and the mined output must EQUAL the exact tier
+    (same tie-breaks) — the graceful-degradation contract that lets the
+    exact tier oracle the ANN plumbing end-to-end."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import bitext
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    a = emb.filter(F.col("label") == 0)
+    b = emb.filter(F.col("label") == 1)
+    kw = dict(k=3, margin_threshold=1.0)
+    exact = {
+        (r["id_a"], r["id_b"], round(r["margin"], 9))
+        for r in bitext.mine_parallel_pairs(
+            a, b, "vec_id", "embedding", strategy="exact", **kw
+        ).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"], round(r["margin"], 9))
+        for r in bitext.mine_parallel_pairs(
+            a, b, "vec_id", "embedding", strategy="ivf",
+            nlist=8, nprobe=8, replication=2, **kw
+        ).collect()
+    }
+    assert ivf == exact and exact
+
+
+def test_bitext_ivf_tier_plan_has_no_full_corpus_broadcast(spark):
+    """The ivf tier's candidate generation must be an equi-join on the
+    cell key — no broadcast-nested-loop or cartesian of the other-side
+    corpus anywhere (the exact tier's designed-in scale-killer)."""
+    import contextlib
+    import io
+
+    from vectorsearch_image_embeddings_databricks_spark.operators import bitext
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    a = emb.filter(F.col("label") == 0)
+    b = emb.filter(F.col("label") == 1)
+    df = bitext._topk_ivf(a, b, "vec_id", "embedding", k=3, nlist=8, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_pairs_cosine_ann_tier_recall_and_plan(spark):
+    """The ann_index= tier must (a) recover every duplicate-grade pair
+    the exact tier finds on the planted semdedup fixture, (b) emit a
+    subset of the exact pair set (candidates are exact-verified), and
+    (c) plan as equi-joins — no cartesian/nested-loop of the corpus."""
+    import contextlib
+    import io
+
+    from vectorsearch_image_embeddings_databricks_spark import registry as reg
+    from vectorsearch_image_embeddings_databricks_spark.index.ann import (
+        CosineLSHIndex,
+    )
+    from vectorsearch_image_embeddings_databricks_spark.operators import dedup
+
+    aug = reg._semdedup_aug(spark, SF_SMALL)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs_cosine(
+            aug, "id", "v", reg.SEMDEDUP_THRESHOLD
+        ).collect()
+    }
+    idx = CosineLSHIndex(aug, key="id", vector_col="v", num_bits=16, band_bits=4)
+    ann_df = dedup.near_dup_pairs_cosine(
+        aug, "id", "v", reg.SEMDEDUP_THRESHOLD, ann_index=idx
+    )
+    ann = {(r["id_a"], r["id_b"]) for r in ann_df.collect()}
+    assert ann <= exact          # exact verify: no false positives
+    assert ann == exact          # duplicate-grade pairs always collide
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ann_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # mismatched index wiring is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.near_dup_pairs_cosine(aug, "id", "WRONG", 0.9, ann_index=idx)

@@ -352,10 +352,11 @@ class IVFIndex:
             "centroid_id", F.explode(self._assign_expr())
         ).cache()
 
-    def _assign_expr(self) -> F.Column:
-        """Top-``replication`` centroids by v·ĉ_j (cosine assignment —
-        ‖v‖ is constant across j) as a pure expression: array_sort over
+    def _assign_expr(self, n: int | None = None, vector_col: str | None = None) -> F.Column:
+        """Top-``n`` centroids by v·ĉ_j (cosine assignment — ‖v‖ is
+        constant across j) as a pure expression: array_sort over
         (−dot, j) structs (deterministic smallest-j tie-break), sliced.
+        ``n`` defaults to ``replication`` (index-side storage assignment).
 
         replication > 1 is SPANN-style boundary replication: a vector
         near a cell boundary is stored in its runner-up cell(s) too, so
@@ -363,9 +364,10 @@ class IVFIndex:
         Costs ``replication×`` index storage for a large recall gain at
         fixed nprobe — the knob that makes IVF recall robust without
         probing more of the corpus."""
+        vcol = vector_col or self.vector_col
         scored = [
             F.struct(
-                (-dot(self.vector_col, _query_literal(c))).alias("d"),
+                (-dot(vcol, _query_literal(c))).alias("d"),
                 F.lit(j).alias("j"),
             )
             for j, c in enumerate(self.centroids)
@@ -373,9 +375,22 @@ class IVFIndex:
         ranked = F.slice(
             F.array_sort(F.array(*scored)),
             1,
-            min(self.replication, len(self.centroids)),
+            min(n or self.replication, len(self.centroids)),
         )
         return F.transform(ranked, lambda s: s["j"])
+
+    def assign_cells(
+        self, df: DataFrame, vector_col: str, nprobe: int
+    ) -> DataFrame:
+        """Attach exploded ``centroid_id`` for the top-``nprobe`` cells of
+        each row of an ARBITRARY DataFrame under THIS index's quantizer —
+        the distributed-query-side counterpart of ``search``'s
+        driver-side probe selection. This is what makes two-large-sides
+        kNN (bitext mining) survive scale: both sides shuffle on the
+        shared cell key instead of one side being broadcast."""
+        return df.withColumn(
+            "centroid_id", F.explode(self._assign_expr(nprobe, vector_col))
+        )
 
     def save(self, path: str) -> None:
         """Persist quantizer + centroid-assigned corpus, written

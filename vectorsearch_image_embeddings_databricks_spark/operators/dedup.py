@@ -544,14 +544,30 @@ def near_dup_pairs_cosine(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
+    ann_index=None,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+    """Cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
 
-    This is the oracle-exact path: an upper-triangle pair scan. It is
-    O(n²) by definition of the exact problem — at 100 TB use
-    ``index.ann.CosineLSHIndex.similarity_self_join`` to generate LSH
-    candidates and verify only those with this expression.
+    Default tier is oracle-exact: an upper-triangle pair scan — O(n²) by
+    definition of the exact problem. Pass ``ann_index`` (an
+    ``index.ann.CosineLSHIndex`` built over the SAME df/id/vector
+    columns) to generate candidates from banded-signature equi-joins and
+    exact-verify only those — the 100 TB tier: shuffle on bucket keys,
+    never all-pairs. Output schema identical; completeness follows LSH
+    collision probability at the threshold (pytest pins recall on
+    duplicate-grade fixtures).
     """
+    if ann_index is not None:
+        if (
+            ann_index.key != id_col
+            or ann_index.vector_col != vec_col
+        ):
+            raise ValueError(
+                "ann_index was built over "
+                f"({ann_index.key!r}, {ann_index.vector_col!r}); "
+                f"expected ({id_col!r}, {vec_col!r})"
+            )
+        return ann_index.similarity_self_join(threshold)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (

@@ -1992,9 +1992,11 @@ def bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-criterion parallel-pair mining (Artetxe & Schwenk; the
     CCMatrix/LASER bitext recipe) between the label-0 and label-1
     embedding sets: best hubness-normalized partner per query vector
-    above the margin threshold. Exact tier here; at corpus scale the
-    top-k lists come from the ANN index instead — the formula only needs
-    per-vector neighbor lists. See operators.bitext."""
+    above the margin threshold. Exact tier here (it is the oracle); at
+    corpus scale pass ``strategy='ivf'`` to route both directions
+    through the shared-quantizer cell equi-join (wired + pytest-pinned:
+    full-probe ivf ≡ exact, plan has no corpus broadcast). See
+    operators.bitext."""
     from .operators import bitext
 
     emb = load_embeddings(spark, sf_dir)
@@ -2181,6 +2183,92 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole band joins."""
     docs = load_docs(spark, sf_dir)
     return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+
+
+SEMDEDUP_THRESHOLD = 0.95
+SEMDEDUP_REACH_DEPTH = 4
+
+
+def _semdedup_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup fixture: the embeddings table plus planted
+    duplicate-grade copies derived DETERMINISTICALLY from it (the raw
+    fixture has no pair above cos 0.52, so without planting the operator
+    would only ever prove the trivial all-self labeling). Every vec_id
+    divisible by 25 gains an exact copy at id+100000; every vec_id
+    divisible by 50 additionally gains a perturbed copy at id+200000
+    (first component +0.003 → cos ≈ 0.999996 to its original, far above
+    the 0.95 threshold, while the closest non-planted pair sits at 0.513
+    — no threshold-flip hazard). Both engines build the identical table:
+    float→double casts and the +0.003 are exact IEEE ops."""
+    emb = load_embeddings(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    c1 = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    c2 = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 200000).cast("long").alias("id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.003)),
+            F.slice(F.col("embedding").cast("array<double>"), 2, 1 << 20),
+        ).alias("v"),
+    )
+    return base.unionByName(c1).unionByName(c2)
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE aug AS (
+        SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+        FROM embeddings
+        UNION ALL
+        SELECT CAST(vec_id + 100000 AS BIGINT), embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id % 25 = 0
+        UNION ALL
+        SELECT CAST(vec_id + 200000 AS BIGINT),
+               list_concat([embedding[1]::DOUBLE + 0.003],
+                           (embedding::DOUBLE[])[2:])
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    p AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM aug a JOIN aug b ON a.id < b.id
+        WHERE list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_THRESHOLD}
+    ),
+    e AS (SELECT id_a AS u, id_b AS w FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(u, w, lvl) AS (
+        SELECT u, w, 1 FROM e
+        UNION ALL
+        SELECT e.u, reach.w, reach.lvl + 1
+        FROM e JOIN reach ON reach.u = e.w
+        WHERE reach.lvl < {SEMDEDUP_REACH_DEPTH}
+    ),
+    lbl AS (SELECT u, min(w) AS mw FROM (SELECT DISTINCT u, w FROM reach)
+            GROUP BY u)
+    SELECT a.id, least(a.id, coalesce(l.mw, a.id)) AS rep_id
+    FROM aug a LEFT JOIN lbl l ON l.u = a.id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end with a HARD oracle:
+    IVF-cell-scoped candidate pairs → exact cosine verify → connected
+    components, on the planted-duplicate fixture (``_semdedup_aug``).
+    The oracle is the recursive-CTE component closure over the EXACT
+    cosine pair set — equal to the operator's output exactly when the
+    IVF candidate pass has recall 1.0 at the duplicate-grade threshold
+    (near-identical vectors share cells by construction; replication=2
+    covers cell-boundary stragglers — pytest asserts the recall
+    separately so a miss here is attributable)."""
+    aug = _semdedup_aug(spark, sf_dir)
+    return dedup.semantic_dedup(
+        aug, "id", "v",
+        threshold=SEMDEDUP_THRESHOLD, nlist=16, replication=2,
+    )
 
 
 @register(
@@ -3549,33 +3637,67 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_sketch_stats")
+@register(
+    "approx_sketch_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_within_5pct,
+           CAST(floor(median(CAST(value AS DOUBLE)) * 1000000) AS BIGINT)
+               AS p50_micro,
+           TRUE AS p50_within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates for 100 TB-scale profiling: HyperLogLog++ distinct
-    counts and quantile sketches, per event_type. Exact DISTINCT shuffles
-    every key; the sketches shuffle O(bytes-of-sketch) per partition and
-    merge associatively — this is the only shape that survives at scale.
-    No SQL oracle (sketch estimates are engine-specific); the pytest
-    asserts each estimate within the documented error bound of the exact
-    value (HLL++ rsd=0.01 here, percentile_approx accuracy=10000)."""
+    """Sketch aggregates for 100 TB-scale profiling: HyperLogLog++
+    distinct counts and quantile sketches, per event_type — now with a
+    PARTIAL hash oracle. The sketch estimates themselves are
+    engine-specific (DuckDB's HLL ≠ Spark's HLL++ bit-for-bit), so the
+    query emits (a) the EXACT companions — SQL-expressible, hash-
+    verified — and (b) booleans asserting each sketch lands within a
+    tolerance the oracle states as literal TRUE: HLL++ at rsd=0.01
+    within 5% of exact (5σ — deterministic for a deterministic sketch),
+    and the quantile sketch within the value spread of the exact
+    median's ±1%-rank neighborhood (percentile_approx guarantees rank
+    error ≤ 1/accuracy). A regression in either sketch flips a boolean
+    and fails the driver hash — sketches become externally checkable
+    without demanding cross-engine bit equality.
+
+    Scale note: exact DISTINCT shuffles every key and exists here as the
+    verification companion; the sketch columns are the shape that
+    survives at 100 TB (O(bytes-of-sketch) per partition, associative
+    merge). The exact-median companion uses the same micro-int
+    truncation policy as the other rational-valued oracles."""
     ev = load_events(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-                "value_quantiles"
-            ),
-            F.count("*").alias("n_events"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            F.round(F.element_at("value_quantiles", 1), 4).alias("p50"),
-            F.round(F.element_at("value_quantiles", 2), 4).alias("p95"),
-            F.round(F.element_at("value_quantiles", 3), 4).alias("p99"),
-            "n_events",
-        )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx_users"),
+        F.expr("percentile(CAST(value AS DOUBLE), 0.5)").alias("__p50_exact"),
+        F.expr(
+            "percentile(CAST(value AS DOUBLE), array(0.49, 0.51))"
+        ).alias("__p50_band"),
+        F.percentile_approx(
+            F.col("value").cast("double"), F.lit(0.5), F.lit(10000)
+        ).alias("__p50_sketch"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("__approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_within_5pct"),
+        F.floor(F.col("__p50_exact") * F.lit(1e6))
+        .cast("long")
+        .alias("p50_micro"),
+        (
+            (F.col("__p50_sketch") >= F.element_at("__p50_band", 1))
+            & (F.col("__p50_sketch") <= F.element_at("__p50_band", 2))
+        ).alias("p50_within_tol"),
     )
 
 
