@@ -63,6 +63,44 @@ def duplicate_groups(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    key: Column,
+    id_col: str,
+    score: Column,
+) -> DataFrame:
+    """Quality-aware exact dedup: one representative per dedup key — the
+    row with the HIGHEST ``score`` (min ``id_col`` tie-break), not the
+    arbitrary first row ``dropDuplicates`` keeps nor the min-id row
+    ``dedup_exact`` keeps. This is the production dedup policy of
+    curation stacks: when a page was crawled five times, keep the
+    highest-quality capture.
+
+    One shuffle on the dedup key via a single ``max_by``-style struct
+    aggregate (map-side partial agg applies): argmax = max over
+    (score, −id) structs, so the whole selection is one associative
+    aggregate — no window, no self-join, no second shuffle.
+
+    Returns (dup_key, best_id, dup_count, best_score).
+    """
+    return (
+        df.select(key.alias("dup_key"), F.col(id_col), score.alias("__s"))
+        .groupBy("dup_key")
+        .agg(
+            F.max(
+                F.struct(F.col("__s").alias("s"), (-F.col(id_col)).alias("ni"))
+            ).alias("__best"),
+            F.count("*").alias("dup_count"),
+        )
+        .select(
+            "dup_key",
+            (-F.col("__best.ni")).alias("best_id"),
+            "dup_count",
+            F.col("__best.s").alias("best_score"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # exact Jaccard via inverted index (no cross join)
 # --------------------------------------------------------------------- #

@@ -89,3 +89,65 @@ def pack_report(
             "utilization_micro"
         ),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the context-window
+    construction step of RAG indexing and long-document training
+    (windows of ``window`` tokens, starts every ``stride``; the final
+    chunk is the short remainder so every token is covered exactly as a
+    sliding tokenizer would).
+
+    Chunk count for an n-token doc: 1 if n ≤ window, else
+    1 + ceil((n − window) / stride) — pure integer math, restated
+    verbatim in the DuckDB oracle. Empty docs yield one empty chunk (the
+    doc is preserved, not dropped — dropping is a curation decision).
+
+    Scale shape: entirely ROW-LOCAL — tokenize, one integer expression
+    for the chunk count, posexplode over a ``sequence``, ``slice`` +
+    ``concat_ws`` per chunk. No shuffle, no Python; output size is
+    input × (overlap factor), the plan is scan → generate → project.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    from ..functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.when(
+        F.col("__n") <= window, F.lit(1)
+    ).otherwise(
+        F.lit(1)
+        + F.expr(f"(__n - {window} + {stride} - 1) div {stride}")
+    )
+    out = (
+        toks.withColumn("__nc", n_chunks)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.posexplode(F.expr("sequence(0, __nc - 1)")).alias(
+                "chunk_id", "__start_idx"
+            ),
+        )
+        .withColumn("__start", F.col("chunk_id") * stride)
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.least(
+            F.lit(window), F.col("__n") - F.col("__start")
+        ).alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("__start") + 1, window)
+        ).alias("chunk_text"),
+    )

@@ -216,3 +216,125 @@ def distributed_ntile(
         .withColumn(bucket_col, bucket.cast("int"))
         .drop("__pid", "__lrn", "__off")
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by the mean per-token log-ratio of a TARGET unigram LM (trained on
+    the rows matching ``target_pred``) against the SOURCE LM (trained on
+    the whole corpus). High scores = documents that look like the target
+    domain; the selection step keeps the top mass (resampling is the
+    caller's policy — this operator produces the weights).
+
+    Where the paper uses hashed n-gram features, the unigram tier keeps
+    the score fully engine-internal and oracle-expressible; the pipeline
+    shape (train two LMs → per-doc log-ratio → select) is identical.
+
+    Scale shape: ONE corpus-wide token explode feeds both LMs (the
+    target's counts are a filtered aggregate of the same shuffle, not a
+    second scan); both (N, |V|) scalars come back as broadcasts; tokens
+    join the |V|-row probability table and aggregate per doc — the same
+    two-shuffle shape as ``unigram_nll``. Smoothing is add-``alpha``
+    over the SHARED vocabulary, so out-of-target tokens get finite mass
+    and the ratio is always defined.
+
+    Returns (id, n_tokens, logratio) — logratio > 0 ⇒ target-like.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.cast("int").alias("__is_t"),
+        F.explode(tokenize(text_col)).alias("t"),
+    )
+    # |V| rows with both counts from one shuffle; materialized once —
+    # the scalar aggregate and the probability table both read it
+    vocab = (
+        toks.groupBy("t")
+        .agg(
+            F.count("*").alias("c_s"),
+            F.sum("__is_t").alias("c_t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    scal = vocab.agg(
+        F.sum("c_s").alias("__ns"),
+        F.sum("c_t").alias("__nt"),
+        F.count("*").alias("__v"),
+    )
+    probs = vocab.crossJoin(F.broadcast(scal)).select(
+        "t",
+        (
+            F.log(
+                (F.col("c_t") + F.lit(alpha))
+                / (F.col("__nt") + F.lit(alpha) * F.col("__v"))
+            )
+            - F.log(
+                (F.col("c_s") + F.lit(alpha))
+                / (F.col("__ns") + F.lit(alpha) * F.col("__v"))
+            )
+        ).alias("lr"),
+    )
+    return (
+        toks.select("id", "t")
+        .join(probs, "t")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("lr").alias("logratio"),
+        )
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage report: build the top-``vocab_size``
+    corpus vocabulary (by token count, deterministic (count desc, token
+    asc) tie-break) and report per-group token totals and out-of-vocab
+    rates — the coverage audit run before committing to a tokenizer.
+
+    Scale shape: one token-key shuffle for counts; the vocabulary is a
+    top-k ``orderBy().limit()`` (TakeOrderedAndProject — no full sort)
+    that stays a DataFrame and reaches the corpus as a BROADCAST
+    left-join (null ⇒ OOV); per-group rollup is a partial-agg groupBy.
+    The corpus is scanned twice (counts + coverage) but never shuffled
+    on anything wider than the token key.
+
+    Returns (group, n_tokens, n_oov, oov_micro = floor(1e6·oov_rate)).
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokenize(text_col)).alias("t")
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(vocab_size)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("grp"),
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) div n_tokens").alias("oov_micro"),
+        )
+    )
