@@ -86,6 +86,12 @@ NEW_OPS = [
     "events_gapfill_hourly",
     "bitext_mine_margin",
     "lm_perplexity_buckets",
+    # round 3 additions
+    "semantic_dedup",
+    "chunk_documents",
+    "dsir_importance_weights",
+    "dedup_keep_best",
+    "vocab_oov_stats",
 ]
 
 
