@@ -92,6 +92,8 @@ NEW_OPS = [
     "dsir_importance_weights",
     "dedup_keep_best",
     "vocab_oov_stats",
+    "zorder_layout",
+    "knn_filtered",
 ]
 
 

@@ -482,3 +482,53 @@ def test_near_dup_pairs_cosine_ann_tier_recall_and_plan(spark):
 
     with _pytest.raises(ValueError):
         dedup.near_dup_pairs_cosine(aug, "id", "WRONG", 0.9, ann_index=idx)
+
+
+def test_ivf_append_grows_index_without_retrain(spark):
+    """append() must (a) leave the quantizer untouched, (b) assign new
+    vectors exactly as construction-time assignment would, and (c) make
+    appended vectors findable by search."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    ivf = IVFIndex(old, nlist=8, max_iter=8)
+    cent_before = [list(c) for c in ivf.centroids]
+    ivf.append(new)
+    assert [list(c) for c in ivf.centroids] == cent_before  # no retrain
+    # appended rows assigned identically to a fresh assignment pass
+    # under the same centroids
+    fresh = {
+        (r["vec_id"], r["centroid_id"])
+        for r in new.withColumn(
+            "centroid_id", F.explode(ivf._assign_expr())
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in ivf.assigned.filter(F.col("vec_id") >= 400).collect()
+    }
+    assert got == fresh and got
+    # an appended vector is its own nearest neighbor at full probe
+    q = emb.filter(F.col("vec_id") == 450).collect()[0]["embedding"]
+    top = ivf.search(q, k=1, nprobe=8).collect()
+    assert top and top[0]["vec_id"] == 450
+
+
+def test_ann_recall_report_meets_baseline_bar(spark):
+    """The driver-visible recall audit must clear BASELINE.md's bar:
+    mean recall@5 >= 0.9 at nprobe=4/nlist=8, and be deterministic
+    across runs (seeded quantizer, deterministic tie-breaks)."""
+    from vectorsearch_image_embeddings_databricks_spark import registry as reg
+
+    rows = {
+        r["query_id"]: r["recall_micro"]
+        for r in reg.QUERIES["ann_recall_report"](spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 20
+    mean = sum(rows.values()) / len(rows) / 1e6
+    assert mean >= 0.9, f"mean recall {mean}"
+    again = {
+        r["query_id"]: r["recall_micro"]
+        for r in reg.QUERIES["ann_recall_report"](spark, SF_SMALL).collect()
+    }
+    assert again == rows

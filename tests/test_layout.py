@@ -165,3 +165,51 @@ def test_zorder_tightens_file_stats_on_both_columns(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(zdir).collect()))
     want = sorted(map(tuple, ev.collect()))
     assert got == want
+
+
+def test_morton_key_interleave_exact(spark):
+    """Hand-check the bit interleave: a=0b101 (bits 0,2), b=0b011
+    (bits 0,1) → zkey bits 0(a0),1(b0),3(b1),4(a1... wait a bit1=0),
+    computed independently in Python below for a grid of values."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_image_embeddings_databricks_spark.operators.layout import (
+        morton_key,
+    )
+
+    def py_morton(a, b, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(a, b) for a in (0, 1, 5, 7, 1023) for b in (0, 3, 6, 512, 1023)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", morton_key("a", "b", bits=10).alias("z")
+        ).collect()
+    }
+    for a, b in vals:
+        assert got[(a, b)] == py_morton(a, b, 10), (a, b)
+
+
+def test_zorder_buckets_are_aligned_rectangles(spark):
+    """The clustering guarantee behind the layout: with bits=10 and
+    bucket_shift=14, each Morton-prefix bucket covers exactly one
+    aligned 128x128 rectangle of the key space — the property that makes
+    per-file min/max stats prune BOTH dimensions."""
+    from vectorsearch_image_embeddings_databricks_spark import registry
+
+    from .conftest import SF_SMALL
+
+    rows = registry.QUERIES["zorder_layout"](spark, SF_SMALL).collect()
+    assert rows
+    side = 1 << 7  # 10-bit dims, 14 low zkey bits dropped -> 2^7 per dim
+    for r in rows:
+        assert r["a_max"] - r["a_min"] < side
+        assert r["b_max"] - r["b_min"] < side
+        assert r["a_min"] // side == r["a_max"] // side  # aligned
+        assert r["b_min"] // side == r["b_max"] // side

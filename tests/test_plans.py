@@ -26,6 +26,9 @@ def tree_of(plan: str) -> str:
 
 
 def test_knn_exact_is_scan_plus_takeordered_no_shuffle(spark):
+    # another module's cached embeddings relation would substitute an
+    # InMemoryTableScan and hide the parquet-scan properties under test
+    spark.catalog.clearCache()
     plan = plan_of(registry.QUERIES["knn_exact"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan  # per-partition top-k
     assert "Exchange" not in plan  # the corpus is never shuffled
@@ -295,3 +298,17 @@ def test_perplexity_bucket_window_is_partitioned(spark):
     assert "Window" in tree_of(plan)
     full = plan_of(registry.QUERIES["lm_perplexity_buckets"](spark, SF_SMALL))
     assert "Exchange SinglePartition" not in full
+
+
+def test_knn_filtered_pushes_predicate_to_scan(spark):
+    """The reference's `filters` parameter as a pre-index DataFrame
+    filter: the label predicate must reach the parquet scan
+    (PushedFilters), and the plan must stay scan → filter → cosine →
+    TakeOrderedAndProject with no shuffle — filtered search costs LESS
+    than unfiltered, never a post-filter of k results."""
+    # cached relations from other modules would hide the parquet scan
+    spark.catalog.clearCache()
+    plan = plan_of(registry.QUERIES["knn_filtered"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters")[1][:200]
+    assert "Exchange" not in tree_of(plan)

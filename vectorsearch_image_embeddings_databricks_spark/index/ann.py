@@ -256,10 +256,13 @@ def _spherical_kmeans(
     recall-unstable at small nlist. Deterministic for fixed
     (sample, k, seed, max_iter, n_init); early-exits on assignment
     convergence."""
-    S = _normalize_rows(np.asarray(sample, dtype=np.float64))
-    n = len(S)
-    if n == 0:
+    raw = np.asarray(sample, dtype=np.float64)
+    if raw.size == 0:
+        # checked before _normalize_rows: numpy's axis error on a
+        # 0-row array would otherwise mask this diagnosable condition
         raise ValueError("empty training sample for IVF quantizer")
+    S = _normalize_rows(raw)
+    n = len(S)
     k = min(k, n)
 
     def one_run(rng: np.random.Generator) -> tuple[float, np.ndarray]:
@@ -391,6 +394,23 @@ class IVFIndex:
         return df.withColumn(
             "centroid_id", F.explode(self._assign_expr(nprobe, vector_col))
         )
+
+    def append(self, new_df: DataFrame) -> "IVFIndex":
+        """Grow the index with a new vector batch using the EXISTING
+        quantizer — no retrain, no re-assignment of stored vectors. This
+        is the incremental contract that makes IVF maintainable at
+        corpus scale: assignment is one codegen'd expression over only
+        the new rows (at 100 TB: an appended partition per touched
+        centroid), where retraining would re-shuffle the whole stored
+        corpus. Centroid quality degrades only as the data distribution
+        drifts — the operational signal to rebuild is recall monitoring,
+        not every ingest. Same-schema requirement is the caller's (the
+        union is by name)."""
+        assigned = new_df.withColumn(
+            "centroid_id", F.explode(self._assign_expr())
+        )
+        self.assigned = self.assigned.unionByName(assigned).cache()
+        return self
 
     def save(self, path: str) -> None:
         """Persist quantizer + centroid-assigned corpus, written

@@ -204,6 +204,43 @@ def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
+@register(
+    "knn_filtered",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+    )
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings e, q
+    WHERE e.label <> q.qlabel AND e.vec_id % 2 = 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the reference service's ``filters``
+    parameter (metadata predicates ANDed into similarity_search): top-k
+    restricted to rows passing the predicate. In this engine a filter is
+    just a DataFrame filter BEFORE index construction, so Catalyst
+    pushes it into the parquet scan and the top-k never scores excluded
+    rows — versus post-filtering k results (which under-returns) or
+    service-side filter evaluation per candidate. Same
+    scan → codegen'd cosine → TakeOrderedAndProject plan as knn_exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]
+    qvec, qlabel = row["embedding"], row["label"]
+    filtered = emb.filter(
+        (F.col("label") != qlabel) & (F.col("vec_id") % 2 == 0)
+    )
+    idx = VectorIndex(
+        filtered, key="vec_id", vector_col="embedding", dim=len(qvec)
+    )
+    res = idx.search(qvec, k=KNN_K, columns=["label"])
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
 # --------------------------------------------------------------------- #
 # E2 — kNN join: query table × corpus, per-query top-k
 # --------------------------------------------------------------------- #
@@ -1943,6 +1980,45 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = IVFIndex(emb, nlist=8, max_iter=8)
     return ivf.search(q, k=KNN_K, nprobe=4).select(
         "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+@register("ann_recall_report")
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality audit: per-query recall@5 of the IVF
+    tier (nprobe=2 of nlist=8 — probing a quarter of the cells) against
+    the exact kNN join, over 20 query vectors. Rows-only (the recall of
+    a pruned probe is the measured quantity, not SQL-derivable), but
+    fully DETERMINISTIC: seeded quantizer, deterministic tie-breaks —
+    so regressions show as changed rows, and pytest pins mean recall
+    ≥ 0.9 (BASELINE.md's ANN bar) at this pruning level. Both sides are distributed plans:
+    exact = broadcast-query kNN join, approx = shared-quantizer cell
+    equi-join (operators.bitext._topk_ivf — the same machinery bitext
+    mining uses, exercised here as a batch ANN join)."""
+    from .operators.bitext import _topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    exact = idx.search_batch(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=KNN_K,
+    ).select("query_id", F.col("vec_id").alias("nb"))
+    approx = _topk_ivf(
+        queries, emb, "vec_id", "embedding", k=KNN_K, nlist=8, nprobe=4
+    ).select(F.col("id_a").alias("query_id"), F.col("id_b").alias("nb"))
+    return (
+        exact.join(approx, ["query_id", "nb"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.expr(f"(hits * 1000000) div {KNN_K}").alias("recall_micro"),
+        )
     )
 
 
@@ -5312,6 +5388,66 @@ def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs(spark, sf_dir)
     return textstats.oov_stats(
         docs, "doc_id", "text", "lang", vocab_size=VOCAB_COVERAGE_SIZE
+    )
+
+
+ZORDER_BITS = 10
+ZORDER_BUCKET_SHIFT = 14
+_ZMASK = (1 << ZORDER_BITS) - 1
+
+
+def _morton_sql(a: str, b: str, bits: int) -> str:
+    """The morton_key bit interleave as engine-portable div/mod
+    arithmetic (identical on BIGINT in Spark and DuckDB)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH k AS (
+        SELECT o_custkey % {_ZMASK + 1} AS a,
+               (epoch_us(o_orderdate) // 86400000000) % {_ZMASK + 1} AS b
+        FROM orders
+    ),
+    z AS (
+        SELECT a, b,
+               ({_morton_sql('a', 'b', ZORDER_BITS)})
+                   // {1 << ZORDER_BUCKET_SHIFT} AS bucket
+        FROM k
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(a) AS a_min, max(a) AS a_max,
+           min(b) AS b_min, max(b) AS b_max
+    FROM z GROUP BY bucket
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering report over orders keyed by
+    (customer, order-day) — the lakehouse ``OPTIMIZE ZORDER BY``
+    primitive as pure integer bit arithmetic. Each Morton-prefix bucket
+    (= a range-partitioned file of a z-ordered write) reports its
+    bounding box; small aligned rectangles are what let per-file min/max
+    stats prune predicates on EITHER key dimension at 100 TB. Day
+    numbers come from raw epoch math (timezone-proof, same policy as
+    every temporal query here). See operators.layout."""
+    from .operators.layout import zorder_layout_report
+
+    orders = load(spark, sf_dir, "orders")
+    epoch_day = F.expr(
+        "CAST(unix_micros(o_orderdate) div 86400000000 AS BIGINT)"
+    )
+    return zorder_layout_report(
+        orders,
+        F.col("o_custkey") % F.lit(_ZMASK + 1),
+        epoch_day % F.lit(_ZMASK + 1),
+        bits=ZORDER_BITS,
+        bucket_shift=ZORDER_BUCKET_SHIFT,
     )
 
 
