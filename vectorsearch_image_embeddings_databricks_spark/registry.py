@@ -1583,6 +1583,85 @@ def streaming_interval_join_state(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_enrichment_rollup",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_id < 3000
+    GROUP BY n.n_name
+    """,
+)
+def streaming_enrichment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN with a hard oracle — the enrichment pattern
+    every production event pipeline runs (attach dimension attributes to
+    a stream): a two-slice availableNow event feed broadcast-joined per
+    micro-batch against the static customer→nation dim chain, sink
+    aggregated per nation. Stateless (no watermark needed — the static
+    side is fixed per batch), so the sink must contain EXACTLY the rows
+    of the equivalent batch join and the rollup equals the plain SQL
+    join+aggregate. At 100 TB the static side is the broadcast-sized dim
+    (or a storage-partitioned join for big dims); the stream side never
+    shuffles for the join."""
+    import tempfile
+    import uuid
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_id") < 3000)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mid = ev.select(
+        F.expr("percentile(CAST(ts AS DOUBLE), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    sink = f"enrich_rollup_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/event_log"
+        _write_ordered_slices(
+            src,
+            [
+                ev.filter(pred)
+                for pred in (F.col("ts") < mid, F.col("ts") >= mid)
+            ],
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        enriched = stream.join(
+            F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+        ).join(
+            F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"]
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = (
+            spark.table(sink)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum(dec("value", 6)), 4)
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        final.cache().count()  # materialize before the tmpdir vanishes
+        return final
+
+
+@register(
     "events_gapfill_hourly",
     oracle="""
     WITH h AS (
