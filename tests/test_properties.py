@@ -467,3 +467,41 @@ def test_distributed_ntile_matches_builtin_ntile(spark):
             for r in distributed_ntile(df, ["v", "id"], n_buckets).collect()
         }
         assert got == want, (n_rows, n_buckets)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tokens=st.integers(0, 40),
+    window=st.integers(1, 12),
+    stride_frac=st.integers(1, 12),
+)
+def test_chunk_tokens_coverage_and_count_invariants(
+    spark, n_tokens, window, stride_frac
+):
+    """For ANY (n, window, stride): chunk count matches the closed-form
+    1 + ceil(max(n-W,0)/S); every token position is covered by at least
+    one chunk; every chunk is non-empty except the single chunk of an
+    empty doc; chunk token counts are exact."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.packing import (
+        chunk_tokens,
+    )
+
+    stride = min(stride_frac, window)  # stride ≤ window (overlap or abut)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_tokens(
+            df, "doc_id", "text", window=window, stride=stride
+        ).collect()
+    )
+    want_nc = 1 + max(0, -(-(n_tokens - window) // stride)) if n_tokens > window else 1
+    assert len(rows) == want_nc
+    covered = set()
+    for cid, nct, ctext in rows:
+        toks = [t for t in ctext.split(" ") if t]
+        assert len(toks) == nct
+        start = cid * stride
+        assert toks == [f"t{i}" for i in range(start, start + nct)]
+        covered.update(range(start, start + nct))
+    assert covered == set(range(n_tokens))

@@ -5431,6 +5431,112 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_MICRO_SQL = """floor(least(1.0, greatest(0.0,
+    (length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+        / length(text) * 0.6
+    + greatest(0.0, 1.0 - abs(
+          CASE WHEN len(list_filter(string_split(text,' '), t -> t <> '')) = 0
+               THEN 0.0
+               ELSE length(replace(text, ' ', ''))::DOUBLE
+                    / len(list_filter(string_split(text,' '), t -> t <> ''))
+          END - 5.0) / 5.0) * 0.3
+    + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        / length(text)) * 0.1)) * 1000000)::BIGINT"""
+
+
+@register(
+    "near_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(u, v, lvl) AS (
+        SELECT u, v, 1 FROM e
+        UNION ALL
+        SELECT e.u, reach.v, reach.lvl + 1
+        FROM e JOIN reach ON reach.u = e.v
+        WHERE reach.lvl < {RECURSIVE_REACH_DEPTH}
+    ),
+    lbl AS (SELECT u AS id, least(u, min(v)) AS rep
+            FROM (SELECT DISTINCT u, v FROM reach) GROUP BY u),
+    q AS (SELECT doc_id, {_QUALITY_MICRO_SQL} AS q_micro FROM documents),
+    r AS (
+        SELECT lbl.rep, lbl.id, q.q_micro,
+               row_number() OVER (PARTITION BY lbl.rep
+                                  ORDER BY q.q_micro DESC, lbl.id) AS rn,
+               count(*) OVER (PARTITION BY lbl.rep) AS cs
+        FROM lbl JOIN q ON q.doc_id = lbl.id
+    )
+    SELECT rep AS rep_id, id AS best_id,
+           CAST(cs AS BIGINT) AS cluster_size,
+           q_micro AS best_quality_micro
+    FROM r WHERE rn = 1
+    """,
+)
+def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup dedup with the production keep policy: resolve exact
+    trigram-Jaccard duplicate components (the same closure machinery the
+    whole near-dedup family shares), then keep the HIGHEST-quality
+    member of each multi-doc cluster (micro-int quality, min-id
+    tie-break) — where min-id labeling keeps an arbitrary capture,
+    curation stacks keep the best one. Spark: inverted-index pair join →
+    size-gated connected components → one argmax aggregate per
+    component. Oracle: recursive-CTE closure + window argmax (exact
+    because the fixture's component diameter ≤ the recursion depth,
+    pinned by the dup_reach_recursive pytest)."""
+    docs = load_docs(spark, sf_dir)
+    pairs = (
+        dedup.near_dup_pairs_jaccard(
+            docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    labels = dedup.resolve_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        F.floor(quality_score("text") * F.lit(1e6)).cast("long").alias("__q"),
+    )
+    return (
+        labels.join(scored, "id")
+        .groupBy("rep_id")
+        .agg(
+            F.max(
+                F.struct(F.col("__q").alias("s"), (-F.col("id")).alias("ni"))
+            ).alias("__best"),
+            F.count("*").alias("cluster_size"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            "rep_id",
+            (-F.col("__best.ni")).alias("best_id"),
+            "cluster_size",
+            F.col("__best.s").alias("best_quality_micro"),
+        )
+    )
+
+
 VOCAB_COVERAGE_SIZE = 100
 
 
