@@ -2195,10 +2195,60 @@ def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cosine_lsh_near_dup")
+def _lsh_oracle_sql() -> str:
+    """Restate CosineLSHIndex(num_bits=16, band_bits=4, seed=42) in SQL:
+    the SAME seeded gaussian hyperplanes (bitwise — repr round-trips the
+    float64s and both engines parse decimal literals to nearest double),
+    the same sign bits (sequential-fold dot on both sides), the same
+    integer band keys, band equi-join, exact cosine verify. Converts the
+    LSH tier from rows-only to a full hash row: a change to the planes,
+    banding, or verify logic flips the hash."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((16, 64))
+    bits = [
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) > 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+    bands = []
+    for b in range(4):
+        expr = bits[b * 4]
+        for bit in bits[b * 4 + 1 : b * 4 + 4]:
+            expr = f"(({expr}) * 2 + {bit})"
+        bands.append(expr)
+    band_list = "[" + ", ".join(bands) + "]"
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    banded AS (
+        SELECT vec_id, v, {band_list} AS bands FROM sig
+    ),
+    bexp AS (
+        SELECT vec_id, v, g.i AS band, bands[g.i + 1] AS bh
+        FROM banded, (SELECT unnest(range(4)) AS i) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.v AS va, b.v AS vb
+        FROM bexp a JOIN bexp b
+          ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(va, vb), 6) AS cos
+    FROM cand
+    WHERE list_cosine_similarity(va, vb) >= {COSINE_PAIR_THRESHOLD}
+    """
+
+
+@register("cosine_lsh_near_dup", oracle=_lsh_oracle_sql())
 def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 scale path: sign-LSH candidates + exact cosine verify (subset of
-    the exact pair operator by construction)."""
+    """E3 scale path: sign-LSH candidates + exact cosine verify (subset
+    of the exact pair operator by construction). Hash-verified: the
+    oracle replays the identical seeded hyperplanes, sign bits, band
+    keys and verify in SQL (see _lsh_oracle_sql)."""
     from .index.ann import CosineLSHIndex
 
     emb = load_embeddings(spark, sf_dir)
