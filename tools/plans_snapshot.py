@@ -21,6 +21,10 @@ FLAGSHIPS = [
     "lm_perplexity_buckets",
     "events_gapfill_hourly",
     "salted_priority_revenue",
+    "semantic_dedup",
+    "dedup_keep_best",
+    "chunk_documents",
+    "zorder_layout",
 ]
 
 spark = (
