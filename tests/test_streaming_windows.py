@@ -238,3 +238,32 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert set(got) == want, (
         f"stream emitted {len(set(got))} distinct ids, batch has {len(want)}"
     )
+
+
+def test_write_ordered_slices_names_and_mtimes_monotonic(spark, tmp_path):
+    """The streaming feeds depend on slice pickup order; the writer must
+    guarantee BOTH orderings FileStreamSource could use — lexicographic
+    file names and strictly increasing mtimes — and one parquet file per
+    slice with the slice's exact rows."""
+    import os
+
+    from vectorsearch_image_embeddings_databricks_spark.registry import (
+        _write_ordered_slices,
+    )
+
+    src = str(tmp_path / "feed")
+    slices = [
+        spark.range(0, 3).withColumnRenamed("id", "v"),
+        spark.range(3, 5).withColumnRenamed("id", "v"),
+        spark.range(5, 9).withColumnRenamed("id", "v"),
+    ]
+    _write_ordered_slices(src, slices)
+    files = sorted(os.listdir(src))
+    assert files == ["00000-slice.parquet", "00001-slice.parquet", "00002-slice.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(src, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    got = [
+        sorted(r["v"] for r in spark.read.parquet(os.path.join(src, f)).collect())
+        for f in files
+    ]
+    assert got == [[0, 1, 2], [3, 4], [5, 6, 7, 8]]
