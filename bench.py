@@ -94,6 +94,7 @@ NEW_OPS = [
     "vocab_oov_stats",
     "zorder_layout",
     "knn_filtered",
+    "chunk_pack_pipeline",
 ]
 
 

@@ -592,6 +592,85 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_PACK_WINDOW = 32
+CHUNK_PACK_BUDGET = 256
+CHUNK_PACK_STREAMS = 4
+
+
+@register(
+    "chunk_pack_pipeline",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, len(ws) AS n,
+               CASE WHEN len(ws) <= {CHUNK_PACK_WINDOW} THEN 1
+                    ELSE 1 + (len(ws) - 1) // {CHUNK_PACK_WINDOW} END AS nc
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id * 10000 + chunk_id AS chunk_key,
+               CAST(least({CHUNK_PACK_WINDOW},
+                          n - chunk_id * {CHUNK_PACK_WINDOW}) AS BIGINT)
+                   AS tokens
+        FROM (SELECT doc_id, n, unnest(range(nc)) AS chunk_id FROM c)
+    ),
+    m AS (
+        SELECT chunk_key, tokens,
+               chunk_key % {CHUNK_PACK_STREAMS} AS stream,
+               sum(tokens) OVER (
+                   PARTITION BY chunk_key % {CHUNK_PACK_STREAMS}
+                   ORDER BY tokens DESC, chunk_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM ch
+    ),
+    b AS (
+        SELECT CAST(stream * 1000000000
+                    + (cum - tokens) // {CHUNK_PACK_BUDGET} AS BIGINT)
+                   AS bin_id,
+               tokens
+        FROM m
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS token_sum,
+           CAST((sum(tokens) * 1000000) // {CHUNK_PACK_BUDGET} AS BIGINT)
+               AS utilization_micro
+    FROM b GROUP BY bin_id
+    """,
+)
+def chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end context construction: CHUNK every document into
+    non-overlapping {W}-token windows (stride = window — the training
+    split, not the RAG overlap split), then PACK the chunks into
+    {B}-token training bins with the streamed offset binner. This is the
+    composition a pretraining data pipeline actually runs (chunk →
+    pack → batch manifest), exercised as ONE registry query so the
+    interaction — chunk token counts feeding the packer's windows — is
+    hash-verified, not just each stage alone. Plan: the row-local chunk
+    stage adds no shuffle, so the whole pipeline costs exactly the
+    packer's one partitioned-window pass.""".format(
+        W=CHUNK_PACK_WINDOW, B=CHUNK_PACK_BUDGET
+    )
+    from .operators import packing
+
+    docs = load_docs(spark, sf_dir)
+    chunks = packing.chunk_tokens(
+        docs, "doc_id", "text",
+        window=CHUNK_PACK_WINDOW, stride=CHUNK_PACK_WINDOW,
+    ).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("chunk_key"),
+        F.col("n_chunk_tokens").cast("long").alias("tokens"),
+    )
+    return packing.pack_report(
+        chunks, "chunk_key", "tokens",
+        budget=CHUNK_PACK_BUDGET, num_streams=CHUNK_PACK_STREAMS,
+    )
+
+
 MIXTURE_TARGETS_MICRO = {
     "en": 400_000,
     "de": 150_000,
