@@ -532,3 +532,92 @@ def test_ann_recall_report_meets_baseline_bar(spark):
         for r in reg.QUERIES["ann_recall_report"](spark, SF_SMALL).collect()
     }
     assert again == rows
+
+
+def test_embedding_decontaminate_flags_planted_neighbor(spark):
+    """A train vector nearly identical to an eval vector must be flagged
+    with that eval id as worst match; an orthogonal train vector must
+    not appear. Exact integer micro aggregation: max_cos_micro of a
+    near-identical pair is ~1e6."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import (
+        decontam,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # eval
+        (1, [0.999, 0.001, 0.0, 0.0]),   # contaminated train
+        (2, [0.0, 1.0, 0.0, 0.0]),       # clean train (orthogonal)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    test = df.filter("vec_id = 0")
+    train = df.filter("vec_id != 0")
+    rep = decontam.embedding_decontaminate_report(
+        train, test, "vec_id", "embedding", threshold=0.9
+    ).collect()
+    assert len(rep) == 1
+    assert rep[0]["train_id"] == 1
+    assert rep[0]["worst_test_doc"] == 0
+    assert rep[0]["n_test_matches"] == 1
+    assert rep[0]["max_cos_micro"] >= 999_000
+
+
+def test_embedding_decontaminate_ann_tier_cross_join(spark):
+    """The CosineLSHIndex cross-table tier must (a) be a subset of the
+    exact tier (exact verify — no false positives), (b) recover every
+    duplicate-grade planted pair (cos >= 0.95 collides in >=1 band with
+    prob ~0.99 at 16 bits / 4-bit bands), and (c) plan as an equi-join —
+    no cartesian / broadcast-nested-loop of the two corpora."""
+    import contextlib
+    import io
+
+    from vectorsearch_image_embeddings_databricks_spark.index.ann import (
+        CosineLSHIndex,
+    )
+    from vectorsearch_image_embeddings_databricks_spark.operators import (
+        decontam,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    # eval = jittered copies of train vectors 0..4 -> planted cos ~ 1
+    train = emb.filter("vec_id < 100").select("vec_id", "embedding")
+    test = (
+        emb.filter("vec_id < 5")
+        .select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(1.0001) + F.lit(1e-5)
+            ).alias("embedding"),
+        )
+    )
+    exact = {
+        (r["train_id"], r["test_id"])
+        for r in decontam.embedding_contamination_pairs(
+            train, test, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    planted = {(i, i + 1000) for i in range(5)}
+    assert planted <= exact
+    idx = CosineLSHIndex(
+        train, key="vec_id", vector_col="embedding",
+        num_bits=16, band_bits=4,
+    )
+    ann_df = decontam.embedding_contamination_pairs(
+        train, test, "vec_id", "embedding", threshold=0.9, ann_index=idx
+    )
+    ann = {(r["train_id"], r["test_id"]) for r in ann_df.collect()}
+    assert ann <= exact
+    assert planted <= ann
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ann_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # mismatched index wiring is rejected loudly
+    with pytest.raises(ValueError):
+        decontam.embedding_contamination_pairs(
+            train, test, "vec_id", "embedding", ann_index=CosineLSHIndex(
+                train.withColumnRenamed("vec_id", "other"),
+                key="other", vector_col="embedding",
+            ),
+        )

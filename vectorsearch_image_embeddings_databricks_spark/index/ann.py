@@ -180,19 +180,25 @@ class CosineLSHIndex:
         self.dim = dim
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((num_bits, dim))
+        self.signed = df.withColumn("__bands", self._band_keys(vector_col))
+
+    def _band_keys(self, vector_col: str) -> F.Column:
+        """array<struct<band,bh>> band keys for ``vector_col`` under THIS
+        index's hyperplanes — reused verbatim for the other side of a
+        cross-table join so both sides hash into the same buckets."""
         sig_bits = [
             F.when(dot(vector_col, _query_literal(p)) > 0, 1).otherwise(0)
             for p in self.planes
         ]
-        nbands = num_bits // band_bits
+        nbands = self.num_bits // self.band_bits
         band_keys = []
         for b in range(nbands):
-            chunk = sig_bits[b * band_bits : (b + 1) * band_bits]
+            chunk = sig_bits[b * self.band_bits : (b + 1) * self.band_bits]
             acc = F.lit(0)
             for bit in chunk:
                 acc = acc * 2 + bit
             band_keys.append(F.struct(F.lit(b).alias("band"), acc.alias("bh")))
-        self.signed = df.withColumn("__bands", F.array(*band_keys))
+        return F.array(*band_keys)
 
     def candidate_pairs(self) -> DataFrame:
         """(id_a, id_b) sharing ≥1 band — the scale path feeding
@@ -226,6 +232,45 @@ class CosineLSHIndex:
 
         return (
             self.candidate_pairs()
+            .withColumn("cos", cosine_similarity("vec_a", "vec_b"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+
+    def similarity_join(
+        self,
+        other: DataFrame,
+        other_key: str,
+        other_vec: str,
+        threshold: float,
+    ) -> DataFrame:
+        """Cross-table near pairs ``(id_a from this index's corpus, id_b
+        from other, cos ≥ threshold)``: band ``other`` with the SAME
+        hyperplanes so both sides hash into the same buckets, equi-join
+        on (band, bh), exact-verify candidates. The two-large-sides scale
+        path (embedding decontamination against a big eval pool, bitext
+        candidate generation): shuffle keyed on 8-byte band hashes, never
+        a cross join; each side's bands are |rows|·nbands postings."""
+        from ..functions.vector import cosine_similarity
+
+        left = self.signed.select(
+            F.col(self.key).alias("id_a"),
+            F.col(self.vector_col).alias("vec_a"),
+            F.explode("__bands").alias("bk"),
+        ).select("id_a", "vec_a", "bk.band", "bk.bh")
+        right = (
+            other.withColumn("__obands", self._band_keys(other_vec))
+            .select(
+                F.col(other_key).alias("id_b"),
+                F.col(other_vec).alias("vec_b"),
+                F.explode("__obands").alias("bk"),
+            )
+            .select("id_b", "vec_b", "bk.band", "bk.bh")
+        )
+        return (
+            left.join(right, ["band", "bh"])
+            .select("id_a", "id_b", "vec_a", "vec_b")
+            .distinct()
             .withColumn("cos", cosine_similarity("vec_a", "vec_b"))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos")

@@ -113,6 +113,106 @@ def decontaminate_report(
     )
 
 
+def embedding_contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    broadcast_test: bool = True,
+    ann_index=None,
+) -> DataFrame:
+    """(train_id, test_id, cos) for every train/eval pair whose embedding
+    cosine is ≥ ``threshold`` — the semantic sibling of the n-gram tier:
+    paraphrased eval answers share no trigram but land next to the eval
+    point in embedding space (the contamination n-gram sweeps miss).
+
+    Scale shape mirrors ``contamination_pairs``: the eval suite is the
+    small side by construction (MBs vs a TB-scale corpus), so it is
+    broadcast and scored with the codegen'd cosine fold — a broadcast
+    nested-loop whose cost is |corpus|·|eval| vectorized fused
+    multiply-adds with NO corpus shuffle, not an all-pairs self join.
+    When the eval side itself is large, pass ``ann_index`` (an
+    ``index.ann.CosineLSHIndex`` built over the TRAIN side's id/vector
+    columns) and candidates come from banded-signature equi-joins with
+    exact verification — the same two-tier contract as
+    ``operators.dedup.near_dup_pairs_cosine``.
+    """
+    from ..functions.vector import cosine_similarity
+
+    if ann_index is not None:
+        if ann_index.key != id_col or ann_index.vector_col != vec_col:
+            raise ValueError(
+                "ann_index was built over "
+                f"({ann_index.key!r}, {ann_index.vector_col!r}); "
+                f"expected ({id_col!r}, {vec_col!r})"
+            )
+        cand = ann_index.similarity_join(
+            test.select(
+                F.col(id_col).alias("test_id"),
+                F.col(vec_col).alias("__tv"),
+            ),
+            other_key="test_id",
+            other_vec="__tv",
+            threshold=threshold,
+        )
+        return cand.select(
+            F.col("id_a").alias("train_id"),
+            F.col("id_b").alias("test_id"),
+            "cos",
+        )
+    te = test.select(
+        F.col(id_col).alias("test_id"), F.col(vec_col).alias("__tv")
+    )
+    if broadcast_test:
+        te = F.broadcast(te)
+    return (
+        train.select(
+            F.col(id_col).alias("train_id"), F.col(vec_col).alias("__rv")
+        )
+        .crossJoin(te)
+        .withColumn("cos", cosine_similarity("__rv", "__tv"))
+        .filter(F.col("cos") >= threshold)
+        .select("train_id", "test_id", "cos")
+    )
+
+
+def embedding_decontaminate_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Per semantically contaminated train doc: eval-collision count, the
+    worst similarity (micro-int, exact integer aggregation), and the
+    smallest eval id achieving it. Same report contract as
+    ``decontaminate_report`` so the two tiers compose/union cleanly."""
+    pairs = (
+        embedding_contamination_pairs(
+            train, test, id_col, vec_col, threshold, broadcast_test
+        )
+        .withColumn(
+            "cos_micro", F.floor(F.col("cos") * F.lit(1e6)).cast("long")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # pairs (the contamination set, tiny vs the corpus) is read twice —
+    # rollup + worst-match join-back; materialize once, same rationale
+    # as decontaminate_report.
+    per_train = pairs.groupBy("train_id").agg(
+        F.count("*").alias("n_test_matches"),
+        F.max("cos_micro").alias("max_cos_micro"),
+    )
+    return (
+        per_train.join(pairs, "train_id")
+        .filter(F.col("cos_micro") == F.col("max_cos_micro"))
+        .groupBy("train_id", "n_test_matches", "max_cos_micro")
+        .agg(F.min("test_id").alias("worst_test_doc"))
+    )
+
+
 def remove_contaminated(
     train: DataFrame,
     test: DataFrame,

@@ -536,6 +536,53 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DECON_THRESHOLD = 0.3
+
+
+@register(
+    "embedding_decontaminate",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS train_id, b.vec_id AS test_id,
+               CAST(floor(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000)
+                 AS BIGINT) AS cos_micro
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+        WHERE list_cosine_similarity(
+                  a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= {EMBED_DECON_THRESHOLD}
+    ),
+    per_train AS (
+        SELECT train_id, CAST(count(*) AS BIGINT) AS n_test_matches,
+               max(cos_micro) AS max_cos_micro
+        FROM pairs GROUP BY train_id
+    )
+    SELECT m.train_id, m.n_test_matches, m.max_cos_micro,
+           min(p.test_id) AS worst_test_doc
+    FROM per_train m JOIN pairs p
+      ON p.train_id = m.train_id AND p.cos_micro = m.max_cos_micro
+    GROUP BY 1, 2, 3
+    """,
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) train/eval decontamination — the tier
+    the n-gram sweep misses: a paraphrased eval answer shares no trigram
+    but sits next to the eval point in embedding space. Eval vectors
+    (vec_id % 20 = 0) are broadcast and scored against the train corpus
+    with the codegen'd cosine fold — no corpus shuffle; the report
+    aggregates the (tiny) contamination pair set in exact integer micro
+    units. See operators.decontam.embedding_decontaminate_report."""
+    from .operators import decontam
+
+    emb = load_embeddings(spark, sf_dir)
+    test = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return decontam.embedding_decontaminate_report(
+        train, test, "vec_id", "embedding", threshold=EMBED_DECON_THRESHOLD
+    )
+
+
 # --------------------------------------------------------------------- #
 # Sequence packing + mixture rebalancing — batch-construction operators
 # --------------------------------------------------------------------- #
