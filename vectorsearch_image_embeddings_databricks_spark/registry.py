@@ -4160,6 +4160,52 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+
+
+@register(
+    "kmeans_assign",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS sv
+        FROM embeddings WHERE vec_id < {KMEANS_K}
+    ),
+    sims AS (
+        SELECT e.vec_id, s.cid,
+               list_cosine_similarity(e.embedding::DOUBLE[], s.sv) AS cos
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    best AS (
+        SELECT vec_id, cid, cos,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM sims
+    )
+    SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(cos * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_cos_micro,
+           min(vec_id) AS min_member, max(vec_id) AS max_member
+    FROM best WHERE rn = 1 GROUP BY cid
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means assignment profile — the clustering step of a
+    coverage-balancing curation pipeline (cluster the corpus, then
+    sample/weight per cluster). Seeds are the k smallest-id vectors
+    (deterministic); assignment is ONE codegen'd argmax-cosine
+    expression over centroid literals (map-only, zero shuffle — the
+    oracle's |n|·k cross join is exactly what the operator avoids);
+    the profile groupBy emits |k| rows in exact integer micro units.
+    Full multi-iteration Lloyd (same per-step shapes) is
+    operators.cluster.lloyd_iterate, pytest-pinned for convergence."""
+    from .operators import cluster
+
+    emb = load_embeddings(spark, sf_dir)
+    seeds = cluster.seed_centroids(emb, "vec_id", "embedding", KMEANS_K)
+    assigned = cluster.assign_to_centroids(emb, "vec_id", "embedding", seeds)
+    return cluster.cluster_profile(assigned, "vec_id")
+
+
 # --------------------------------------------------------------------- #
 # Edit-distance near-dup pairs (dedup family, 5th signal alongside exact/
 # jaccard/minhash/simhash/cosine): banded blocking + Levenshtein verify
