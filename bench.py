@@ -95,6 +95,10 @@ NEW_OPS = [
     "zorder_layout",
     "knn_filtered",
     "chunk_pack_pipeline",
+    "embedding_decontaminate",
+    "kmeans_assign",
+    "repetition_summary",
+    "rerank_token_overlap",
 ]
 
 

@@ -140,3 +140,47 @@ def test_oov_stats_counts_by_hand(spark):
         for r in oov_stats(df, "id", "text", "grp", vocab_size=1).collect()
     }
     assert got == {"g1": (3, 1, 333333), "g2": (2, 1, 500000)}
+
+
+def test_repetition_metrics_planted_values(spark):
+    """Hand-computable docs: a fully repeated doc maxes dup_word_micro;
+    an all-distinct doc scores 0; top-bigram share counts the most
+    frequent adjacent pair; <2-token docs are dropped."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.textstats import (
+        repetition_metrics,
+    )
+
+    rows = [
+        (0, "a a a a"),            # 4 tokens, 1 distinct, bigram 'a a' x3
+        (1, "w x y z"),            # all distinct; 3 bigrams, each once
+        (2, "solo"),               # dropped
+        (3, ""),                   # dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["total"], r["dup_word_micro"], r["top_bigram_micro"])
+        for r in repetition_metrics(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {0, 1}
+    # doc 0: dup = (4-1)/4 = 0.75; top bigram 3/3 = 1.0
+    assert got[0] == (4, 750000, 1000000)
+    # doc 1: dup = 0; top bigram 1/3
+    assert got[1] == (4, 0, 333333)
+
+
+def test_repetition_metrics_shuffle_free(spark):
+    """The per-doc stage must plan with NO Exchange (run-length fold,
+    not explode->groupBy->max)."""
+    import contextlib
+    import io
+
+    from vectorsearch_image_embeddings_databricks_spark.operators.textstats import (
+        repetition_metrics,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    m = repetition_metrics(docs, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        m.explain("formatted")
+    assert "Exchange" not in buf.getvalue()

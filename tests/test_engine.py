@@ -200,3 +200,44 @@ def test_hybrid_search_default_pool_agrees_with_full_pool(spark):
     default_pool = max(20 * registry.HYBRID_TOPK, 100)
     assert default_pool < n  # the bound is actually exercised
     assert run(None) == run(n)
+
+
+def test_rerank_token_overlap_orders_and_broadcasts(spark):
+    """Rerank must order by overlap first (a lower-first-stage-score doc
+    with more query terms wins), tie-break on first-stage score then
+    id, and plan the pool join as a broadcast hash join (pool side
+    broadcast — rerank cost |pool|, not a corpus shuffle)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_image_embeddings_databricks_spark.operators import hybrid
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector join scan extra words"),   # overlap 3
+            (2, "vector vector vector vector"),    # overlap 1, high tf
+            (3, "join scan other"),                # overlap 2
+            (4, "nothing relevant here"),          # overlap 0
+        ],
+        ["doc_id", "text"],
+    )
+    pool = (
+        hybrid.bm25_scores(docs, "doc_id", "text", ["vector", "join", "scan"])
+        .select("id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(4)
+    )
+    res = hybrid.rerank_token_overlap(
+        pool, docs, "doc_id", "text", ["vector", "join", "scan"], 3
+    )
+    rows = res.collect()
+    assert [r["id"] for r in rows] == [1, 3, 2]
+    assert [r["overlap"] for r in rows] == [3, 2, 1]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -194,3 +194,42 @@ def hybrid_search(
     vec_ranked = rank_by(vec_scored, index.key, "score")
     fused = rrf_fuse(kw_ranked, vec_ranked, k0=k0)
     return fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(k)
+
+
+def rerank_token_overlap(
+    pool: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int,
+) -> DataFrame:
+    """Second-stage rerank of a bounded first-stage candidate pool — the
+    engine seam where a production system runs a cross-encoder (the
+    deterministic stand-in feature here is distinct-query-term overlap,
+    an integer, so the stage is oracle-exact and stays JVM-side).
+
+    ``pool`` is (id, score) from any first stage (BM25, vector, RRF),
+    ALREADY bounded to |queries|·pool_size rows. The rerank joins the
+    pool back to the corpus to fetch text — pool broadcast, so the
+    corpus side is a pruned hash-join probe, never a shuffle — then
+    orders by (overlap desc, first-stage score desc, id) and keeps
+    ``k``. Rerank cost is |pool|, independent of corpus size: the
+    property that makes two-stage retrieval the scale architecture.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    joined = docs.select(
+        F.col(id_col).alias("id"), toks.alias("__toks")
+    ).join(F.broadcast(pool), "id")
+    return (
+        joined.withColumn(
+            "overlap",
+            F.size(
+                F.array_intersect(F.array_distinct("__toks"), terms)
+            ).cast("long"),
+        )
+        .orderBy(F.desc("overlap"), F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select("id", "overlap", "score")
+    )

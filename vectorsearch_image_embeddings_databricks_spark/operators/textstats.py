@@ -338,3 +338,88 @@ def oov_stats(
             F.expr("(n_oov * 1000000) div n_tokens").alias("oov_micro"),
         )
     )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition signals per document, in exact integer
+    micro-units: ``dup_word_micro`` (fraction of tokens that are
+    repeats of an earlier token) and ``top_bigram_micro`` (share of the
+    most frequent bigram among all bigrams). Docs with fewer than two
+    tokens are dropped (no bigram is defined).
+
+    Repetitive documents (keyword stuffing, boilerplate, degenerate
+    generations) are the single strongest removal signal in published
+    web-corpus quality rules; both metrics here are the standard ones.
+
+    100 TB shape: the top-bigram count is a run-length fold over the
+    per-row SORTED bigram array — one whole-stage-codegen'd projection,
+    NOT an explode→groupBy(doc, bigram)→max re-aggregation (which would
+    shuffle |corpus tokens| rows twice on skewed keys). Zero shuffles
+    here; callers aggregate the per-doc rows as they like.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    out = (
+        df.select(
+            F.col(id_col).alias("doc_id_out"),
+            toks.alias("__ws"),
+        )
+        .withColumn("total", F.size("__ws").cast("long"))
+        .filter(F.col("total") >= 2)
+        .withColumn(
+            "distinct_ct", F.size(F.array_distinct("__ws")).cast("long")
+        )
+        .withColumn(
+            "__bg",
+            F.zip_with(
+                F.slice(F.col("__ws"), 1, F.size("__ws") - 1),
+                F.slice(F.col("__ws"), 2, F.size("__ws") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+        .withColumn(
+            "top_bigram_ct",
+            F.expr(
+                """aggregate(
+                       array_sort(__bg),
+                       named_struct('prev', CAST(NULL AS STRING),
+                                    'run', 0L, 'best', 0L),
+                       (acc, x) -> named_struct(
+                           'prev', x,
+                           'run', IF(acc.prev <=> x, acc.run + 1, 1L),
+                           'best', greatest(
+                               acc.best,
+                               IF(acc.prev <=> x, acc.run + 1, 1L))),
+                       acc -> acc.best)"""
+            ),
+        )
+        .select(
+            F.col("doc_id_out").alias(id_col),
+            "total",
+            F.expr(
+                "((total - distinct_ct) * 1000000L) div total"
+            ).alias("dup_word_micro"),
+            F.expr(
+                "(top_bigram_ct * 1000000L) div (total - 1)"
+            ).alias("top_bigram_micro"),
+        )
+    )
+    return out
+
+
+def repetition_summary(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Decile-bucketed corpus view of the repetition metrics: one row
+    per dup-word decile with doc count, summed top-bigram micro (exact
+    integer), and the bucket's worst dup fraction. The per-doc stage is
+    shuffle-free; this is one partial-agg groupBy to ≤10 rows."""
+    m = repetition_metrics(df, id_col, text_col)
+    return m.groupBy(
+        F.expr("dup_word_micro div 100000").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("top_bigram_micro").alias("sum_top_bigram_micro"),
+        F.max("dup_word_micro").alias("max_dup_word_micro"),
+    )

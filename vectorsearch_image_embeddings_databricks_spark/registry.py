@@ -1128,6 +1128,53 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_summary",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, ws, len(ws) AS total,
+               len(list_distinct(ws)) AS dct
+        FROM w WHERE len(ws) >= 2
+    ),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, total),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bg
+        FROM t
+    ),
+    cnt AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1),
+    per AS (
+        SELECT t.doc_id,
+               ((t.total - t.dct) * 1000000) // t.total AS dupm,
+               (top.topc * 1000000) // (t.total - 1) AS topm
+        FROM t JOIN top ON top.doc_id = t.doc_id
+    )
+    SELECT CAST(dupm // 100000 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(topm) AS BIGINT) AS sum_top_bigram_micro,
+           CAST(max(dupm) AS BIGINT) AS max_dup_word_micro
+    FROM per GROUP BY 1
+    """,
+)
+def repetition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (dup-word fraction,
+    top-bigram share), decile-bucketed over the corpus. The per-doc
+    top-bigram count is a run-length fold over the row's SORTED bigram
+    array — one codegen'd projection, zero shuffles (the oracle's
+    explode→count→max re-aggregation is exactly the shuffle the
+    operator avoids); the summary is one ≤10-row groupBy. See
+    operators.textstats.repetition_metrics."""
+    return textstats.repetition_summary(
+        load_docs(spark, sf_dir), "doc_id", "text"
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return (
@@ -3563,6 +3610,68 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_K)
     )
+
+
+RERANK_K = 5
+
+
+@register(
+    "rerank_token_overlap",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '), t -> t <> '')) AS dl,
+               {", ".join(
+                   f"len(list_filter(string_split(text,' '), t -> t = '{t}')) AS tf{i}"
+                   for i, t in enumerate(BM25_TERMS)
+               )}
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS "N", avg(dl) AS avgdl,
+               {", ".join(
+                   f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                   for i in range(len(BM25_TERMS))
+               )}
+        FROM base
+    ),
+    pool AS (
+        SELECT doc_id,
+               round({" + ".join(_bm25_term_sql(i, t) for i, t in enumerate(BM25_TERMS))}, 4) AS score
+        FROM base, stats
+        ORDER BY score DESC, doc_id
+        LIMIT {BM25_K}
+    )
+    SELECT p.doc_id,
+           CAST(len(list_intersect(
+               list_distinct(list_filter(string_split(d.text,' '),
+                                         t -> t <> '')),
+               [{", ".join(f"'{t}'" for t in BM25_TERMS)}])) AS BIGINT)
+               AS overlap,
+           p.score
+    FROM pool p JOIN documents d ON d.doc_id = p.doc_id
+    ORDER BY overlap DESC, p.score DESC, p.doc_id
+    LIMIT {RERANK_K}
+    """,
+)
+def rerank_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 top-{20} candidate pool, then a
+    second-stage rerank by distinct-query-term overlap (the
+    deterministic stand-in for a cross-encoder — integer-exact, so the
+    stage is oracle-verifiable). The pool is broadcast back against
+    the corpus to fetch text; rerank cost is |pool|, not |corpus|.
+    See operators.hybrid.rerank_token_overlap."""
+    docs = load_docs(spark, sf_dir)
+    pool = (
+        hybrid.bm25_scores(docs, "doc_id", "text", list(BM25_TERMS))
+        .select("id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(BM25_K)
+    )
+    res = hybrid.rerank_token_overlap(
+        pool, docs, "doc_id", "text", list(BM25_TERMS), RERANK_K
+    )
+    return res.select(F.col("id").alias("doc_id"), "overlap", "score")
 
 
 # --------------------------------------------------------------------- #
