@@ -5986,10 +5986,23 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: behavior, not a guarantee; nothing here may hard-depend on it (the
 #: parity test bounds the list at ≤50 instead of pinning ==50).
 DRIVER_PRIORITY: list[str] = [
-    # --- never driver-verified before round 3 (42) ---
-    # streaming stateful pair + gapfill (judge-green r2)
+    # --- every query ADDED in round 3 (19): new code gets external
+    #     verification first ---
+    "semantic_dedup", "chunk_documents", "dsir_importance_weights",
+    "dedup_keep_best", "vocab_oov_stats", "near_dedup_keep_best",
+    "zorder_layout", "knn_filtered", "chunk_pack_pipeline",
+    "streaming_enrichment_rollup", "cosine_lsh_near_dup",
+    "embedding_decontaminate", "kmeans_assign", "repetition_summary",
+    "rerank_token_overlap",
+    # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
+    # --- implementation/oracle changed in round 3: re-verify (3) ---
+    "lm_perplexity_buckets", "streaming_dedup_state", "ngram_decontaminate",
+    # --- never driver-verified (fill to the 50-slot window; the
+    #     remainder — stable TPC-H analogs and vector variants, all
+    #     twice judge-replay-green — stays covered by tools/replay.py
+    #     in CI and the judge's own sweep) ---
     # recursive closure + lateral/anti-join patterns
     "dup_reach_recursive", "lateral_latest_order",
     "customers_without_orders", "cheapest_supplier_per_part",
@@ -6000,9 +6013,7 @@ DRIVER_PRIORITY: list[str] = [
     "customer_order_gaps", "monthly_revenue_trend", "brand_bracket_revenue",
     "customer_spend_rank", "volume_shipping", "market_share",
     "returned_item_losses", "top_supplier_revenue", "parts_supplier_counts",
-    "profit_by_nation_year", "important_part_values",
-    "customer_order_distribution", "bolt_stock_suppliers",
-    "linestatus_priority_counts", "waiting_suppliers",
+    "profit_by_nation_year",
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
     "file_provenance",
@@ -6010,13 +6021,7 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_docs", "deterministic_sample_md5",
     "approx_sketch_stats",
     # vector/embedding variants
-    "embedding_centroids", "embedding_quantization", "knn_l2",
-    "edit_distance_pairs", "doc_length_histogram", "bigram_top",
-    # --- new in round 3 (5) ---
-    "semantic_dedup", "chunk_documents", "dsir_importance_weights",
-    "dedup_keep_best", "vocab_oov_stats",
-    # --- implementation/oracle changed in round 3: re-verify (3) ---
-    "lm_perplexity_buckets", "streaming_dedup_state", "ngram_decontaminate",
+    "embedding_centroids",
 ]
 
 
