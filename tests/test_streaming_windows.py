@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from vectorsearch_image_embeddings_databricks_spark import registry
@@ -267,3 +268,123 @@ def test_write_ordered_slices_names_and_mtimes_monotonic(spark, tmp_path):
         for f in files
     ]
     assert got == [[0, 1, 2], [3, 4], [5, 6, 7, 8]]
+
+
+def test_running_topk_processor_merge_logic():
+    """The processor's merge/truncate math, exercised WITHOUT a stream
+    (pure pandas): planted batches must yield the global top-k with
+    smallest-id tie-breaks and a strictly increasing seen counter."""
+    import pandas as pd
+
+    from vectorsearch_image_embeddings_databricks_spark.streaming.state import (
+        RunningTopKProcessor,
+    )
+
+    class FakeList:
+        def __init__(self):
+            self.rows = []
+        def get(self):
+            return iter(self.rows)
+        def put(self, rows):
+            self.rows = list(rows)
+
+    class FakeValue:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+
+    p = RunningTopKProcessor(2, "v", "id")
+    p.topk, p.seen = FakeList(), FakeValue()
+    b1 = pd.DataFrame({"v": [1.0, 5.0, 3.0], "id": [10, 11, 12]})
+    out1 = next(p.handleInputRows(("k",), iter([b1]), None))
+    assert list(out1["seen"]) == [3, 3]
+    assert list(out1["id"]) == [11, 12]
+    # second batch: a tie at v=5.0 with smaller id wins rank 1
+    b2 = pd.DataFrame({"v": [5.0, 0.5], "id": [7, 99]})
+    out2 = next(p.handleInputRows(("k",), iter([b2]), None))
+    assert list(out2["seen"]) == [5, 5]
+    assert list(out2["id"]) == [7, 11]
+    assert list(out2["value_micro"]) == [5_000_000, 5_000_000]
+
+
+def test_running_topk_stream_end_to_end(spark):
+    """Full transformWithStateInPandas run (protobuf-gated: the state
+    server protocol needs google.protobuf, absent in this sandbox).
+    Final rows (seen = per-key max) must equal the batch SQL window
+    answer regardless of micro-batching."""
+    pytest.importorskip("google.protobuf")
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_image_embeddings_databricks_spark.streaming.state import (
+        running_topk,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rows = [("a", float(i % 7), i) for i in range(20)] + [
+            ("b", float(i % 5), 100 + i) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "key string, v double, id long")
+        with tempfile.TemporaryDirectory() as tmp:
+            src = f"{tmp}/feed"
+            df.filter("id % 2 = 0").coalesce(1).write.parquet(src)
+            df.filter("id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = running_topk(stream, "key", "v", "id", k=3)
+            q = (
+                out.writeStream.format("memory")
+                .queryName("tk_e2e")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            from pyspark.sql import Window
+
+            t = spark.table("tk_e2e")
+            w = Window.partitionBy("key")
+            final = (
+                t.withColumn("mx", F.max("seen").over(w))
+                .filter("seen = mx")
+                .select("key", "rank", "id", "value_micro")
+            )
+            expect = (
+                df.withColumn(
+                    "rank",
+                    F.row_number().over(
+                        Window.partitionBy("key").orderBy(
+                            F.desc("v"), F.asc("id")
+                        )
+                    ),
+                )
+                .filter("rank <= 3")
+                .select(
+                    "key",
+                    "rank",
+                    "id",
+                    F.floor(F.col("v") * 1e6).cast("long").alias("value_micro"),
+                )
+            )
+            assert sorted(map(tuple, final.collect())) == sorted(
+                map(tuple, expect.collect())
+            )
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
