@@ -99,6 +99,8 @@ NEW_OPS = [
     "kmeans_assign",
     "repetition_summary",
     "rerank_token_overlap",
+    "cluster_balanced_sample",
+    "part_pair_cooccurrence",
 ]
 
 

@@ -90,3 +90,26 @@ def test_lloyd_iterations_monotone_and_deterministic(spark):
     # centroids are unit vectors (spherical update)
     for _, v in cents:
         assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+
+def test_balanced_sample_caps_clusters_deterministically(spark):
+    """Every cluster keeps at most cap rows; clusters at/below cap are
+    untouched; two runs agree (md5 membership is partitioning-free)."""
+    emb = _emb(spark)
+    seeds = cluster.seed_centroids(emb, "vec_id", "embedding", 4)
+    assigned = cluster.assign_to_centroids(emb, "vec_id", "embedding", seeds)
+    s1 = {
+        r["cluster_id"]: (r["n_total"], r["n_kept"], r["kept_id_sum"])
+        for r in cluster.balanced_sample_summary(
+            assigned, "vec_id", 50
+        ).collect()
+    }
+    for cid, (tot, kept, _) in s1.items():
+        assert kept == min(tot, 50)
+    s2 = {
+        r["cluster_id"]: (r["n_total"], r["n_kept"], r["kept_id_sum"])
+        for r in cluster.balanced_sample_summary(
+            assigned.repartition(7), "vec_id", 50
+        ).collect()
+    }
+    assert s1 == s2

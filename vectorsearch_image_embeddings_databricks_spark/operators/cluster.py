@@ -147,3 +147,36 @@ def lloyd_iterate(
             )
         assigned = assign_to_centroids(df, id_col, vec_col, centroids)
     return assigned, centroids
+
+
+def balanced_sample_summary(
+    assigned: DataFrame, id_col: str, cap: int
+) -> DataFrame:
+    """Cluster-balanced downsample audit: within each cluster keep the
+    ``cap`` rows whose md5(id) hex digest sorts first (the repo's
+    auditable deterministic sampler — membership is a pure function of
+    the key, stable across engines/partitionings), and report per
+    cluster (n_total, n_kept, kept_id_sum).
+
+    This is the curation move clustering exists for: an over-crowded
+    topic cluster (boilerplate, spam) is capped while rare clusters
+    survive intact — coverage balancing. The rank window is PARTITIONED
+    by cluster (no global sort); everything else is one partial-agg
+    groupBy to |k| rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = assigned.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("__rn") <= cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("__rn") <= cap, F.col(id_col)).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_id_sum"),
+    )

@@ -4315,6 +4315,102 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.cluster_profile(assigned, "vec_id")
 
 
+CLUSTER_SAMPLE_CAP = 40
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS sv
+        FROM embeddings WHERE vec_id < {KMEANS_K}
+    ),
+    sims AS (
+        SELECT e.vec_id, s.cid,
+               list_cosine_similarity(e.embedding::DOUBLE[], s.sv) AS cos
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    best AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM sims
+    ),
+    assigned AS (SELECT vec_id, cid FROM best WHERE rn = 1),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+        FROM assigned
+    )
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN srn <= {CLUSTER_SAMPLE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN srn <= {CLUSTER_SAMPLE_CAP} THEN vec_id
+                         ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY cid
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-balanced curation: cap every topic cluster at
+    {CLUSTER_SAMPLE_CAP} docs using the auditable md5 sampler, so
+    over-crowded clusters (boilerplate concentrates there) shrink while
+    rare clusters survive intact. Composition of the map-only k-means
+    assignment with a cluster-PARTITIONED rank window (no global sort)
+    — both shapes already plan-tested individually. See
+    operators.cluster.balanced_sample_summary."""
+    from .operators import cluster
+
+    emb = load_embeddings(spark, sf_dir)
+    seeds = cluster.seed_centroids(emb, "vec_id", "embedding", KMEANS_K)
+    assigned = cluster.assign_to_centroids(emb, "vec_id", "embedding", seeds)
+    return cluster.balanced_sample_summary(
+        assigned, "vec_id", CLUSTER_SAMPLE_CAP
+    )
+
+
+@register(
+    "part_pair_cooccurrence",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM p GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together.
+    Self-join keyed on l_orderkey — a shuffle on the order key with
+    per-order fan-out bounded by basket size (≤7 in TPC-H-shaped data),
+    NOT an all-pairs scan; parts are deduped per order first so the
+    join input is minimal. TakeOrderedAndProject bounds the result."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------- #
 # Edit-distance near-dup pairs (dedup family, 5th signal alongside exact/
 # jaccard/minhash/simhash/cosine): banded blocking + Levenshtein verify
@@ -5993,7 +6089,8 @@ DRIVER_PRIORITY: list[str] = [
     "zorder_layout", "knn_filtered", "chunk_pack_pipeline",
     "streaming_enrichment_rollup", "cosine_lsh_near_dup",
     "embedding_decontaminate", "kmeans_assign", "repetition_summary",
-    "rerank_token_overlap",
+    "rerank_token_overlap", "cluster_balanced_sample",
+    "part_pair_cooccurrence",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -6012,8 +6109,7 @@ DRIVER_PRIORITY: list[str] = [
     "promo_revenue", "grouping_sets_revenue", "order_priority_pivot",
     "customer_order_gaps", "monthly_revenue_trend", "brand_bracket_revenue",
     "customer_spend_rank", "volume_shipping", "market_share",
-    "returned_item_losses", "top_supplier_revenue", "parts_supplier_counts",
-    "profit_by_nation_year",
+    "returned_item_losses", "top_supplier_revenue",
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
     "file_provenance",
