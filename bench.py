@@ -101,6 +101,8 @@ NEW_OPS = [
     "rerank_token_overlap",
     "cluster_balanced_sample",
     "part_pair_cooccurrence",
+    "pq_encode_stats",
+    "pmi_collocations",
 ]
 
 

@@ -184,3 +184,29 @@ def test_repetition_metrics_shuffle_free(spark):
     with contextlib.redirect_stdout(buf):
         m.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_pmi_collocations_planted_pair(spark):
+    """A planted always-adjacent pair must surface with higher PMI than
+    a frequent-but-independent pair; counts and ordering must be
+    integer-deterministic."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    # "neural network" always adjacent; "the" pairs freely with others
+    rows = [(i, "neural network the cat the dog") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["wa"], r["wb"]): (r["c_ab"], r["pmi"])
+        for r in pmi_collocations(df, "text", min_count=5, top=10).collect()
+    }
+    assert got[("neural", "network")][0] == 10
+    # P(neural network)=10/B with unigrams 10/N each -> strongest PMI
+    best = max(got.values(), key=lambda v: v[1])
+    assert got[("neural", "network")] == best
+    # a 1-token doc must not break the bigram stage
+    df2 = df.union(spark.createDataFrame([(99, "solo")], ["doc_id", "text"]))
+    assert (
+        pmi_collocations(df2, "text", min_count=5, top=10).count() == len(got)
+    )

@@ -423,3 +423,82 @@ def repetition_summary(
         F.sum("top_bigram_micro").alias("sum_top_bigram_micro"),
         F.max("dup_word_micro").alias("max_dup_word_micro"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs — PMI(a,b) = ln((c_ab/B) / ((c_a/N)·(c_b/N))) with N
+    total tokens and B total bigrams. High-PMI pairs are multiword
+    expressions; a tokenizer/vocab-building pipeline mines them to
+    decide merge candidates.
+
+    Scale shape: one token-key shuffle for unigram counts (materialized
+    once — both join sides read it), one bigram-key shuffle for pair
+    counts, scalars (N, B) folded in by broadcast; the pair table joins
+    its two unigram marginals on the token key (hash joins on 8-byte-
+    class keys). Ordering is by the INTEGER count with string
+    tie-breaks, so the float PMI value never decides the row set."""
+    toks = df.select(F.explode(tokenize(text_col)).alias("t"))
+    uni = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=True)
+    )
+    n_scal = uni.agg(F.sum("cu").alias("__n"))
+    ws = tokenize(text_col)
+    bg = (
+        df.select(ws.alias("__ws"))
+        .filter(F.size("__ws") >= 2)   # slice(len-1) is invalid on 0-token docs
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__ws"), 1, F.size("__ws") - 1),
+                    F.slice(F.col("__ws"), 2, F.size("__ws") - 1),
+                    lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+                )
+            ).alias("p")
+        )
+        .select("p.wa", "p.wb")
+    )
+    bgc = (
+        bg.groupBy("wa", "wb")
+        .agg(F.count("*").alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    b_scal = bgc.agg(F.sum("c_ab").alias("__b"))
+    ua = uni.select(F.col("t").alias("wa"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("t").alias("wb"), F.col("cu").alias("cb"))
+    return (
+        bgc.filter(F.col("c_ab") >= min_count)
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(n_scal))
+        .crossJoin(F.broadcast(b_scal))
+        .select(
+            "wa",
+            "wb",
+            "c_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab").cast("double")
+                        * F.col("__n").cast("double")
+                        * F.col("__n").cast("double")
+                    )
+                    / (
+                        F.col("__b").cast("double")
+                        * F.col("ca").cast("double")
+                        * F.col("cb").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("c_ab"), "wa", "wb")
+        .limit(top)
+    )

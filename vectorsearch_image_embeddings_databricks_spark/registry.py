@@ -1175,6 +1175,55 @@ def repetition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH w AS (
+        SELECT list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    u AS (SELECT unnest(ws) AS t FROM w),
+    uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM u GROUP BY t),
+    n AS (SELECT sum(cu) AS nn FROM uni),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                                     i -> [ws[i], ws[i+1]])) AS p
+        FROM w WHERE len(ws) >= 2
+    ),
+    bgc AS (
+        SELECT p[1] AS wa, p[2] AS wb, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY 1, 2
+    ),
+    b AS (SELECT sum(c_ab) AS bb FROM bgc)
+    SELECT g.wa, g.wb, g.c_ab,
+           round(ln((g.c_ab::DOUBLE * n.nn::DOUBLE * n.nn::DOUBLE)
+                    / (b.bb::DOUBLE * ua.cu::DOUBLE * ub.cu::DOUBLE)),
+                 6) AS pmi
+    FROM bgc g
+    JOIN uni ua ON ua.t = g.wa
+    JOIN uni ub ON ub.t = g.wb, n, b
+    WHERE g.c_ab >= {PMI_MIN_COUNT}
+    ORDER BY g.c_ab DESC, g.wa, g.wb
+    LIMIT {PMI_TOP}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI of adjacent token pairs — the signal a
+    vocab/tokenizer pipeline uses to pick multiword merge candidates.
+    One token-key shuffle (unigrams, materialized once for both join
+    sides), one bigram-key shuffle, scalar broadcasts; row-set ordering
+    is integer-count + string tie-breaks so the float PMI never decides
+    membership. See operators.textstats.pmi_collocations."""
+    return textstats.pmi_collocations(
+        load_docs(spark, sf_dir), "text",
+        min_count=PMI_MIN_COUNT, top=PMI_TOP,
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return (
@@ -4371,6 +4420,62 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4          # subspaces
+PQ_K = 4          # codes per subspace
+PQ_SUB = 16       # dims per subspace (64 / PQ_M)
+
+
+@register(
+    "pq_encode_stats",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS code, embedding::DOUBLE[] AS sv
+        FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    subs AS (SELECT CAST(i AS BIGINT) AS sub FROM range({PQ_M}) t(i)),
+    pairs AS (
+        SELECT e.vec_id, s.sub, c.code,
+               list_distance(
+                   (e.embedding::DOUBLE[])[
+                       CAST(s.sub * {PQ_SUB} + 1 AS INT):
+                       CAST(s.sub * {PQ_SUB} + {PQ_SUB} AS INT)],
+                   (c.sv)[
+                       CAST(s.sub * {PQ_SUB} + 1 AS INT):
+                       CAST(s.sub * {PQ_SUB} + {PQ_SUB} AS INT)]) AS d
+        FROM embeddings e CROSS JOIN subs s CROSS JOIN seeds c
+    ),
+    best AS (
+        SELECT vec_id, sub, code, d,
+               row_number() OVER (
+                   PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM pairs
+    )
+    SELECT sub, code, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(d * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_dist_micro
+    FROM best WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + per-(subspace, code) audit — the
+    vector-compression layer a native multi-billion-vector index needs
+    (m·log2(k) bits per vector instead of d·32). Deterministic seeded
+    codebooks (sub-vectors of the {4} smallest-id rows) make the whole
+    encode SQL-expressible; the encode itself is a map-only codegen'd
+    argmin per subspace (the oracle's double cross join is exactly what
+    it avoids), and the profile shuffle is m·k rows regardless of
+    corpus size. Production tier trains per-subspace Lloyd on a bounded
+    driver sample (index/pq.py::train_codebooks, pytest-pinned)."""
+    from .index import pq
+
+    emb = load_embeddings(spark, sf_dir)
+    books = pq.seed_codebooks(
+        emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, dim=PQ_M * PQ_SUB
+    )
+    enc = pq.encode(emb, "vec_id", "embedding", books, dim=PQ_M * PQ_SUB)
+    return pq.code_profile(enc)
+
+
 @register(
     "part_pair_cooccurrence",
     oracle="""
@@ -6090,7 +6195,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_enrichment_rollup", "cosine_lsh_near_dup",
     "embedding_decontaminate", "kmeans_assign", "repetition_summary",
     "rerank_token_overlap", "cluster_balanced_sample",
-    "part_pair_cooccurrence",
+    "part_pair_cooccurrence", "pq_encode_stats", "pmi_collocations",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -6109,7 +6214,6 @@ DRIVER_PRIORITY: list[str] = [
     "promo_revenue", "grouping_sets_revenue", "order_priority_pivot",
     "customer_order_gaps", "monthly_revenue_trend", "brand_bracket_revenue",
     "customer_spend_rank", "volume_shipping", "market_share",
-    "returned_item_losses", "top_supplier_revenue",
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
     "file_provenance",
