@@ -26,6 +26,8 @@ Spark-first shapes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
@@ -150,6 +152,116 @@ def encode(
     return df.select(
         F.col(id_col).alias("id"), F.explode(F.array(*per_sub)).alias("e")
     ).select("id", "e.sub", "e.code", "e.dist_micro")
+
+
+def _best_code(vec_col: str, book, j: int, sub: int) -> F.Column:
+    """argmin-L2 codebook entry for subspace ``j`` of ``vec_col`` —
+    an ``array_min`` over literal (distance, code) structs; ties break
+    to the smallest code id. Pure codegen'd expression."""
+    sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    l2_dist(sl, _lit_vec(cv)).alias("d"),
+                    F.lit(int(code)).alias("code"),
+                )
+                for code, cv in book
+            ]
+        )
+    )["code"]
+
+
+def encode_compact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+) -> DataFrame:
+    """PQ-encode to the storage layout ADC search consumes:
+    ``(id, codes array<long>)`` — m small integers per vector instead of
+    d floats (m·log2(k) bits once written as parquet ints). Map-only,
+    whole-stage codegen, no shuffle; at 100 TB this runs as a projection
+    inside the scan stage and the code table it yields is ~d·32/(m·8)×
+    smaller than the raw vectors."""
+    m = len(codebooks)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    codes = F.array(
+        *[
+            _best_code(vec_col, book, j, sub).cast("long")
+            for j, book in enumerate(codebooks)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def adc_lut_micro(
+    query_vec,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+) -> list[list[int]]:
+    """Asymmetric-distance lookup tables for one query: ``lut[j][code]``
+    = floor(1e6 · l2(query_sub_j, codeword)) — m·k integers, computed
+    driver-side (the classic ADC preprocessing step; Jégou et al. §IV.A).
+    The float fold accumulates left-to-right in doubles, matching both
+    the Spark ``l2_dist`` aggregate and DuckDB ``list_distance``, so the
+    micro-floored integers are engine-portable (the same convention
+    ``encode``'s dist_micro uses, hash-verified by pq_encode_stats)."""
+    m = len(codebooks)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    luts: list[list[int]] = []
+    for j, book in enumerate(codebooks):
+        q = [float(x) for x in query_vec[j * sub : (j + 1) * sub]]
+        by_code = {}
+        for code, cv in book:
+            acc = 0.0
+            for a, b in zip(q, cv):
+                acc += (a - b) * (a - b)
+            by_code[int(code)] = int(math.floor(math.sqrt(acc) * 1e6))
+        luts.append([by_code[c] for c in sorted(by_code)])
+    return luts
+
+
+def adc_search(
+    encoded: DataFrame,
+    query_vec,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    k: int,
+    id_col: str = "id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k over a PQ-encoded corpus: approximate distance =
+    Σ_j lut[j][codes[j]] — m integer array lookups per row, never
+    touching the original d-dim vectors. Returns
+    ``(id, adc_dist_micro)`` ascending, ties to the smallest id.
+
+    Plan shape: scan of the compact code table → codegen'd
+    element_at sum → TakeOrderedAndProject(k). No shuffle, no join; the
+    per-row work is O(m) regardless of d — the whole point of PQ. At
+    100 TB the code table is the only thing read (column-pruned), and
+    each partition reduces to k rows before the driver merge."""
+    luts = adc_lut_micro(query_vec, codebooks, dim)
+    score: F.Column | None = None
+    for j, lut in enumerate(luts):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in lut])
+        term = F.element_at(
+            arr, (F.element_at(F.col(codes_col), j + 1) + F.lit(1)).cast("int")
+        )
+        score = term if score is None else score + term
+    return (
+        encoded.select(
+            F.col(id_col).alias("id"),
+            score.cast("long").alias("adc_dist_micro"),
+        )
+        .orderBy("adc_dist_micro", "id")
+        .limit(k)
+    )
 
 
 def code_profile(encoded: DataFrame) -> DataFrame:
