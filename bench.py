@@ -103,6 +103,11 @@ NEW_OPS = [
     "part_pair_cooccurrence",
     "pq_encode_stats",
     "pmi_collocations",
+    "pq_adc_topk",
+    "boilerplate_ngrams",
+    "quality_model_score",
+    "pagerank_trade_graph",
+    "hard_negative_triplets",
 ]
 
 

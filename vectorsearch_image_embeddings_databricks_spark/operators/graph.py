@@ -1,0 +1,101 @@
+"""Iterative graph analytics on DataFrames — PageRank in exact integer
+arithmetic (SURVEY.md §2 extension family; the graph-centrality step a
+crawl-scale data pipeline runs to weight sources/domains before
+sampling, à la Common Crawl harmonic-centrality source weighting).
+
+Why integer arithmetic: float PageRank is non-portable (parallel float
+sums are order-dependent, so Spark partial aggregation and any oracle
+disagree in the last ULPs and the drift compounds per iteration).
+Fixed-point ranks make every step exact and engine-identical:
+
+    rank_0(v)    = SCALE                       (one long per node)
+    contrib(e)   = rank(src) DIV out_deg(src)  (integer floor division)
+    rank_t+1(v)  = BASE + (D_NUM * sum contrib) DIV D_DEN
+
+with BASE = (SCALE * (D_DEN - D_NUM)) DIV D_DEN. All values are
+nonnegative longs; Spark's ``DIV`` and DuckDB's ``//`` agree on
+nonnegative operands, integer sums commute, so an unrolled-CTE SQL
+oracle reproduces the Spark result bit-for-bit — an *iterative*
+algorithm with a hash-exact correctness gate.
+
+Scale shape (100 TB lens): each iteration is one equi-join of the edge
+table against the (|V|-row) rank table plus one groupBy(dst) — the
+canonical distributed PageRank step, shuffling edges on src then dst.
+Edges and out-degrees are materialized ONCE (localCheckpoint) and
+reused every iteration; ranks are checkpointed per iteration so the
+plan/lineage stays O(1) in the iteration count instead of growing a
+join tree Catalyst must re-optimize (and re-execute) each pass.
+Dangling nodes (out_deg = 0) simply contribute nothing; isolated nodes
+keep the BASE rank — the "unnormalized" PageRank variant, documented
+so the oracle matches by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Fixed-point scale: rank_0 = 10^12 per node. Max intermediate is
+#: D_NUM * SCALE * |V| per dst-sum term — longs overflow only past
+#: ~5·10^5 full-rank in-neighbors per node at this scale; lower SCALE
+#: for graphs denser than that.
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = SCALE,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Integer-exact PageRank over directed ``edges``.
+
+    Returns ``(node, rank_scaled)`` — one row per node, ``rank_scaled``
+    a long in units of 1/scale. ``nodes`` (single column ``node``)
+    optionally widens the vertex set beyond edge endpoints (isolated
+    nodes receive the BASE rank).
+    """
+    if damping_den <= 0 or not (0 <= damping_num <= damping_den):
+        raise ValueError("damping must satisfy 0 <= num <= den")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    vertex = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        vertex = vertex.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
+    vertex = vertex.distinct().localCheckpoint(eager=True)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # edges ⋈ out_deg is reused every iteration — materialize once.
+    e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = vertex.select(
+        "node", F.lit(scale).cast("long").alias("rank_scaled")
+    )
+    for _ in range(iters):
+        contribs = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr("rank_scaled DIV out_deg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            vertex.join(contribs, vertex["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_sum, 0L)) DIV {damping_den}"
+                    )
+                ).cast("long").alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import lang_id, quality_score, token_count, tokenize
+from ..functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+    tokenize,
+    word_shingles,
+)
 
 
 def corpus_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
@@ -422,6 +428,133 @@ def repetition_summary(
         F.count("*").alias("n_docs"),
         F.sum("top_bigram_micro").alias("sum_top_bigram_micro"),
         F.max("dup_word_micro").alias("max_dup_word_micro"),
+    )
+
+
+def cross_doc_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 5,
+    min_df: int = 20,
+    flag_ratio_micro: int = 500_000,
+) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet/RefinedWeb corpus-
+    cleaning step): a word ``n``-gram appearing in ≥ ``min_df`` distinct
+    documents is boilerplate (headers, footers, licence blurbs, nav
+    text); a document whose distinct-n-gram set is ≥ ``flag_ratio_micro``
+    /1e6 boilerplate should be dropped or cleaned before training.
+
+    Returns one row per ``group_col`` value: docs seen, docs flagged,
+    summed distinct/boilerplate n-gram counts, and the group's exact
+    boilerplate ratio in floor-truncated micro-units (engine-portable
+    integer math; see corpus_stats). Documents with no tokens contribute
+    no n-grams and are excluded, matching decontam._postings' sentinel
+    rule.
+
+    Scale shape (100 TB lens): postings carry int64 xxhash64 gram keys
+    (8-byte shuffle keys regardless of n-gram width). Document frequency
+    is one gram-key groupBy; the postings⋈df join re-uses that same
+    gram-key partitioning (exchange reuse — no third shuffle); the
+    per-doc rollup shuffles on (doc, group); the final per-group agg is
+    partial-aggregated map-side to |groups| rows. Nothing is collected,
+    no cross join, no unpartitioned window.
+    """
+    postings = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            F.explode(word_shingles(text_col, n)).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select("id", "grp", F.xxhash64("g").alias("gh"))
+    )
+    gram_df = postings.groupBy("gh").agg(F.count("*").alias("df"))
+    per_doc = (
+        postings.join(gram_df, "gh")
+        .groupBy("id", "grp")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_boiler"),
+        )
+        .withColumn(
+            "ratio_micro", F.expr("(n_boiler * 1000000) div n_grams")
+        )
+    )
+    return per_doc.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("ratio_micro") >= flag_ratio_micro).cast("long")
+        ).alias("n_flagged"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_boiler").alias("total_boiler"),
+        F.expr(
+            "(sum(n_boiler) * 1000000) div sum(n_grams)"
+        ).alias("boiler_ratio_micro"),
+    )
+
+
+def linear_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality scoring (the fastText-classifier step of the
+    GPT-3/LLaMA data pipelines, re-expressed with a deterministic
+    stand-in model): each token carries a weight in [-2048, 2047] taken
+    from the first 3 hex digits of md5(token) — a fixed, engine-portable
+    "embedding table" — a document's logit is the mean token weight
+    scaled to ~[-1, 1], and its quality is sigmoid(logit). Swap
+    ``_token_weight`` for a real learned table (broadcast join) and the
+    plan is production shape.
+
+    Integer-exact core: the weight sum is a long, the token count a
+    long; the only float ops are one division and one sigmoid on
+    identical IEEE doubles — portable across engines at 6 dp. Returns
+    per-group: docs, docs kept (quality ≥ threshold), and the exact
+    integer sums that define the group's mean logit.
+
+    Scale shape: explode → per-doc partial-agg (map-side combine on the
+    doc key, one shuffle) → per-group rollup to |groups| rows. The md5
+    weight is a codegen'd expression — no UDF, no vocabulary shuffle.
+    """
+    w = (
+        F.conv(F.substring(F.md5("t"), 1, 3), 16, 10).cast("long")
+        - F.lit(2048)
+    )
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            F.explode(tokenize(text_col)).alias("t"),
+        )
+        .select("id", "grp", w.alias("w"))
+        .groupBy("id", "grp")
+        .agg(F.sum("w").alias("w_sum"), F.count("*").alias("n_tok"))
+        .withColumn(
+            "quality",
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.col("w_sum").cast("double")
+                        / (F.col("n_tok").cast("double") * F.lit(2048.0))
+                    )
+                )
+            ),
+        )
+    )
+    return per_doc.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("quality") >= keep_threshold).cast("long")).alias(
+            "n_kept"
+        ),
+        F.sum("w_sum").alias("sum_w"),
+        F.sum("n_tok").alias("sum_tok"),
     )
 
 

@@ -4628,6 +4628,261 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# Cross-doc boilerplate + model-based quality scoring (corpus cleaning)
+# --------------------------------------------------------------------- #
+
+BOILER_N = 3          # boilerplate n-gram width
+BOILER_MIN_DF = 5     # n-gram in >= this many docs => boilerplate
+BOILER_FLAG_MICRO = 100_000  # flag docs >= 10% boilerplate
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - {BOILER_N - 1}, 1) + 1),
+                   i -> array_to_string(list_filter(
+                       [ws[i], ws[i+1], ws[i+2]],
+                       x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    exp AS (SELECT * FROM (SELECT doc_id, source, unnest(sh) AS g FROM s)
+            WHERE g <> ''),
+    dfc AS (SELECT g, count(*) AS df FROM exp GROUP BY g),
+    per_doc AS (
+        SELECT e.doc_id, e.source,
+               count(*) AS n_grams,
+               sum(CASE WHEN d.df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
+                   AS n_boiler
+        FROM exp e JOIN dfc d ON e.g = d.g
+        GROUP BY 1, 2
+    )
+    SELECT source AS grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (n_boiler * 1000000) // n_grams
+                              >= {BOILER_FLAG_MICRO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_boiler) AS BIGINT) AS total_boiler,
+           CAST((sum(n_boiler) * 1000000) // sum(n_grams) AS BIGINT)
+               AS boiler_ratio_micro
+    FROM per_doc GROUP BY source
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate sweep (CCNet/RefinedWeb corpus
+    cleaning): word {BOILER_N}-grams shared by ≥ {BOILER_MIN_DF} docs are
+    boilerplate; per-source report of docs whose distinct-n-gram set is
+    ≥ 10% boilerplate. Distinct from repetition_summary (intra-doc
+    Gopher metrics) — this one finds text repeated ACROSS documents.
+    One gram-key shuffle for document frequency, exchange-reused join,
+    per-doc then per-source rollups; integer micro-unit ratios. See
+    operators.textstats.cross_doc_boilerplate."""
+    from .operators.textstats import cross_doc_boilerplate
+
+    return cross_doc_boilerplate(
+        load_docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        "source",
+        n=BOILER_N,
+        min_df=BOILER_MIN_DF,
+        flag_ratio_micro=BOILER_FLAG_MICRO,
+    )
+
+
+@register(
+    "quality_model_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, unnest(
+            list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               sum(CAST(concat('0x', substr(md5(tok), 1, 3)) AS BIGINT)
+                   - 2048) AS w_sum,
+               count(*) AS n_tok
+        FROM t GROUP BY 1, 2
+    )
+    SELECT lang AS grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN 1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE)
+                    / (CAST(n_tok AS DOUBLE) * 2048.0)))) >= 0.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(w_sum) AS BIGINT) AS sum_w,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
+    FROM per_doc GROUP BY lang
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier pass of
+    GPT-3/LLaMA-style pipelines) with a deterministic md5-derived weight
+    table standing in for learned weights: per-token weight from the
+    first 3 hex digits of md5(token), doc logit = scaled mean weight,
+    quality = sigmoid(logit), keep at quality ≥ 0.5. Per-lang summary
+    carries the exact integer weight sums so the hash gate is
+    float-free except the sigmoid threshold (monotonic, boundary-exact
+    at 0.5). See operators.textstats.linear_quality."""
+    from .operators.textstats import linear_quality
+
+    return linear_quality(load_docs(spark, sf_dir), "doc_id", "text", "lang")
+
+
+PAGERANK_ITERS = 3
+PAGERANK_TOP = 25
+_PR_SCALE = 10**12
+_PR_BASE = (_PR_SCALE * 3) // 20  # (scale * (den-num)) // den
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled {PAGERANK_ITERS}-iteration integer PageRank in DuckDB —
+    same fixed-point recurrence as operators.graph.pagerank (nonnegative
+    floor division is engine-identical)."""
+    sql = f"""
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT c_custkey * 2 AS node FROM customer
+              UNION SELECT s_suppkey * 2 + 1 AS node FROM supplier),
+    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        sql += f""",
+    c{i} AS (
+        SELECT e.dst, sum(r.r // d.out_deg) AS s
+        FROM edges e JOIN deg d ON e.src = d.src
+        JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT n.node,
+               CAST({_PR_BASE} + (17 * coalesce(c.s, 0)) // 20 AS BIGINT)
+                   AS r
+        FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           r AS rank_scaled
+    FROM {prev}
+    ORDER BY rank_scaled DESC, node
+    LIMIT {PAGERANK_TOP}
+    """
+    return sql
+
+
+@register("pagerank_trade_graph", oracle=_pagerank_oracle())
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer↔supplier trade graph
+    (distinct trading pairs, both directions), {PAGERANK_ITERS}
+    iterations in exact fixed-point integer arithmetic — the source-
+    weighting step of a crawl-scale pipeline, and the repo's iterative-
+    algorithm showcase with a hash-exact unrolled-CTE oracle. Each
+    iteration is one edge⋈rank equi-join + one dst-key groupBy; edges
+    and degrees materialize once, rank lineage is checkpointed per
+    iteration. Isolated customers keep the base rank (unnormalized
+    variant). See operators.graph.pagerank."""
+    from .operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = cust.select((F.col("c_custkey") * 2).alias("node")).union(
+        supp.select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    ranks = pagerank(edges, iters=PAGERANK_ITERS, nodes=nodes)
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "rank_scaled",
+        )
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(PAGERANK_TOP)
+    )
+
+
+TRIPLET_ANCHORS = 12  # vec_id < 12 are the mined anchors
+
+
+@register(
+    "hard_negative_triplets",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               embedding::DOUBLE[] AS av
+        FROM embeddings WHERE vec_id < {TRIPLET_ANCHORS}
+    ),
+    s AS (
+        SELECT a.anchor_id, a.anchor_label, e.vec_id AS cand_id,
+               e.label AS cand_label,
+               list_cosine_similarity(e.embedding::DOUBLE[], a.av) AS cos
+        FROM embeddings e JOIN a ON e.vec_id <> a.anchor_id
+    ),
+    p AS (
+        SELECT anchor_id, cand_id, cos,
+               row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn
+        FROM s WHERE cand_label = anchor_label
+    ),
+    n AS (
+        SELECT anchor_id, cand_id, cos,
+               row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn
+        FROM s WHERE cand_label <> anchor_label
+    )
+    SELECT a.anchor_id, a.anchor_label,
+           p.cand_id AS pos_id, round(p.cos, 6) AS pos_cos,
+           n.cand_id AS neg_id, round(n.cos, 6) AS neg_cos
+    FROM a
+    JOIN p ON p.anchor_id = a.anchor_id AND p.rn = 1
+    JOIN n ON n.anchor_id = a.anchor_id AND n.rn = 1
+    ORDER BY a.anchor_id
+    """,
+)
+def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining for contrastive training: for each
+    anchor (vec_id < {TRIPLET_ANCHORS}), the most-cosine-similar
+    same-label vector (hardest positive) and different-label vector
+    (hardest negative). Broadcast anchors, one corpus scan, map-side
+    struct-max per anchor — shuffle is O(anchors × tasks), no corpus
+    window. See operators.knn.mine_triplets."""
+    from .operators.knn import mine_triplets
+
+    emb = load_embeddings(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < TRIPLET_ANCHORS)
+    return mine_triplets(emb, anchors).orderBy("anchor_id")
+
+
 @register(
     "part_pair_cooccurrence",
     oracle="""
@@ -6348,7 +6603,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_decontaminate", "kmeans_assign", "repetition_summary",
     "rerank_token_overlap", "cluster_balanced_sample",
     "part_pair_cooccurrence", "pq_encode_stats", "pmi_collocations",
-    "pq_adc_topk", "pq_adc_recall",
+    "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
+    "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -6365,8 +6621,7 @@ DRIVER_PRIORITY: list[str] = [
     # TPC-H analog sweep
     "small_qty_revenue", "late_order_priority", "large_volume_customers",
     "promo_revenue", "grouping_sets_revenue", "order_priority_pivot",
-    "customer_order_gaps", "monthly_revenue_trend", "brand_bracket_revenue",
-    "customer_spend_rank", "volume_shipping",
+    "customer_order_gaps",
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
     "file_provenance",
