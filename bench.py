@@ -104,6 +104,9 @@ NEW_OPS = [
     "pq_encode_stats",
     "pmi_collocations",
     "pq_adc_topk",
+    "ivf_adc_topk",
+    "matryoshka_recall",
+    "k_anonymity_audit",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

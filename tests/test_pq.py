@@ -152,3 +152,99 @@ def test_adc_lut_portable_and_recall_positive(spark):
         .collect()
     }
     assert len(adc_ids & exact_ids) >= 1
+
+
+def _cents(spark, nlist=8):
+    emb = _emb(spark)
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
+    ]
+
+
+def test_ivfadc_prunes_but_keeps_exhaustive_topk(spark):
+    """nprobe < nlist must scan strictly fewer candidates than the
+    corpus (the pruning is real), the query's own row (cell 0's seed)
+    must survive the probe and rank first, and the probed top-10 must
+    overlap the exhaustive-ADC top-10 substantially (sanity floor — at
+    sf0.01 the registry query's overlap is exactly 10/10)."""
+    emb = _emb(spark)
+    cents = _cents(spark)
+    books = pq.seed_codebooks(emb, "vec_id", "embedding", m=M, k=K, dim=DIM)
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    enc = pq.encode_ivfadc(emb, "vec_id", "embedding", cents, books, dim=DIM)
+    probes = pq.probe_cells(qvec, cents, nprobe=3)
+    n_corpus = emb.count()
+    n_candidates = enc.filter(F.col("cell").isin(probes)).count()
+    assert 0 < n_candidates < n_corpus
+    probed = [
+        r["id"]
+        for r in pq.ivfadc_search(
+            enc, qvec, cents, books, dim=DIM, nprobe=3, k=10
+        ).collect()
+    ]
+    exhaustive = [
+        r["id"]
+        for r in pq.adc_search(
+            pq.encode_compact(emb, "vec_id", "embedding", books, dim=DIM),
+            qvec, books, dim=DIM, k=10,
+        ).collect()
+    ]
+    assert probed[0] == exhaustive[0] == 0
+    assert len(set(probed) & set(exhaustive)) >= 5
+
+
+def test_ivfadc_centroid_rows_assign_to_own_cell(spark):
+    """Each centroid-seed vector's best cell is itself (dot(v,v) maximal
+    among seeds only when geometry allows — assert the weaker invariant
+    that assignment is deterministic and every row lands in exactly one
+    cell at replication=1)."""
+    emb = _emb(spark)
+    cents = _cents(spark)
+    assigned = pq.coarse_assign(emb, "vec_id", "embedding", cents)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("id").distinct().count() == n
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+
+
+def test_ivfadc_replication_dedup(spark):
+    """replication=2 stores each vector twice; a probe covering both of
+    a vector's cells must not return it twice when deduplicate=True."""
+    emb = _emb(spark).limit(50)
+    cents = _cents(spark)
+    books = pq.seed_codebooks(emb, "vec_id", "embedding", m=M, k=K, dim=DIM)
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    enc = pq.encode_ivfadc(
+        emb, "vec_id", "embedding", cents, books, dim=DIM, replication=2
+    )
+    assert enc.count() == 100  # 50 rows x 2 cells
+    res = pq.ivfadc_search(
+        enc, qvec, cents, books, dim=DIM, nprobe=8, k=50, deduplicate=True
+    ).collect()
+    ids = [r["id"] for r in res]
+    assert len(ids) == len(set(ids)) == 50
+
+
+def test_ivfadc_probe_filter_plan_no_shuffle(spark):
+    """At replication=1 the probed ADC search is Filter -> LUT sum ->
+    TakeOrderedAndProject with no Exchange (the filter is the partition-
+    pruning predicate on cell-partitioned storage). The cell/codes join
+    in encode_ivfadc is broadcast at fixture scale but collapses into
+    the write path at scale; assert the search adds no shuffle on top of
+    a materialized code table."""
+    emb = _emb(spark)
+    cents = _cents(spark)
+    books = pq.seed_codebooks(emb, "vec_id", "embedding", m=M, k=K, dim=DIM)
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    enc = pq.encode_ivfadc(
+        emb, "vec_id", "embedding", cents, books, dim=DIM
+    ).localCheckpoint(eager=True)
+    res = pq.ivfadc_search(enc, qvec, cents, books, dim=DIM, nprobe=3, k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -264,6 +264,110 @@ def adc_search(
     )
 
 
+def coarse_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    replication: int = 1,
+) -> DataFrame:
+    """Coarse-quantizer assignment for the IVF layer of IVFADC: each
+    vector goes to its top-``replication`` cells by inner product
+    (ties to the smallest cell id). One codegen'd array_sort over
+    (−dot, cell) literal structs — map-only, zero shuffle, the exact
+    expression shape ``IVFIndex._assign_expr`` uses for its trained
+    quantizer; this explicit-centroid twin is deterministic and
+    SQL-expressible (the oracle tier, like ``seed_codebooks``)."""
+    from ..functions.vector import dot
+
+    scored = [
+        F.struct(
+            (-dot(vec_col, _lit_vec(cv))).alias("d"),
+            F.lit(int(cell)).alias("cell"),
+        )
+        for cell, cv in centroids
+    ]
+    ranked = F.slice(
+        F.array_sort(F.array(*scored)),
+        1,
+        min(replication, len(centroids)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(ranked, lambda s: s["cell"])).alias("cell"),
+    )
+
+
+def probe_cells(
+    query_vec,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> list[int]:
+    """Driver-side probe selection: the ``nprobe`` cells nearest the
+    query by inner product (ties to the smallest cell id) — the same
+    (−dot, cell) ordering ``coarse_assign`` embeds, kept in Python
+    because it is |centroids| work on one small list."""
+    q = [float(x) for x in query_vec]
+    scored = []
+    for cell, cv in centroids:
+        acc = 0.0
+        for a, b in zip(q, cv):
+            acc += a * b
+        scored.append((-acc, int(cell)))
+    scored.sort()
+    return [cell for _, cell in scored[:nprobe]]
+
+
+def encode_ivfadc(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    replication: int = 1,
+) -> DataFrame:
+    """The IVFADC storage layout (Jégou et al. §V): ``(id, cell,
+    codes[])`` — coarse cell for pruning, PQ codes for scoring. One
+    map-only projection; at 100 TB this table is written partitioned by
+    ``cell`` so a probe is a partition-pruned scan."""
+    assigned = coarse_assign(df, id_col, vec_col, centroids, replication)
+    codes = encode_compact(df, id_col, vec_col, codebooks, dim)
+    # both sides key on id; at scale the codes projection is fused into
+    # the same scan by writing cell+codes in one pass — here the join
+    # keeps the two layers independently testable
+    return assigned.join(codes, "id").select("id", "cell", "codes")
+
+
+def ivfadc_search(
+    encoded: DataFrame,
+    query_vec,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    nprobe: int,
+    k: int,
+    deduplicate: bool = False,
+) -> DataFrame:
+    """IVF + ADC search — the full FAISS-IVFADC query path: select
+    ``nprobe`` cells driver-side, scan ONLY those cells' code lists,
+    ADC-score with the query LUT, top-k.
+
+    Plan shape: Filter(cell IN probes) — a partition-pruning predicate
+    on cell-partitioned storage, so at 100 TB the scan reads
+    ~nprobe/nlist of the codes table — then the codegen'd LUT sum and
+    TakeOrderedAndProject(k); with ``replication`` = 1 there is no
+    shuffle at all. ``deduplicate`` adds a distinct-on-id for
+    boundary-replicated (replication > 1) tables, where a vector stored
+    in two probed cells would otherwise appear twice (its ADC distance
+    is identical in both copies)."""
+    probes = probe_cells(query_vec, centroids, nprobe)
+    pruned = encoded.filter(F.col("cell").isin(probes))
+    if deduplicate:
+        pruned = pruned.dropDuplicates(["id"])
+    return adc_search(pruned, query_vec, codebooks, dim, k)
+
+
 def code_profile(encoded: DataFrame) -> DataFrame:
     """Per-(subspace, code) audit: population and summed residual in
     exact integer micro-units — m·k rows out, constant-size shuffle.

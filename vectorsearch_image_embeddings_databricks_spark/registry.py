@@ -4628,6 +4628,214 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFADC_NLIST = 8    # coarse cells (seeded: vec_id < NLIST are centroids)
+IVFADC_NPROBE = 3   # cells scanned per query
+IVFADC_K = 10
+
+
+@register(
+    "ivf_adc_topk",
+    oracle=f"""
+    {_ADC_CTES},
+    cents AS (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {IVFADC_NLIST}
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cv)
+                            DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    probes AS (
+        SELECT cell FROM (
+            SELECT c.cell,
+                   row_number() OVER (
+                       ORDER BY list_inner_product(q.qv, c.cv) DESC,
+                                c.cell) AS rn
+            FROM cents c CROSS JOIN q
+        ) WHERE rn <= {IVFADC_NPROBE}
+    )
+    SELECT b.vec_id, CAST(sum(l.dm) AS BIGINT) AS adc_dist_micro
+    FROM best b
+    JOIN lut l ON b.sub = l.sub AND b.code = l.code
+    JOIN assign a ON a.vec_id = b.vec_id AND a.rn = 1
+    JOIN probes p ON p.cell = a.cell
+    WHERE b.rn = 1
+    GROUP BY b.vec_id
+    ORDER BY adc_dist_micro, b.vec_id
+    LIMIT {IVFADC_K}
+    """,
+)
+def ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-IVFADC query path (Jégou et al. §V): coarse-
+    quantize the corpus into {IVFADC_NLIST} cells, PQ-encode, then
+    search = probe the {IVFADC_NPROBE} query-nearest cells and
+    ADC-score ONLY their code lists. Composes E44 (PQ storage) with the
+    IVF pruning layer: the scan reads ~nprobe/nlist of the codes table
+    (cell-partitioned at scale), scoring is the codegen'd LUT sum, and
+    the whole plan is shuffle-free at replication=1. Seeded centroids/
+    codebooks keep every stage SQL-expressible — the same oracle tier
+    as pq_encode_stats; the trained-quantizer production twin is
+    IVFIndex + train_codebooks (recall-pinned in pytest)."""
+    from .index import pq
+
+    emb = load_embeddings(spark, sf_dir)
+    qvec = (
+        emb.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < IVFADC_NLIST)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    books = pq.seed_codebooks(
+        emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, dim=PQ_M * PQ_SUB
+    )
+    enc = pq.encode_ivfadc(
+        emb, "vec_id", "embedding", cents, books, dim=PQ_M * PQ_SUB
+    )
+    res = pq.ivfadc_search(
+        enc, qvec, cents, books, dim=PQ_M * PQ_SUB,
+        nprobe=IVFADC_NPROBE, k=IVFADC_K,
+    )
+    return res.select(F.col("id").alias("vec_id"), "adc_dist_micro")
+
+
+MATRYOSHKA_DIM = 16   # truncated prefix dims (of 64)
+MATRYOSHKA_K = 20
+
+
+@register(
+    "matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv,
+               (embedding::DOUBLE[])[1:{MATRYOSHKA_DIM}] AS qt
+        FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+    ),
+    trunc AS (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN q
+        ORDER BY list_cosine_similarity(
+            (e.embedding::DOUBLE[])[1:{MATRYOSHKA_DIM}], q.qt) DESC,
+            e.vec_id
+        LIMIT {MATRYOSHKA_K}
+    ),
+    full_k AS (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN q
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                 DESC, e.vec_id
+        LIMIT {MATRYOSHKA_K}
+    )
+    SELECT CAST({MATRYOSHKA_DIM} AS BIGINT) AS dim,
+           CAST({MATRYOSHKA_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           round(count(*) / {MATRYOSHKA_K}.0, 6) AS recall
+    FROM trunc JOIN full_k USING (vec_id)
+    """,
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022, the
+    dimension-truncation trick modern embedding APIs expose): top-k by
+    cosine over the FIRST {MATRYOSHKA_DIM} dims vs the full {PQ_M}×
+    {PQ_SUB}-dim top-k, reported as recall@{MATRYOSHKA_K}. The
+    deployment question this answers: how much recall survives a 4×
+    cheaper index? Both sides are scan → TakeOrderedAndProject (no
+    shuffle); the truncated side's slice happens inside the scan
+    projection, and at scale the truncated index would be its own 4×
+    smaller table."""
+    from .functions.vector import cosine_similarity
+
+    emb = load_embeddings(spark, sf_dir)
+    qvec = (
+        emb.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    q_full = F.array(*[F.lit(float(x)) for x in qvec])
+    q_trunc = F.array(*[F.lit(float(x)) for x in qvec[:MATRYOSHKA_DIM]])
+    trunc = (
+        emb.select(
+            "vec_id",
+            cosine_similarity(
+                F.slice("embedding", 1, MATRYOSHKA_DIM), q_trunc
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(MATRYOSHKA_K)
+        .select("vec_id")
+    )
+    full_k = (
+        emb.select(
+            "vec_id", cosine_similarity("embedding", q_full).alias("s")
+        )
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(MATRYOSHKA_K)
+        .select("vec_id")
+    )
+    return trunc.join(full_k, "vec_id").agg(
+        F.lit(MATRYOSHKA_DIM).cast("long").alias("dim"),
+        F.lit(MATRYOSHKA_K).cast("long").alias("k"),
+        F.count("*").alias("n_hit"),
+        F.round(F.count("*") / F.lit(float(MATRYOSHKA_K)), 6).alias(
+            "recall"
+        ),
+    )
+
+
+K_ANON_K = 8  # minimum safe equivalence-class size
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN class_size < {K_ANON_K} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violating_classes,
+           CAST(sum(CASE WHEN class_size < {K_ANON_K} THEN class_size
+                    ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(min(class_size) AS BIGINT) AS min_class,
+           CAST(max(class_size) AS BIGINT) AS max_class
+    FROM classes
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier pair: any equivalence class smaller than k={K_ANON_K}
+    re-identifies its members and must be suppressed or generalized
+    before the table ships to training — the structured-data
+    counterpart of pii_scrub_stats (E23). One partial-agg groupBy to
+    |classes| rows, then a single-row rollup; nothing touches the
+    driver."""
+    cust = load(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    risk = F.col("class_size") < K_ANON_K
+    return classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.sum(risk.cast("long")).alias("n_violating_classes"),
+        F.sum(F.when(risk, F.col("class_size")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("class_size").alias("min_class"),
+        F.max("class_size").alias("max_class"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Cross-doc boilerplate + model-based quality scoring (corpus cleaning)
 # --------------------------------------------------------------------- #
@@ -6605,6 +6813,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_pair_cooccurrence", "pq_encode_stats", "pmi_collocations",
     "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
+    "ivf_adc_topk", "matryoshka_recall", "k_anonymity_audit",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -6620,8 +6829,7 @@ DRIVER_PRIORITY: list[str] = [
     "above_avg_balance_no_orders",
     # TPC-H analog sweep
     "small_qty_revenue", "late_order_priority", "large_volume_customers",
-    "promo_revenue", "grouping_sets_revenue", "order_priority_pivot",
-    "customer_order_gaps",
+    "promo_revenue",
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
     "file_provenance",
