@@ -230,21 +230,21 @@ def test_ivfadc_replication_dedup(spark):
 def test_ivfadc_probe_filter_plan_no_shuffle(spark):
     """At replication=1 the probed ADC search is Filter -> LUT sum ->
     TakeOrderedAndProject with no Exchange (the filter is the partition-
-    pruning predicate on cell-partitioned storage). The cell/codes join
-    in encode_ivfadc is broadcast at fixture scale but collapses into
-    the write path at scale; assert the search adds no shuffle on top of
-    a materialized code table."""
+    pruning predicate on cell-partitioned storage), and encode_ivfadc
+    computes cell + codes in one projection, so the COMPOSED
+    encode+search plan is a single scan stage."""
     emb = _emb(spark)
     cents = _cents(spark)
     books = pq.seed_codebooks(emb, "vec_id", "embedding", m=M, k=K, dim=DIM)
     qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    enc = pq.encode_ivfadc(
-        emb, "vec_id", "embedding", cents, books, dim=DIM
-    ).localCheckpoint(eager=True)
+    enc = pq.encode_ivfadc(emb, "vec_id", "embedding", cents, books, dim=DIM)
     res = pq.ivfadc_search(enc, qvec, cents, books, dim=DIM, nprobe=3, k=10)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         res.explain("formatted")
     plan = buf.getvalue()
+    # encode (cell + codes in one projection) and probe+score compose
+    # into a single scan stage: no join, no shuffle, pre-merge top-k
     assert "Exchange" not in plan
+    assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan

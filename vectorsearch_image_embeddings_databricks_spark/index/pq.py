@@ -328,15 +328,44 @@ def encode_ivfadc(
     replication: int = 1,
 ) -> DataFrame:
     """The IVFADC storage layout (Jégou et al. §V): ``(id, cell,
-    codes[])`` — coarse cell for pruning, PQ codes for scoring. One
-    map-only projection; at 100 TB this table is written partitioned by
-    ``cell`` so a probe is a partition-pruned scan."""
-    assigned = coarse_assign(df, id_col, vec_col, centroids, replication)
-    codes = encode_compact(df, id_col, vec_col, codebooks, dim)
-    # both sides key on id; at scale the codes projection is fused into
-    # the same scan by writing cell+codes in one pass — here the join
-    # keeps the two layers independently testable
-    return assigned.join(codes, "id").select("id", "cell", "codes")
+    codes[])`` — coarse cell for pruning, PQ codes for scoring,
+    computed in ONE map-only projection over the vector scan (cell and
+    codes are both codegen'd expressions over the same row, so the
+    corpus is read once and nothing joins or shuffles). At 100 TB this
+    table is written partitioned by ``cell`` so a probe is a
+    partition-pruned scan."""
+    from ..functions.vector import dot
+
+    m = len(codebooks)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    scored = [
+        F.struct(
+            (-dot(vec_col, _lit_vec(cv))).alias("d"),
+            F.lit(int(cell)).alias("cell"),
+        )
+        for cell, cv in centroids
+    ]
+    cells = F.transform(
+        F.slice(
+            F.array_sort(F.array(*scored)),
+            1,
+            min(replication, len(centroids)),
+        ),
+        lambda s: s["cell"],
+    )
+    codes = F.array(
+        *[
+            _best_code(vec_col, book, j, sub).cast("long")
+            for j, book in enumerate(codebooks)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(cells).alias("cell"),
+        codes.alias("codes"),
+    )
 
 
 def ivfadc_search(
