@@ -107,6 +107,7 @@ NEW_OPS = [
     "ivf_adc_topk",
     "matryoshka_recall",
     "k_anonymity_audit",
+    "events_ohlc_hourly",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

@@ -3336,6 +3336,81 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+               event_type, ts, event_id, CAST(value AS DOUBLE) AS v
+        FROM events
+    ),
+    o AS (
+        SELECT bucket, event_type, v AS open_v,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM e
+    ),
+    c AS (
+        SELECT bucket, event_type, v AS close_v,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+    ),
+    agg AS (
+        SELECT bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(v) AS low_v, max(v) AS high_v
+        FROM e GROUP BY 1, 2
+    )
+    SELECT a.bucket, a.event_type, a.n_events,
+           o.open_v, a.high_v, a.low_v, c.close_v
+    FROM agg a
+    JOIN o ON o.bucket = a.bucket AND o.event_type = a.event_type
+          AND o.rn = 1
+    JOIN c ON c.bucket = a.bucket AND c.event_type = a.event_type
+          AND c.rn = 1
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling (the hypertable/financial-rollup
+    aggregate): per (hour, event_type) the first and last value BY EVENT
+    TIME plus min/max — open/close computed as single min/max aggregates
+    over (ts, event_id, value) structs (lexicographic compare makes the
+    tie-break deterministic), NOT as windows: one partial-agg groupBy,
+    no per-row rank, no join — where the SQL formulation needs two
+    row_number windows plus a join back. The struct-min trick is the
+    scalable arg-min-by-time shape: each executor keeps one candidate
+    per group map-side. Values are the fixture's exact 2-dp doubles —
+    no sums, nothing to round."""
+    from .streaming.windows import with_event_time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_event_time(load_events(spark, sf_dir)).select(
+        F.date_trunc("hour", "event_time").cast("string").alias("bucket"),
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    first_s = F.min(F.struct("ts", "event_id", "v"))
+    last_s = F.max(F.struct("ts", "event_id", "v"))
+    return ev.groupBy("bucket", "event_type").agg(
+        F.count("*").alias("n_events"),
+        first_s.alias("__o"),
+        F.max("v").alias("high_v"),
+        F.min("v").alias("low_v"),
+        last_s.alias("__c"),
+    ).select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.col("__o.v").alias("open_v"),
+        "high_v",
+        "low_v",
+        F.col("__c.v").alias("close_v"),
+    )
+
+
+@register(
     "events_sliding_window",
     oracle="""
     WITH b AS (
@@ -6814,6 +6889,7 @@ DRIVER_PRIORITY: list[str] = [
     "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
     "ivf_adc_topk", "matryoshka_recall", "k_anonymity_audit",
+    "events_ohlc_hourly",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -6829,7 +6905,6 @@ DRIVER_PRIORITY: list[str] = [
     "above_avg_balance_no_orders",
     # TPC-H analog sweep
     "small_qty_revenue", "late_order_priority", "large_volume_customers",
-    "promo_revenue",
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
     "file_provenance",
