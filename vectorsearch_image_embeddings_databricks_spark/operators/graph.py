@@ -50,22 +50,44 @@ def pagerank(
     damping_den: int = 20,
     scale: int = SCALE,
     nodes: DataFrame | None = None,
+    nodes_complete: bool = False,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over directed ``edges``.
 
     Returns ``(node, rank_scaled)`` — one row per node, ``rank_scaled``
     a long in units of 1/scale. ``nodes`` (single column ``node``)
     optionally widens the vertex set beyond edge endpoints (isolated
-    nodes receive the BASE rank).
+    nodes receive the BASE rank); ``nodes_complete=True`` asserts it
+    already CONTAINS every edge endpoint, skipping the 2·|E|-row
+    endpoint-distinct — at web scale the vertex table is the crawl
+    frontier you already have, so recomputing it from the edge list is
+    pure waste.
+
+    ``broadcast_ranks``: the per-iteration join's shape. A checkpointed
+    DataFrame loses its partitioning metadata (Scan ExistingRDD), so
+    the default shuffle join re-exchanges the edge table every
+    iteration — correct at any |V| but pays |E| shuffle per pass. With
+    ``broadcast_ranks=True`` the (|V|·16-byte) rank table broadcasts
+    instead and each iteration is edge-scan → broadcast join → ONE
+    dst-key exchange — strictly better whenever ranks fit the
+    broadcast budget (|V| up to ~10⁷); past that, leave it off.
     """
     if damping_den <= 0 or not (0 <= damping_num <= damping_den):
         raise ValueError("damping must satisfy 0 <= num <= den")
+    if nodes_complete and nodes is None:
+        raise ValueError("nodes_complete requires nodes")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    vertex = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    )
-    if nodes is not None:
-        vertex = vertex.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
+    if nodes_complete:
+        vertex = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    else:
+        vertex = e.select(F.col("src").alias("node")).union(
+            e.select(F.col("dst").alias("node"))
+        )
+        if nodes is not None:
+            vertex = vertex.union(
+                nodes.select(F.col(nodes.columns[0]).alias("node"))
+            )
     vertex = vertex.distinct().localCheckpoint(eager=True)
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edges ⋈ out_deg is reused every iteration — materialize once.
@@ -76,8 +98,9 @@ def pagerank(
         "node", F.lit(scale).cast("long").alias("rank_scaled")
     )
     for _ in range(iters):
+        rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            e_deg.join(rhs, e_deg["src"] == rhs["node"])
             .select(
                 "dst",
                 F.expr("rank_scaled DIV out_deg").alias("contrib"),
@@ -85,6 +108,8 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
         )
+        if broadcast_ranks:
+            contribs = F.broadcast(contribs)
         ranks = (
             vertex.join(contribs, vertex["node"] == contribs["dst"], "left")
             .select(

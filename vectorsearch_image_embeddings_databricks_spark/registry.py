@@ -5100,7 +5100,18 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = cust.select((F.col("c_custkey") * 2).alias("node")).union(
         supp.select((F.col("s_suppkey") * 2 + 1).alias("node"))
     )
-    ranks = pagerank(edges, iters=PAGERANK_ITERS, nodes=nodes)
+    # customers ∪ suppliers provably covers every edge endpoint, so the
+    # 2·|E|-row endpoint-distinct is skipped (nodes_complete); the rank
+    # table is |customers|+|suppliers| rows of 16 bytes — broadcast it
+    # so each iteration is edge-scan → broadcast join → one dst exchange
+    # instead of re-shuffling the edge table every pass
+    ranks = pagerank(
+        edges,
+        iters=PAGERANK_ITERS,
+        nodes=nodes,
+        nodes_complete=True,
+        broadcast_ranks=True,
+    )
     return (
         ranks.select(
             "node",
