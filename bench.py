@@ -108,6 +108,8 @@ NEW_OPS = [
     "matryoshka_recall",
     "k_anonymity_audit",
     "events_ohlc_hourly",
+    "formats_roundtrip_stats",
+    "source_drift_chi2",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

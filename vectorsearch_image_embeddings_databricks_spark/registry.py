@@ -4865,6 +4865,152 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "formats_roundtrip_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars_csv,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_orc
+    FROM documents GROUP BY lang
+    """,
+)
+def formats_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source fidelity for the non-parquet formats (O7/O14 beyond
+    pytest): the documents table is written to ORC (self-describing,
+    carries the text) and CSV (explicit schema on read — inference is
+    banned by sources.formats), read back through sources.formats, and
+    the per-lang stats of the two roundtripped copies joined — equal to
+    the direct-scan oracle ONLY if both roundtrips preserved every row
+    and value (CSV quoting/escaping included). At scale these writes
+    are the standing-table layout job; per-call here is fixture-sized.
+    """
+    import os
+    import tempfile
+
+    from .sources import formats
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    orc_path = os.path.join(base, "docs_orc")
+    csv_path = os.path.join(base, "docs_csv")
+    formats.write_table(docs, orc_path, "orc")
+    formats.write_table(
+        docs.select("doc_id", "lang", "n_chars"), csv_path, "csv"
+    )
+    orc = formats.read_table(spark, orc_path, "orc").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    csv = formats.read_table(
+        spark,
+        csv_path,
+        "csv",
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        ),
+    )
+    return csv.join(orc, "doc_id").groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars_csv"),
+        F.sum("text_len").alias("sum_text_orc"),
+    )
+
+
+DRIFT_BUCKETS = 8        # fixed-width n_chars histogram buckets
+DRIFT_BUCKET_WIDTH = 32  # chars per bucket (last bucket open-ended)
+
+
+@register(
+    "source_drift_chi2",
+    oracle=f"""
+    WITH b AS (
+        SELECT source,
+               least(n_chars // {DRIFT_BUCKET_WIDTH},
+                     {DRIFT_BUCKETS - 1}) AS bucket
+        FROM documents
+    ),
+    obs AS (
+        SELECT source, bucket, count(*) AS o FROM b GROUP BY 1, 2
+    ),
+    src_tot AS (SELECT source, count(*) AS ns FROM b GROUP BY 1),
+    gbuck AS (SELECT bucket, count(*) AS g FROM b GROUP BY 1),
+    n_all AS (SELECT count(*) AS n FROM b),
+    terms AS (
+        SELECT s.source, g.bucket,
+               coalesce(o.o, 0) AS o,
+               CAST(s.ns AS DOUBLE) * CAST(g.g AS DOUBLE)
+                   / CAST(n_all.n AS DOUBLE) AS e
+        FROM src_tot s CROSS JOIN gbuck g CROSS JOIN n_all
+        LEFT JOIN obs o ON o.source = s.source AND o.bucket = g.bucket
+    )
+    SELECT source,
+           CAST(sum(CAST(floor(1000000 *
+                (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+                AS BIGINT)) AS BIGINT) AS chi2_micro,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM terms GROUP BY source
+    ORDER BY chi2_micro DESC, source
+    """,
+)
+def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (the data-quality gate a training
+    pipeline runs per ingest batch): χ² statistic of each source's
+    doc-length histogram against the corpus-wide distribution over
+    {DRIFT_BUCKETS} fixed-width buckets. Per-bucket terms are
+    micro-floored to integers BEFORE the cross-bucket sum, so the
+    statistic is engine-exact (a float sum over buckets would be
+    order-dependent). Plan: one (source, bucket) groupBy, two tiny
+    rollups, a |sources|×|buckets| dense grid via broadcast-class
+    joins — corpus scanned once, everything after is histogram-sized."""
+    docs = load_docs(spark, sf_dir)
+    b = docs.select(
+        "source",
+        F.least(
+            F.expr(f"n_chars div {DRIFT_BUCKET_WIDTH}"),
+            F.lit(DRIFT_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    obs = b.groupBy("source", "bucket").agg(F.count("*").alias("o"))
+    src_tot = b.groupBy("source").agg(F.count("*").alias("ns"))
+    glob = b.groupBy("bucket").agg(F.count("*").alias("g"))
+    n_all = b.agg(F.count("*").alias("n"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(n_all))
+        .join(obs, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (
+                F.col("ns").cast("double")
+                * F.col("g").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    term = F.floor(
+        F.lit(1_000_000)
+        * (F.col("o").cast("double") - F.col("e"))
+        * (F.col("o").cast("double") - F.col("e"))
+        / F.col("e")
+    ).cast("long")
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.sum(term).alias("chi2_micro"),
+            F.count("*").alias("n_buckets"),
+        )
+        .orderBy(F.desc("chi2_micro"), "source")
+    )
+
+
 K_ANON_K = 8  # minimum safe equivalence-class size
 
 
@@ -6900,7 +7046,7 @@ DRIVER_PRIORITY: list[str] = [
     "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
     "ivf_adc_topk", "matryoshka_recall", "k_anonymity_audit",
-    "events_ohlc_hourly",
+    "events_ohlc_hourly", "formats_roundtrip_stats", "source_drift_chi2",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -6915,7 +7061,7 @@ DRIVER_PRIORITY: list[str] = [
     "customers_without_orders", "cheapest_supplier_per_part",
     "above_avg_balance_no_orders",
     # TPC-H analog sweep
-    "small_qty_revenue", "late_order_priority", "large_volume_customers",
+    "small_qty_revenue",
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
     "file_provenance",
