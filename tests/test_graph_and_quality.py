@@ -138,6 +138,24 @@ def test_boilerplate_plan_no_cross_join_no_global_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+    # the df side is vocabulary-sized: must be a shuffle join, never a
+    # broadcast that would OOM at corpus scale; postings materialized
+    # once (the corpus explode must not appear twice)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 0  # explode hidden behind checkpoint
+
+
+def test_drift_chi2_single_corpus_pass(spark):
+    """All marginals derive from the checkpointed histogram — the
+    corpus parquet is scanned exactly once (inside the checkpoint),
+    never once per rollup."""
+    spark.catalog.clearCache()
+    plan = plan_of(registry.QUERIES["source_drift_chi2"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0  # only the obs checkpoint feeds it
+    assert "CartesianProduct" not in plan
 
 
 # ------------------------------------------------------------------ #

@@ -454,12 +454,18 @@ def cross_doc_boilerplate(
     rule.
 
     Scale shape (100 TB lens): postings carry int64 xxhash64 gram keys
-    (8-byte shuffle keys regardless of n-gram width). Document frequency
-    is one gram-key groupBy; the postings⋈df join re-uses that same
-    gram-key partitioning (exchange reuse — no third shuffle); the
-    per-doc rollup shuffles on (doc, group); the final per-group agg is
-    partial-aggregated map-side to |groups| rows. Nothing is collected,
-    no cross join, no unpartitioned window.
+    (8-byte shuffle keys regardless of n-gram width) and are
+    materialized ONCE (both the document-frequency aggregate and the
+    join left side read them — without the checkpoint Catalyst
+    re-executes the corpus explode per branch, the same double-scan
+    near_dup_pairs_jaccard's inverted index avoids). The postings⋈df
+    join is forced SHUFFLE_HASH on the gram key: the df table is
+    VOCABULARY-sized (all distinct n-grams), which at corpus scale does
+    not fit a broadcast — and its build side hashes on the same key the
+    aggregate just shuffled on. The per-doc rollup shuffles on (doc,
+    group); the final per-group agg is partial-aggregated map-side to
+    |groups| rows. Nothing is collected, no cross join, no
+    unpartitioned window.
     """
     postings = (
         df.select(
@@ -469,10 +475,11 @@ def cross_doc_boilerplate(
         )
         .filter(F.col("g") != "")
         .select("id", "grp", F.xxhash64("g").alias("gh"))
+        .localCheckpoint(eager=True)
     )
     gram_df = postings.groupBy("gh").agg(F.count("*").alias("df"))
     per_doc = (
-        postings.join(gram_df, "gh")
+        postings.join(gram_df.hint("SHUFFLE_HASH"), "gh")
         .groupBy("id", "grp")
         .agg(
             F.count("*").alias("n_grams"),

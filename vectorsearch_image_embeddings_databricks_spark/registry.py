@@ -4965,9 +4965,11 @@ def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     {DRIFT_BUCKETS} fixed-width buckets. Per-bucket terms are
     micro-floored to integers BEFORE the cross-bucket sum, so the
     statistic is engine-exact (a float sum over buckets would be
-    order-dependent). Plan: one (source, bucket) groupBy, two tiny
-    rollups, a |sources|×|buckets| dense grid via broadcast-class
-    joins — corpus scanned once, everything after is histogram-sized."""
+    order-dependent). Plan: the corpus is scanned ONCE into the
+    histogram-sized obs table (checkpointed — |sources|×|buckets|
+    rows); the marginals (per-source, per-bucket, grand total) are
+    rollups OF obs, never a second corpus pass; the dense grid is
+    broadcast-class joins over those rollups."""
     docs = load_docs(spark, sf_dir)
     b = docs.select(
         "source",
@@ -4976,10 +4978,14 @@ def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(DRIFT_BUCKETS - 1),
         ).alias("bucket"),
     )
-    obs = b.groupBy("source", "bucket").agg(F.count("*").alias("o"))
-    src_tot = b.groupBy("source").agg(F.count("*").alias("ns"))
-    glob = b.groupBy("bucket").agg(F.count("*").alias("g"))
-    n_all = b.agg(F.count("*").alias("n"))
+    obs = (
+        b.groupBy("source", "bucket")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    src_tot = obs.groupBy("source").agg(F.sum("o").alias("ns"))
+    glob = obs.groupBy("bucket").agg(F.sum("o").alias("g"))
+    n_all = obs.agg(F.sum("o").alias("n"))
     grid = (
         src_tot.crossJoin(F.broadcast(glob))
         .crossJoin(F.broadcast(n_all))
@@ -5113,7 +5119,8 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate; per-source report of docs whose distinct-n-gram set is
     ≥ 10% boilerplate. Distinct from repetition_summary (intra-doc
     Gopher metrics) — this one finds text repeated ACROSS documents.
-    One gram-key shuffle for document frequency, exchange-reused join,
+    Postings materialized once, vocabulary-sized df side joined
+    SHUFFLE_HASH (never broadcast),
     per-doc then per-source rollups; integer micro-unit ratios. See
     operators.textstats.cross_doc_boilerplate."""
     from .operators.textstats import cross_doc_boilerplate
