@@ -110,6 +110,7 @@ NEW_OPS = [
     "events_ohlc_hourly",
     "formats_roundtrip_stats",
     "source_drift_chi2",
+    "dpp_returnflag_revenue",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

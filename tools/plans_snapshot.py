@@ -25,6 +25,10 @@ FLAGSHIPS = [
     "dedup_keep_best",
     "chunk_documents",
     "zorder_layout",
+    "ivf_adc_topk",
+    "boilerplate_ngrams",
+    "source_drift_chi2",
+    "events_ohlc_hourly",
 ]
 
 spark = (
