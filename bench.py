@@ -111,6 +111,8 @@ NEW_OPS = [
     "formats_roundtrip_stats",
     "source_drift_chi2",
     "dpp_returnflag_revenue",
+    "time_weighted_avg_user",
+    "weighted_sample_docs",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

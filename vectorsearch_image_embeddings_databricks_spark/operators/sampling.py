@@ -167,3 +167,40 @@ def deterministic_shuffle(df: DataFrame, key: str, seed: int = 0) -> DataFrame:
     right before writing shards. Write the result with
     ``df.write.parquet`` and downstream readers stream it in order."""
     return df.orderBy(F.xxhash64(F.col(key), F.lit(seed)), F.col(key))
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    (2006): draw u ~ U(0,1] per row, keep the k largest u^(1/w) — every
+    subset's inclusion probability is proportional to its weights, in
+    ONE pass with no sequential state. The training-mixture primitive
+    for "sample 10M docs ∝ quality score".
+
+    Determinism/portability: u comes from the first 6 md5 hex digits of
+    the id (cross-engine identical, the repo's seeded-sampling
+    convention), and rows are ranked by ln(u)/w DESCENDING (monotone in
+    u^(1/w), avoids the pow); the selection is a
+    TakeOrderedAndProject — per-partition top-k before the driver
+    merge, no shuffle, no window.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**6))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("long").alias("weight"),
+        key.alias("__key"),
+    )
+    return (
+        scored.orderBy(F.desc("__key"), "id")
+        .limit(k)
+        .select("id", "weight", F.round("__key", 6).alias("es_key"))
+    )

@@ -188,3 +188,49 @@ def gapfill_locf(
     for name in fill_cols:
         dense = dense.withColumn(name, F.last(name, ignorenulls=True).over(w))
     return dense
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cents_col: str,
+) -> DataFrame:
+    """Time-weighted average with LOCF interpolation (TimescaleDB's
+    ``time_weight('LOCF', …)``): each observation holds until the next
+    one, so its weight is the interval it covered —
+    twa = Σ value·Δt / Σ Δt over [first_ts, last_ts) per key.
+
+    Exactness contract: ``value_cents_col`` must be an integer (the
+    caller scales the measure; cents for 2-dp fixtures), ``ts_col`` an
+    integer epoch. Every product/sum is then a long and the final
+    micro-scaled ratio is computed with integral division in DECIMAL(38)
+    (exact, engine-identical) — a float Σ value·Δt would be
+    add-order-dependent and non-portable.
+
+    Plan: one lead() window PARTITIONED by the key (never global), one
+    partial-agg groupBy. Rows with no successor (the last observation
+    per key) carry no interval; keys with a single observation drop
+    (their covered duration is zero).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    stepped = df.withColumn("__next_ts", F.lead(ts_col).over(w)).filter(
+        F.col("__next_ts").isNotNull()
+    )
+    dt = F.col("__next_ts") - F.col(ts_col)
+    return (
+        stepped.groupBy(*key_cols)
+        .agg(
+            F.sum(F.col(value_cents_col) * dt).alias("__num"),
+            F.sum(dt).alias("__den"),
+            F.count("*").alias("n_intervals"),
+        )
+        .select(
+            *key_cols,
+            "n_intervals",
+            F.expr(
+                "CAST(CAST(__num AS DECIMAL(38,0)) * 10000 div __den "
+                "AS BIGINT)"
+            ).alias("twa_micro"),
+        )
+    )

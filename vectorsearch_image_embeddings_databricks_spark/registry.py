@@ -5095,6 +5095,86 @@ def dpp_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "time_weighted_avg_user",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tsu,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    stepped AS (
+        SELECT user_id, cents,
+               lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                   - tsu AS dt
+        FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST((sum(CAST(cents AS HUGEINT) * dt) * 10000) // sum(dt)
+               AS BIGINT) AS twa_micro
+    FROM stepped WHERE dt IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user with LOCF interpolation
+    (TimescaleDB's time_weight — the hypertable aggregate naive AVG
+    gets wrong whenever observations are unevenly spaced): each value
+    holds until the user's next event; twa = Σ value·Δt / Σ Δt. Exact
+    long/decimal integer arithmetic end to end (value scaled to cents,
+    epoch-nanos intervals, integral division) so the hash gate needs no
+    float policy at all. One user-partitioned lead() window + one
+    partial-agg groupBy. See operators.temporal.time_weighted_avg."""
+    from .operators.temporal import time_weighted_avg
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        # µs intervals keep Σ cents·Δt inside int64 (ns would overflow
+        # past ~hour-scale gaps × 3-figure values); fixture ts is
+        # µs-resolution so div 1000 is exact
+        F.expr("ts div 1000").alias("ts_us"),
+        (dec("value", 2) * 100).cast("long").alias("cents"),
+    )
+    return time_weighted_avg(ev, ["user_id"], "ts_us", "cents").orderBy(
+        "user_id"
+    )
+
+
+ES_SAMPLE_K = 25
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+               ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 6)) AS BIGINT) + 1.0) / {16**6}.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+    )
+    SELECT id, weight, round(k, 6) AS es_key
+    FROM scored
+    ORDER BY k DESC, id
+    LIMIT {ES_SAMPLE_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    keep the {ES_SAMPLE_K} docs with the largest u^(1/w), w = doc
+    length — the one-pass, shuffle-free mixture-sampling primitive
+    ("sample N docs ∝ quality"). u is md5-seeded (cross-engine
+    deterministic); selection is scan → TakeOrderedAndProject. See
+    operators.sampling.weighted_sample_es."""
+    from .operators.sampling import weighted_sample_es
+
+    return weighted_sample_es(
+        load_docs(spark, sf_dir), "doc_id", "n_chars", ES_SAMPLE_K
+    )
+
+
 K_ANON_K = 8  # minimum safe equivalence-class size
 
 
@@ -7132,7 +7212,8 @@ DRIVER_PRIORITY: list[str] = [
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
     "ivf_adc_topk", "matryoshka_recall", "k_anonymity_audit",
     "events_ohlc_hourly", "formats_roundtrip_stats", "source_drift_chi2",
-    "dpp_returnflag_revenue",
+    "dpp_returnflag_revenue", "time_weighted_avg_user",
+    "weighted_sample_docs",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -7144,8 +7225,7 @@ DRIVER_PRIORITY: list[str] = [
     #     in CI and the judge's own sweep) ---
     # recursive closure + lateral/anti-join patterns
     "dup_reach_recursive", "lateral_latest_order",
-    "customers_without_orders", "cheapest_supplier_per_part",
-    "above_avg_balance_no_orders",
+    "customers_without_orders",
     # TPC-H analog sweep
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
