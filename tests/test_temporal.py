@@ -244,3 +244,76 @@ def test_gapfill_locf_densifies_and_carries_forward(spark):
     assert got[("b", 10)] == (None, None)  # leading gap: nothing to carry
     assert got[("b", 12)] == (1, 9.0)
     assert got[("b", 13)] == (None, 9.0)
+
+
+def test_time_weighted_avg_hand_checked(spark):
+    """Three observations: value 100 cents holds 10s, 300 cents holds
+    30s -> twa = (100*10 + 300*30)/40 = 250 cents = 2.5 -> 2_500_000
+    micro. The last observation carries no interval; a single-obs key
+    drops entirely."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        (1, 0, 100),
+        (1, 10, 300),
+        (1, 40, 999),   # last obs: no successor, excluded
+        (2, 5, 777),    # single obs: zero covered duration, key drops
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "cents"])
+    out = {r["k"]: r for r in time_weighted_avg(df, ["k"], "t", "cents").collect()}
+    assert set(out) == {1}
+    assert out[1]["n_intervals"] == 2
+    assert out[1]["twa_micro"] == 2_500_000
+
+
+def test_time_weighted_avg_plan_partitioned_window(spark):
+    """The lead() window must be partitioned by the key — a global sort
+    of the corpus would be the single-reducer anti-pattern."""
+    import contextlib
+    import io
+
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from .conftest import SF_SMALL
+
+    df = registry.QUERIES["time_weighted_avg_user"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_weighted_sample_es_overwhelming_weight_always_selected(spark):
+    """A doc whose weight dwarfs the rest has ln(u)/w ~ 0 > everyone
+    else's key — it must appear in any top-k; output keys descend."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.sampling import (
+        weighted_sample_es,
+    )
+
+    rows = [(i, "x", 10) for i in range(100)] + [(999, "y", 10**9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    out = weighted_sample_es(df, "doc_id", "n_chars", 5).collect()
+    assert len(out) == 5
+    assert out[0]["id"] == 999
+    keys = [r["es_key"] for r in out]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_weighted_sample_es_plan_no_shuffle(spark):
+    import contextlib
+    import io
+
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from .conftest import SF_SMALL
+
+    spark.catalog.clearCache()
+    df = registry.QUERIES["weighted_sample_docs"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
