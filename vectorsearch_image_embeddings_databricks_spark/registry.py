@@ -4551,6 +4551,31 @@ def pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.code_profile(enc)
 
 
+def _pq_seed_rows(emb: DataFrame, n: int) -> list:
+    """ONE bounded driver probe shared by every PQ/IVFADC query: the n
+    smallest-id (vec_id, embedding) rows — the query vector, the seeded
+    PQ codebook rows, and the seeded coarse centroids are all slices of
+    this list, so one collect (one Spark job) replaces three."""
+    return (
+        emb.filter(F.col("vec_id") < n)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+
+
+def _seed_books_from_rows(rows: list, m: int, sub: int) -> list:
+    """seed_codebooks' exact output, built from an already-collected row
+    list (same rows: the k smallest ids), avoiding a second driver job."""
+    return [
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"][j * sub : (j + 1) * sub]])
+            for r in rows
+        ]
+        for j in range(m)
+    ]
+
+
 ADC_K = 10         # pq_adc_topk result size
 ADC_RECALL_K = 20  # pq_adc_recall pool size
 
@@ -4624,14 +4649,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .index import pq
 
     emb = load_embeddings(spark, sf_dir)
-    qvec = (
-        emb.filter(F.col("vec_id") == KNN_QUERY_ID)
-        .select("embedding")
-        .collect()[0][0]
-    )
-    books = pq.seed_codebooks(
-        emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, dim=PQ_M * PQ_SUB
-    )
+    rows = _pq_seed_rows(emb, PQ_K)
+    qvec = rows[KNN_QUERY_ID]["embedding"]
+    books = _seed_books_from_rows(rows, PQ_M, PQ_SUB)
     enc = pq.encode_compact(
         emb, "vec_id", "embedding", books, dim=PQ_M * PQ_SUB
     )
@@ -4675,14 +4695,9 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.vector import l2_dist
 
     emb = load_embeddings(spark, sf_dir)
-    qvec = (
-        emb.filter(F.col("vec_id") == KNN_QUERY_ID)
-        .select("embedding")
-        .collect()[0][0]
-    )
-    books = pq.seed_codebooks(
-        emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, dim=PQ_M * PQ_SUB
-    )
+    rows = _pq_seed_rows(emb, PQ_K)
+    qvec = rows[KNN_QUERY_ID]["embedding"]
+    books = _seed_books_from_rows(rows, PQ_M, PQ_SUB)
     enc = pq.encode_compact(
         emb, "vec_id", "embedding", books, dim=PQ_M * PQ_SUB
     )
@@ -4758,20 +4773,15 @@ def ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .index import pq
 
     emb = load_embeddings(spark, sf_dir)
-    qvec = (
-        emb.filter(F.col("vec_id") == KNN_QUERY_ID)
-        .select("embedding")
-        .collect()[0][0]
-    )
+    # one driver probe: query vector, coarse centroids, and PQ codebook
+    # rows are all slices of the same NLIST smallest-id rows
+    rows = _pq_seed_rows(emb, max(IVFADC_NLIST, PQ_K))
+    qvec = rows[KNN_QUERY_ID]["embedding"]
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < IVFADC_NLIST)
-        .orderBy("vec_id")
-        .collect()
+        for r in rows[:IVFADC_NLIST]
     ]
-    books = pq.seed_codebooks(
-        emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, dim=PQ_M * PQ_SUB
-    )
+    books = _seed_books_from_rows(rows[:PQ_K], PQ_M, PQ_SUB)
     enc = pq.encode_ivfadc(
         emb, "vec_id", "embedding", cents, books, dim=PQ_M * PQ_SUB
     )
