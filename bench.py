@@ -113,6 +113,7 @@ NEW_OPS = [
     "dpp_returnflag_revenue",
     "time_weighted_avg_user",
     "weighted_sample_docs",
+    "winsorized_value_stats",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

@@ -317,3 +317,43 @@ def test_weighted_sample_es_plan_no_shuffle(spark):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_winsorized_stats_hand_checked(spark):
+    """20 values 1..20 in one group: p05 bound = 1st order stat (=1),
+    p95 bound = 19th (=19); clamping only moves 20 -> 19, so the
+    winsorized sum is 210 - 1 = 209."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.quantiles import (
+        winsorized_stats,
+    )
+
+    rows = [("a", i, i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    out = winsorized_stats(df, "g", "v", "id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["lo_bound"], r["hi_bound"]) == (1, 19)
+    assert r["sum_winsorized"] == 209
+    assert r["n"] == 20
+
+
+def test_grouped_ranked_matches_naive_window(spark):
+    """The range-exchange grouped rank must equal the naive per-group
+    window rank on every row, across a multi-group fixture."""
+    from pyspark.sql import Window, functions as F
+    from vectorsearch_image_embeddings_databricks_spark.operators.quantiles import (
+        grouped_ranked,
+    )
+
+    rows = [(f"g{i % 3}", i * 7 % 50, i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    got = {
+        (r["g"], r["id"]): r["__grank"]
+        for r in grouped_ranked(df, "g", "v", "id").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want

@@ -1,0 +1,134 @@
+"""Grouped EXACT order statistics at scale — quantile bounds and
+winsorized aggregates per group (the outlier-trimming step of a metric
+pipeline: clamp each group's values to its own [p_lo, p_hi] before
+averaging).
+
+The naive formulation — ``row_number() OVER (PARTITION BY group ORDER
+BY value)`` — collapses each group onto ONE reducer; with the handful
+of groups a real events table has, that is a few tasks sorting the
+whole 100 TB. The scalable shape generalizes
+``textstats.distributed_ntile``'s range-exchange trick to grouped
+ranks:
+
+    repartitionByRange(group, value, id)       -- one range exchange;
+                                               -- each GROUP spans MANY
+                                               -- consecutive partitions
+    row_number() OVER (PARTITION BY pid, group ORDER BY value, id)
+                                               -- bounded local sorts
+    per-(group, pid) counts                    -- |groups|·|partitions|
+                                               -- rows to the driver
+    global rank = prefix-offset(group, pid) + local rank
+
+so no task ever holds more than one partition's slice of a group, and
+the only driver state is the (group × partition) count grid. Quantile
+indices use exact integer ceilings (k = ceil(q·n) with q a rational
+p/q_den), so the bounds are order statistics both engines agree on
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_ranked(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + ``__grank`` = exact 1-based rank of ``value_col`` within
+    ``group_col`` (ties broken by ``tiebreak_col``), computed with a
+    range exchange + partition-local windows + a bounded driver count
+    grid — never a per-group global window. ``group_col`` must be a
+    string column (the offset grid's schema)."""
+    cols = [F.col(group_col), F.col(value_col), F.col(tiebreak_col)]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions is not None
+        else df.repartitionByRange(*cols)
+    )
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid", group_col).orderBy(value_col, tiebreak_col)
+    ranked = ranged.withColumn("__lrn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    counts = sorted(
+        (r[group_col], r["__pid"], r["c"])
+        for r in ranked.groupBy(group_col, "__pid")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    offsets, acc = [], {}
+    for g, pid, c in counts:
+        offsets.append((g, pid, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + c
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            offsets, f"{group_col} string, __pid int, __off long"
+        )
+    )
+    return (
+        ranked.join(off_df, [group_col, "__pid"])
+        .withColumn("__grank", F.col("__off") + F.col("__lrn"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lo_num: int = 1,
+    hi_num: int = 19,
+    q_den: int = 20,
+) -> DataFrame:
+    """Per-group winsorized aggregate: clamp each group's INTEGER values
+    to its exact [ceil(lo·n/den)-th, ceil(hi·n/den)-th] order statistics
+    and report the clamped sum — all long arithmetic, so the result is
+    engine-exact with no float policy.
+
+    Returns (group, n, lo_bound, hi_bound, sum_winsorized).
+    """
+    ranked = grouped_ranked(df, group_col, value_col, tiebreak_col)
+    totals = ranked.groupBy(group_col).agg(F.count("*").alias("__n"))
+    with_n = ranked.join(F.broadcast(totals), group_col)
+    k_lo = F.expr(f"(__n * {lo_num} + {q_den - 1}) div {q_den}")
+    k_hi = F.expr(f"(__n * {hi_num} + {q_den - 1}) div {q_den}")
+    bounds = (
+        with_n.filter(
+            (F.col("__grank") == k_lo) | (F.col("__grank") == k_hi)
+        )
+        .groupBy(group_col)
+        .agg(
+            F.min(
+                F.when(F.col("__grank") == k_lo, F.col(value_col))
+            ).alias("lo_bound"),
+            F.max(
+                F.when(F.col("__grank") == k_hi, F.col(value_col))
+            ).alias("hi_bound"),
+        )
+    )
+    # degenerate tiny groups: k_lo == k_hi leaves one bound null
+    bounds = bounds.select(
+        group_col,
+        F.coalesce("lo_bound", "hi_bound").alias("lo_bound"),
+        F.coalesce("hi_bound", "lo_bound").alias("hi_bound"),
+    )
+    clamped = F.least(
+        F.greatest(F.col(value_col), F.col("lo_bound")), F.col("hi_bound")
+    )
+    return (
+        ranked.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lo_bound").alias("lo_bound"),
+            F.max("hi_bound").alias("hi_bound"),
+            F.sum(clamped).alias("sum_winsorized"),
+        )
+    )

@@ -5152,6 +5152,64 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winsorized_value_stats",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    ),
+    b AS (
+        SELECT event_type,
+               min(CASE WHEN rk = (n + 19) // 20 THEN cents END) AS lo,
+               max(CASE WHEN rk = (n * 19 + 19) // 20 THEN cents END) AS hi
+        FROM r GROUP BY 1
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           b.lo AS lo_cents,
+           b.hi AS hi_cents,
+           CAST(sum(least(greatest(r.cents, b.lo), b.hi)) AS BIGINT)
+               AS sum_winsorized_cents
+    FROM r JOIN b USING (event_type)
+    GROUP BY r.event_type, b.lo, b.hi
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value aggregate — clamp each event type's
+    values to its own EXACT [p05, p95] order statistics before summing
+    (the outlier-trimming step naive AVG pipelines skip). The grouped
+    rank is computed scalably: a (group, value) range exchange +
+    partition-local windows + a bounded (group × partition) offset grid
+    — never `row_number() OVER (PARTITION BY event_type)`, which would
+    put each type's entire 100 TB slice on one reducer (the oracle uses
+    exactly that naive window, which is fine single-node). All long
+    arithmetic (values in cents) — no float policy anywhere. See
+    operators.quantiles."""
+    from .operators.quantiles import winsorized_stats
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        (dec("value", 2) * 100).cast("long").alias("cents"),
+    )
+    return winsorized_stats(ev, "event_type", "cents", "event_id").select(
+        "event_type",
+        "n",
+        F.col("lo_bound").alias("lo_cents"),
+        F.col("hi_bound").alias("hi_cents"),
+        F.col("sum_winsorized").alias("sum_winsorized_cents"),
+    )
+
+
 ES_SAMPLE_K = 25
 
 
@@ -7223,7 +7281,7 @@ DRIVER_PRIORITY: list[str] = [
     "ivf_adc_topk", "matryoshka_recall", "k_anonymity_audit",
     "events_ohlc_hourly", "formats_roundtrip_stats", "source_drift_chi2",
     "dpp_returnflag_revenue", "time_weighted_avg_user",
-    "weighted_sample_docs",
+    "weighted_sample_docs", "winsorized_value_stats",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -7235,7 +7293,6 @@ DRIVER_PRIORITY: list[str] = [
     #     in CI and the judge's own sweep) ---
     # recursive closure + lateral/anti-join patterns
     "dup_reach_recursive", "lateral_latest_order",
-    "customers_without_orders",
     # TPC-H analog sweep
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
