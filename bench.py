@@ -136,16 +136,18 @@ def build_session() -> SparkSession:
         # measured query pays heap-growth stalls (driver.memory sets only
         # -Xmx; growing 1g→32g clobbered the first queries when measured)
         .config("spark.driver.memory", "32g")
-        # -Xms pins the heap (see above). ReservedCodeCacheSize: ~80
-        # whole-stage-codegen classes × 2 passes + Catalyst/janino overflow
-        # the 240m default code cache late in the suite; when it fills the
-        # JVM silently disables the JIT and expression-heavy queries drop
-        # to the interpreter (measured: lang_id_pred 10.5s both passes in
-        # an affected session vs 0.6s healthy — sticky for the session's
-        # remainder, the signature of code-cache exhaustion, not GC).
+        # -Xms pins the heap (see above). ReservedCodeCacheSize: the
+        # whole-stage-codegen classes of the full suite × 3 passes +
+        # Catalyst/janino overflow the 240m default code cache late in
+        # the suite; when it fills the JVM silently disables the JIT and
+        # expression-heavy queries drop to the interpreter (measured:
+        # lang_id_pred 10.5s both passes in an affected session vs 0.6s
+        # healthy — sticky for the session's remainder, the signature of
+        # code-cache exhaustion, not GC). 512m sufficed for the r2 suite
+        # (51 queries); the r3 suite is 78 queries — 1g keeps headroom.
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms32g -XX:ReservedCodeCacheSize=512m",
+            "-Xms32g -XX:ReservedCodeCacheSize=1g",
         )
         .config("spark.ui.enabled", "false")
         # keep stdout clean: progress bars would corrupt the JSON line
