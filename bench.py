@@ -114,6 +114,7 @@ NEW_OPS = [
     "time_weighted_avg_user",
     "weighted_sample_docs",
     "winsorized_value_stats",
+    "triangle_count_parts",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

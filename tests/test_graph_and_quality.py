@@ -277,3 +277,53 @@ def test_mine_triplets_plan_broadcast_no_window(spark):
     # hash-aggregable); the partial instance before the exchange is what
     # bounds the shuffle to |anchors| x tasks
     assert tree.count("SortAggregate") == 2
+
+
+# ------------------------------------------------------------------ #
+# triangle counting
+# ------------------------------------------------------------------ #
+
+
+def test_triangle_count_hand_checked(spark):
+    """K4 has 4 triangles, 6 edges; oriented wedge count for K4 under
+    any total order is 6 (each vertex of out-degree d contributes
+    C(d,2): degrees 3,2,1,0 -> 3+1+0+0... by id-order tie-break)."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, ["src", "dst"])
+    r = triangle_count(df).collect()[0]
+    assert r["n_edges"] == 6
+    assert r["n_triangles"] == 4
+    # orientation bound: sum over vertices of C(outdeg, 2); for K4 with
+    # equal degrees the id tie-break yields outdegs (3,2,1,0) -> 3+1 = 4
+    assert r["n_wedges"] == 4
+
+
+def test_triangle_count_no_triangle_in_path(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.graph import (
+        triangle_count,
+    )
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    r = triangle_count(df).collect()[0]
+    assert r["n_triangles"] == 0
+
+
+def test_triangle_count_star_bounded_wedges(spark):
+    """Celebrity star: naive wedges at the hub = C(n,2); degree
+    orientation points every edge INTO the hub, so oriented wedges at
+    the hub are ZERO — the last-reducer fix made observable."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.graph import (
+        triangle_count,
+    )
+
+    star = [(0, i) for i in range(1, 30)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    r = triangle_count(df).collect()[0]
+    assert r["n_edges"] == 29
+    assert r["n_wedges"] == 0      # leaves have out-degree 1, hub in-degree 29
+    assert r["n_triangles"] == 0

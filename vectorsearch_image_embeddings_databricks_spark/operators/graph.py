@@ -124,3 +124,72 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle count over an undirected graph given as distinct
+    ``src < dst`` edge pairs — degree-oriented (Suri & Vassilvitskii,
+    "Counting triangles and the curse of the last reducer", WWW'11).
+
+    The naive wedge join fans every vertex out by deg², so one celebrity
+    vertex serializes the job (the "last reducer"). Orienting each edge
+    from its LOWER-degree endpoint to the higher (ties by id) caps every
+    vertex's out-degree at O(√|E|), so the wedge join materializes
+    Σ outdeg² = O(|E|^{3/2}) candidates total — the optimal exact bound
+    — regardless of skew. The count is orientation-invariant, so the
+    SQL oracle can use the plain id-ordered 3-way join.
+
+    Plan: degree groupBy (one shuffle) → broadcast-or-shuffle join of
+    degrees onto edges → wedge self-join on the oriented source →
+    closing semi-join against the oriented edge set → single-row count.
+    Returns (n_edges, n_wedges, n_triangles) — wedge count included so
+    the orientation bound is observable.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    # orient low-degree -> high-degree, ties to the smaller id
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b"))
+            )
+            .alias("o")
+        )
+        .select("o.a", "o.b")
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("a"), F.col("b").alias("p"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("q"))
+    wedges = w1.join(w2, "a").filter(F.col("p") < F.col("q"))
+    # a wedge (p, q) out of a closes iff {p, q} is an edge — in EITHER
+    # orientation (p->q or q->p), since orientation is by degree
+    o1 = oriented.select(F.col("a").alias("p"), F.col("b").alias("q"))
+    o2 = oriented.select(F.col("b").alias("p"), F.col("a").alias("q"))
+    closing = o1.union(o2)
+    tri = wedges.join(closing, ["p", "q"], "left_semi")
+    n_edges = oriented.count()
+    n_wedges = wedges.count()
+    n_tri = tri.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_tri)],
+        "n_edges long, n_wedges long, n_triangles long",
+    )

@@ -5210,6 +5210,73 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIANGLE_MIN_SUPPORT = 2  # co-purchase edges need >= this many orders
+
+
+@register(
+    "triangle_count_parts",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {TRIANGLE_MIN_SUPPORT}
+    ),
+    deg AS (
+        SELECT x, count(*) AS d
+        FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        GROUP BY 1
+    ),
+    o AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS a,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS b
+        FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+    ),
+    wedges AS (
+        SELECT w1.a, w1.b AS p, w2.b AS q
+        FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b
+    ),
+    closing AS (SELECT a AS p, b AS q FROM o
+                UNION ALL SELECT b AS p, a AS q FROM o)
+    SELECT (SELECT count(*) FROM o) AS n_edges,
+           (SELECT count(*) FROM wedges) AS n_wedges,
+           (SELECT count(*) FROM wedges w WHERE EXISTS (
+                SELECT 1 FROM closing c WHERE c.p = w.p AND c.q = w.q))
+               AS n_triangles
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the part co-purchase graph (edges =
+    part pairs sharing ≥ {TRIANGLE_MIN_SUPPORT} orders) — degree-
+    oriented per Suri & Vassilvitskii (WWW'11): orienting each edge
+    low-degree→high-degree caps every vertex's wedge fan-out at
+    O(√|E|), so the candidate set is O(|E|^1.5) TOTAL regardless of
+    skew — the fix for the "curse of the last reducer" that kills the
+    naive PARTITION BY vertex formulation on any celebrity vertex. The
+    count is orientation-invariant, so the oracle replays the same
+    degree orientation in SQL and must agree exactly (n_wedges pins the
+    orientation itself, not just the final count). See
+    operators.graph.triangle_count."""
+    from .operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    return triangle_count(edges, src="u", dst="v")
+
+
 ES_SAMPLE_K = 25
 
 
@@ -7282,6 +7349,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_ohlc_hourly", "formats_roundtrip_stats", "source_drift_chi2",
     "dpp_returnflag_revenue", "time_weighted_avg_user",
     "weighted_sample_docs", "winsorized_value_stats",
+    "triangle_count_parts",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -7292,7 +7360,7 @@ DRIVER_PRIORITY: list[str] = [
     #     twice judge-replay-green — stays covered by tools/replay.py
     #     in CI and the judge's own sweep) ---
     # recursive closure + lateral/anti-join patterns
-    "dup_reach_recursive", "lateral_latest_order",
+    "dup_reach_recursive",
     # TPC-H analog sweep
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
