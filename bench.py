@@ -115,6 +115,7 @@ NEW_OPS = [
     "weighted_sample_docs",
     "winsorized_value_stats",
     "triangle_count_parts",
+    "python_datasource_scan",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

@@ -344,3 +344,51 @@ def test_real_encoders_raise_cleanly_without_torch():
         RealTextEncoder()
     with pytest.raises(NotImplementedError):
         RealImageEncoder()
+
+
+# ------------------------------------------------------------------ #
+# Spark 4 Python DataSource (sources/pydatasource.py)
+# ------------------------------------------------------------------ #
+
+
+def test_pydatasource_pushfilters_consumes_bucket_hands_back_rest():
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+    from vectorsearch_image_embeddings_databricks_spark.sources.pydatasource import (
+        SyntheticEventsReader,
+    )
+
+    r = SyntheticEventsReader({"n_rows": "100", "n_parts": "4"})
+    flt = [EqualTo(("bucket",), 3), GreaterThan(("value",), 10)]
+    remaining = list(r.pushFilters(flt))
+    # bucket filter consumed, value filter handed back to Spark
+    assert remaining == [GreaterThan(("value",), 10)]
+    assert r._keep(3) and not r._keep(4)
+
+
+def test_pydatasource_partitions_cover_keyspace_disjointly():
+    from vectorsearch_image_embeddings_databricks_spark.sources.pydatasource import (
+        SyntheticEventsReader,
+    )
+
+    r = SyntheticEventsReader({"n_rows": "103", "n_parts": "4"})
+    parts = r.partitions()
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == 103
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2  # contiguous, disjoint
+
+
+def test_pydatasource_plan_shows_pushed_filter(spark):
+    import contextlib
+    import io
+
+    from vectorsearch_image_embeddings_databricks_spark import registry
+    from .conftest import SF_SMALL
+
+    df = registry.QUERIES["python_datasource_scan"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchScan synthetic_events" in plan
+    assert "PushedFilters: [EqualTo(bucket,3)]" in plan

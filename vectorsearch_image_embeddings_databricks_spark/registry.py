@@ -5210,6 +5210,54 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PYDS_ROWS = 100_000  # synthetic Python-DataSource keyspace size
+PYDS_BUCKET = 3      # pushed-down bucket filter
+
+
+@register(
+    "python_datasource_scan",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(i) AS BIGINT) AS min_id,
+           CAST(max(i) AS BIGINT) AS max_id,
+           CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_value
+    FROM range({PYDS_ROWS}) t(i)
+    WHERE i % 10 = {PYDS_BUCKET}
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API end to end: a custom partitioned
+    connector (sources/pydatasource.py) with FILTER PUSHDOWN — the
+    ``bucket = {PYDS_BUCKET}`` predicate is consumed by the reader's
+    ``pushFilters`` and applied inside the generator, so each of the
+    parallel read tasks emits ~1/{10} of its slice instead of Spark
+    post-filtering the firehose. The generator is pure integer
+    arithmetic, so the oracle regenerates the identical stream from
+    ``range(n)`` — a hash gate over a custom connector, partitioning
+    and pushdown included."""
+    from .sources.pydatasource import SyntheticEventsDataSource
+
+    # pushdown into Python sources is opt-in (Spark 4 runtime conf)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", str(PYDS_ROWS))
+        .option("n_parts", "8")
+        .load()
+        .filter(F.col("bucket") == PYDS_BUCKET)
+    )
+    return df.agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
 TRIANGLE_MIN_SUPPORT = 2  # co-purchase edges need >= this many orders
 
 
@@ -7349,7 +7397,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_ohlc_hourly", "formats_roundtrip_stats", "source_drift_chi2",
     "dpp_returnflag_revenue", "time_weighted_avg_user",
     "weighted_sample_docs", "winsorized_value_stats",
-    "triangle_count_parts",
+    "triangle_count_parts", "python_datasource_scan",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -7359,8 +7407,6 @@ DRIVER_PRIORITY: list[str] = [
     #     remainder — stable TPC-H analogs and vector variants, all
     #     twice judge-replay-green — stays covered by tools/replay.py
     #     in CI and the judge's own sweep) ---
-    # recursive closure + lateral/anti-join patterns
-    "dup_reach_recursive",
     # TPC-H analog sweep
     # events/funnels/cohorts + provenance/regex
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
