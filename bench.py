@@ -116,6 +116,7 @@ NEW_OPS = [
     "winsorized_value_stats",
     "triangle_count_parts",
     "python_datasource_scan",
+    "python_stream_source_rollup",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

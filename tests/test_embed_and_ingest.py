@@ -392,3 +392,25 @@ def test_pydatasource_plan_shows_pushed_filter(spark):
     plan = buf.getvalue()
     assert "BatchScan synthetic_events" in plan
     assert "PushedFilters: [EqualTo(bucket,3)]" in plan
+
+
+def test_tickstream_read_and_replay_agree():
+    """readBetweenOffsets must regenerate exactly what the incremental
+    reads served for the same offset range — the exactly-once replay
+    contract under checkpoint recovery."""
+    from vectorsearch_image_embeddings_databricks_spark.sources.pydatasource import (
+        TickStreamReader,
+    )
+
+    r = TickStreamReader({"n_rows": "1000", "batch_size": "300"})
+    off = r.initialOffset()
+    served = []
+    while int(off["pos"]) < 1000:
+        it, off = r.read(off)
+        served.extend(it)
+    assert len(served) == 1000
+    replayed = list(r.readBetweenOffsets({"pos": 0}, {"pos": 1000}))
+    assert served == replayed
+    # read past the cap returns nothing and holds the offset
+    it, same = r.read(off)
+    assert list(it) == [] and same == off

@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     GreaterThan,
     InputPartition,
     LessThan,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -109,3 +110,52 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reader: each ``read`` serves at most
+    ``batch_size`` rows past the start offset and returns the advanced
+    offset; ``readBetweenOffsets`` regenerates any committed range
+    bit-for-bit (the replay contract that makes the source
+    exactly-once under checkpoint recovery — possible here because the
+    stream is a pure function of the offset range, the property a real
+    connector gets from its upstream log)."""
+
+    def __init__(self, options: dict) -> None:
+        self.cap = int(options.get("n_rows", 1_000))
+        self.batch = int(options.get("batch_size", 250))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    @staticmethod
+    def _rows(start: int, end: int) -> Iterator[tuple]:
+        # a LIST iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator and generators don't copy
+        return iter(
+            [(i, i % NBUCKETS, (i * KNUTH) % VMOD) for i in range(start, end)]
+        )
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.cap)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(int(start["pos"]), int(end["pos"]))
+
+
+class SyntheticTickStreamSource(DataSource):
+    """``spark.readStream.format("tick_stream")`` — the streaming twin
+    of ``SyntheticEventsDataSource`` (same deterministic integer rows,
+    served as offset-tracked micro-batches)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tick_stream"
+
+    def schema(self) -> StructType | str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return TickStreamReader(self.options)
