@@ -194,6 +194,10 @@ def weighted_sample_es(
         + F.lit(1.0)
     ) / F.lit(float(16**6))
     key = F.log(u) / F.col(weight_col).cast("double")
+    # w <= 0 has no sampling probability (and ln(u)/0 is ±inf/NaN, whose
+    # sort order is engine-specific) — excluded by definition, both here
+    # and in the SQL oracle
+    df = df.filter(F.col(weight_col) > 0)
     scored = df.select(
         F.col(id_col).alias("id"),
         F.col(weight_col).cast("long").alias("weight"),

@@ -195,6 +195,7 @@ def time_weighted_avg(
     key_cols: list[str],
     ts_col: str,
     value_cents_col: str,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Time-weighted average with LOCF interpolation (TimescaleDB's
     ``time_weight('LOCF', …)``): each observation holds until the next
@@ -211,9 +212,13 @@ def time_weighted_avg(
     Plan: one lead() window PARTITIONED by the key (never global), one
     partial-agg groupBy. Rows with no successor (the last observation
     per key) carry no interval; keys with a single observation drop
-    (their covered duration is zero).
+    (their covered duration is zero). ``tiebreak_col`` totalizes the
+    order under equal timestamps (ties would otherwise make the
+    lead() pairing — and thus which value gets the zero-length
+    interval — engine/partitioning-dependent).
     """
-    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     stepped = df.withColumn("__next_ts", F.lead(ts_col).over(w)).filter(
         F.col("__next_ts").isNotNull()
     )

@@ -5109,13 +5109,14 @@ def dpp_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_weighted_avg_user",
     oracle="""
     WITH e AS (
-        SELECT user_id, epoch_us(ts) AS tsu,
+        SELECT user_id, event_id, epoch_us(ts) AS tsu,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         FROM events
     ),
     stepped AS (
         SELECT user_id, cents,
-               lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+               lead(tsu) OVER (
+                   PARTITION BY user_id ORDER BY tsu, event_id)
                    - tsu AS dt
         FROM e
     )
@@ -5141,15 +5142,16 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).select(
         "user_id",
+        "event_id",
         # µs intervals keep Σ cents·Δt inside int64 (ns would overflow
         # past ~hour-scale gaps × 3-figure values); fixture ts is
         # µs-resolution so div 1000 is exact
         F.expr("ts div 1000").alias("ts_us"),
         (dec("value", 2) * 100).cast("long").alias("cents"),
     )
-    return time_weighted_avg(ev, ["user_id"], "ts_us", "cents").orderBy(
-        "user_id"
-    )
+    return time_weighted_avg(
+        ev, ["user_id"], "ts_us", "cents", tiebreak_col="event_id"
+    ).orderBy("user_id")
 
 
 @register(
@@ -5409,7 +5411,7 @@ ES_SAMPLE_K = 25
                ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
                                 1, 6)) AS BIGINT) + 1.0) / {16**6}.0)
                    / CAST(n_chars AS DOUBLE) AS k
-        FROM documents
+        FROM documents WHERE n_chars > 0
     )
     SELECT id, weight, round(k, 6) AS es_key
     FROM scored
