@@ -5306,9 +5306,15 @@ def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
+    def _sink_rows() -> int:
+        try:
+            return spark.table(sink).count()
+        except Exception:
+            return 0  # memory sink registers its view on first batch
+
     try:
         deadline = time.time() + 120
-        while spark.table(sink).count() < PYDS_STREAM_ROWS:
+        while _sink_rows() < PYDS_STREAM_ROWS:
             if time.time() > deadline:
                 raise TimeoutError("tick_stream never drained its keyspace")
             time.sleep(0.2)
