@@ -505,3 +505,88 @@ def test_chunk_tokens_coverage_and_count_invariants(
         assert toks == [f"t{i}" for i in range(start, start + nct)]
         covered.update(range(start, start + nct))
     assert covered == set(range(n_tokens))
+
+
+# ------------------------------------------------------------------ #
+# round-3 algorithmic operators
+# ------------------------------------------------------------------ #
+
+EDGE_SETS = st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda e: e[0] < e[1]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=EDGE_SETS)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented count == brute-force enumeration on random
+    graphs (orientation invariance, the property the oracle relies on)."""
+    from itertools import combinations
+
+    from vectorsearch_image_embeddings_databricks_spark.operators.graph import (
+        triangle_count,
+    )
+
+    es = set(edges)
+    nodes = {x for e in es for x in e}
+    brute = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in es and (a, c) in es and (b, c) in es
+    )
+    df = spark.createDataFrame(sorted(es), ["src", "dst"])
+    r = triangle_count(df).collect()[0]
+    assert r["n_triangles"] == brute
+    assert r["n_edges"] == len(es)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=EDGE_SETS)
+def test_pagerank_invariants(spark, edges):
+    """Every rank >= BASE; total rank never exceeds the initial mass
+    (damping + dangling nodes only ever LEAK mass in the unnormalized
+    variant); an edgeless vertex set would sit exactly at BASE."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.graph import (
+        SCALE,
+        pagerank,
+    )
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in sorted(edges)], ["src", "dst"]
+    )
+    rows = pagerank(df, iters=2).collect()
+    base = (SCALE * 3) // 20
+    n = len(rows)
+    assert all(r["rank_scaled"] >= base for r in rows)
+    assert sum(r["rank_scaled"] for r in rows) <= n * SCALE
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=2, max_size=40),
+)
+def test_winsorized_stats_matches_python_reference(spark, vals):
+    """Distributed grouped winsorization == the plain single-node
+    definition: clamp to the ceil(n/20)-th / ceil(19n/20)-th order
+    statistics, sum."""
+    import math as _math
+
+    from vectorsearch_image_embeddings_databricks_spark.operators.quantiles import (
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], ["grp", "id", "v"]
+    )
+    out = winsorized_stats(df, "grp", "v", "id").collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    lo = s[_math.ceil(n / 20) - 1]
+    hi = s[_math.ceil(19 * n / 20) - 1]
+    assert (out["lo_bound"], out["hi_bound"]) == (lo, hi)
+    assert out["sum_winsorized"] == sum(min(max(v, lo), hi) for v in vals)
+    assert out["n"] == n
