@@ -117,6 +117,7 @@ NEW_OPS = [
     "triangle_count_parts",
     "python_datasource_scan",
     "python_stream_source_rollup",
+    "python_stream_sink_roundtrip",
     "boilerplate_ngrams",
     "quality_model_score",
     "pagerank_trade_graph",

@@ -414,3 +414,47 @@ def test_tickstream_read_and_replay_agree():
     # read past the cap returns nothing and holds the offset
     it, same = r.read(off)
     assert list(it) == [] and same == off
+
+
+def test_manifest_sink_commit_is_idempotent_and_ignores_orphans(spark):
+    """Replaying commit() for the same batchId must leave ONE manifest
+    (atomic overwrite), and readers must skip staged files that were
+    never committed (orphans from aborted/retried batches)."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+    from vectorsearch_image_embeddings_databricks_spark.sources.pydatasource import (
+        ManifestParquetStreamWriter,
+        read_manifest_files,
+    )
+
+    path = tempfile.mkdtemp(prefix="manifest_test_")
+    w = ManifestParquetStreamWriter({"path": path})
+    rows = [Row(event_id=i, bucket=i % 10, value=i * 7) for i in range(20)]
+    msg = w.write(iter(rows))
+    assert msg.n_rows == 20
+    # an orphan staged by a failed attempt — never committed
+    orphan = w.write(iter(rows))
+    w.commit([msg], batchId=0)
+    w.commit([msg], batchId=0)  # crash-replay of the same batch
+    mdir = os.path.join(path, "manifest")
+    assert os.listdir(mdir) == ["0"]
+    with open(os.path.join(mdir, "0")) as f:
+        assert [e["path"] for e in json.load(f)["files"]] == [msg.path]
+    got = read_manifest_files(spark, path)
+    assert got.count() == 20  # the orphan's 20 rows are invisible
+    assert os.path.exists(orphan.path)  # staged but unread
+
+
+def test_manifest_sink_empty_task_writes_no_file():
+    import tempfile
+
+    from vectorsearch_image_embeddings_databricks_spark.sources.pydatasource import (
+        ManifestParquetStreamWriter,
+    )
+
+    w = ManifestParquetStreamWriter({"path": tempfile.mkdtemp()})
+    msg = w.write(iter([]))
+    assert msg.path == "" and msg.n_rows == 0

@@ -5339,6 +5339,97 @@ def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "python_stream_sink_roundtrip",
+    oracle=f"""
+    SELECT i % 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum((i * 2654435761) % 1000000) AS BIGINT) AS sum_value
+    FROM range({PYDS_STREAM_ROWS}) t(i)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def python_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 custom STREAMING SINK (DataSourceStreamWriter) with an
+    exactly-once commit manifest: the tick stream is written through
+    ManifestParquetSink — executors stage uniquely-named parquet files,
+    the driver atomically publishes a per-batch manifest, and the
+    read-back trusts manifests only (never the staging listing, which
+    may hold orphans from retried batches). The per-bucket rollup of
+    the manifest read must hash-match the range(n) oracle — proving no
+    batch was lost or double-published across the micro-batch
+    sequence. Completes the connector trio: batch read (pushdown),
+    stream read (offset replay), stream write (transactional commit)."""
+    import tempfile
+    import uuid
+
+    from .sources.pydatasource import (
+        ManifestParquetSink,
+        SyntheticTickStreamSource,
+        read_manifest_files,
+    )
+
+    for src_cls in (SyntheticTickStreamSource, ManifestParquetSink):
+        try:
+            spark.dataSource.register(src_cls)
+        except Exception:
+            pass
+    sink_dir = tempfile.mkdtemp(prefix="manifest_sink_")
+    stream = (
+        spark.readStream.format("tick_stream")
+        .option("n_rows", str(PYDS_STREAM_ROWS))
+        # 2 micro-batches: enough to prove the multi-batch manifest
+        # sequence while each batch pays a python-runner spawn
+        .option("batch_size", str(PYDS_STREAM_ROWS // 2))
+        .load()
+    )
+    chk = f"{sink_dir}/_chk_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("manifest_parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import os
+    import time
+
+    def _committed() -> int:
+        mdir = os.path.join(sink_dir, "manifest")
+        if not os.path.isdir(mdir):
+            return 0
+        import json
+
+        total = 0
+        for name in os.listdir(mdir):
+            if name.startswith("."):
+                continue
+            with open(os.path.join(mdir, name)) as f:
+                total += sum(e["n_rows"] for e in json.load(f)["files"])
+        return total
+
+    try:
+        deadline = time.time() + 120
+        while _committed() < PYDS_STREAM_ROWS:
+            if time.time() > deadline:
+                raise TimeoutError("manifest sink never committed the keyspace")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = (
+        read_manifest_files(spark, sink_dir)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+    out.cache().count()
+    return out
+
+
 TRIANGLE_MIN_SUPPORT = 2  # co-purchase edges need >= this many orders
 
 
@@ -7479,7 +7570,7 @@ DRIVER_PRIORITY: list[str] = [
     "dpp_returnflag_revenue", "time_weighted_avg_user",
     "weighted_sample_docs", "winsorized_value_stats",
     "triangle_count_parts", "python_datasource_scan",
-    "python_stream_source_rollup",
+    "python_stream_source_rollup", "python_stream_sink_roundtrip",
     # streaming stateful pair + gapfill (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
     "events_gapfill_hourly",
@@ -7494,7 +7585,7 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_view_click", "retention_cohorts", "source_regexp_stats",
     "file_provenance",
     # sampling + sketches
-    "stratified_sample_docs", "deterministic_sample_md5",
+    "stratified_sample_docs",
 ]
 
 

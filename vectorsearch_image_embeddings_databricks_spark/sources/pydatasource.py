@@ -28,15 +28,19 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
     InputPartition,
     LessThan,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -159,3 +163,105 @@ class SyntheticTickStreamSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         return TickStreamReader(self.options)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class ManifestParquetStreamWriter(DataSourceStreamWriter):
+    """Exactly-once file sink via a per-batch commit MANIFEST — the
+    protocol every transactional file sink (Delta, Iceberg, Spark's own
+    FileStreamSink) uses, reduced to its essentials:
+
+    - ``write`` (executors): stage each task's rows as a uniquely-named
+      parquet file; the staged file is INVISIBLE to readers — its path
+      travels back in the commit message.
+    - ``commit`` (driver, once per micro-batch): atomically rename a
+      manifest listing exactly the staged files to ``manifest/<batchId>``.
+      A re-run of the same batch after a crash rewrites the SAME
+      manifest path, so duplicated staging never duplicates reads —
+      readers trust manifests, never directory listings.
+    - ``abort``: best-effort removal of the staged files.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        rows = list(iterator)
+        if not rows:
+            # no file for an empty task: an empty pa.table would infer
+            # null column types and break the unioned read-back schema
+            return _FileCommit(path="", n_rows=0)
+        os.makedirs(os.path.join(self.path, "staging"), exist_ok=True)
+        fname = os.path.join(
+            self.path, "staging", f"part-{uuid.uuid4().hex}.parquet"
+        )
+        cols = rows[0].__fields__
+        table = pa.table({c: [r[c] for r in rows] for c in cols})
+        pq_.write_table(table, fname)
+        return _FileCommit(path=fname, n_rows=len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        files = [
+            {"path": m.path, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None and m.path
+        ]
+        mdir = os.path.join(self.path, "manifest")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".{batchId}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batchId": batchId, "files": files}, f)
+        os.replace(tmp, os.path.join(mdir, str(batchId)))  # atomic
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+def read_manifest_files(spark, path: str):
+    """The reader half of the exactly-once contract: parquet paths come
+    from the manifests, never from listing the staging directory (which
+    may hold orphaned files from aborted/retried batches)."""
+    import json
+    import os
+
+    mdir = os.path.join(path, "manifest")
+    files: list[str] = []
+    for name in sorted(os.listdir(mdir), key=int):
+        with open(os.path.join(mdir, name)) as f:
+            files.extend(e["path"] for e in json.load(f)["files"])
+    return spark.read.parquet(*files)
+
+
+class ManifestParquetSink(DataSource):
+    """``df.writeStream.format("manifest_parquet").option("path", …)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def schema(self) -> StructType | str:
+        return SCHEMA
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return ManifestParquetStreamWriter(self.options)
