@@ -7554,8 +7554,8 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: behavior, not a guarantee; nothing here may hard-depend on it (the
 #: parity test bounds the list at ≤50 instead of pinning ==50).
 DRIVER_PRIORITY: list[str] = [
-    # --- every query ADDED in round 3 (21): new code gets external
-    #     verification first ---
+    # --- queries ADDED in round 3 (39 total; those that fit the
+    #     window): new code gets external verification first ---
     "semantic_dedup", "chunk_documents", "dsir_importance_weights",
     "dedup_keep_best", "vocab_oov_stats", "near_dedup_keep_best",
     "zorder_layout", "knn_filtered", "chunk_pack_pipeline",
