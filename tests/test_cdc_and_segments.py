@@ -1,0 +1,140 @@
+"""CDC MERGE apply (operators.cdc) and cross-doc segment dedup
+(operators.dedup.segment_dedup): semantics on literal frames + plan
+shape (argmax aggregate, not a window; no broadcast of the frequency
+side)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.operators import cdc, dedup
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, tag string, bal long",
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k long, seq long, op string, bal long")
+
+
+def test_cdc_upsert_delete_insert_keep(spark):
+    ch = _changes(
+        spark,
+        [
+            (1, 1, "U", 11),   # update key 1
+            (2, 1, "U", 99),
+            (2, 2, "D", 0),    # later delete wins for key 2
+            (4, 1, "U", 40),   # insert new key 4
+        ],
+    )
+    got = {
+        r["k"]: (r["bal"], r["tag"])
+        for r in cdc.apply_cdc(
+            _base(spark), ch, "k", ["seq"], "op", ["bal"]
+        ).collect()
+    }
+    assert got == {
+        1: (11, "a"),    # upserted payload, passthrough kept
+        3: (30, "c"),    # untouched
+        4: (40, None),   # inserted — no base passthrough
+    }
+
+
+def test_cdc_latest_wins_across_sequence_ties_broken_by_second_col(spark):
+    ch = spark.createDataFrame(
+        [(1, 5, 1, "U", 100), (1, 5, 2, "D", 0), (1, 4, 9, "U", 7)],
+        "k long, ts long, off long, op string, bal long",
+    )
+    out = cdc.apply_cdc(
+        _base(spark), ch, "k", ["ts", "off"], "op", ["bal"]
+    ).collect()
+    # latest change for key 1 is (ts=5, off=2) = delete
+    assert sorted(r["k"] for r in out) == [2, 3]
+
+
+def test_cdc_delete_then_reinsert_latest_wins(spark):
+    ch = _changes(spark, [(3, 1, "D", 0), (3, 2, "U", 33)])
+    out = {r["k"]: r["bal"] for r in cdc.apply_cdc(
+        _base(spark), ch, "k", ["seq"], "op", ["bal"]
+    ).collect()}
+    assert out == {1: 10, 2: 20, 3: 33}
+
+
+def test_cdc_latest_changes_plan_is_aggregate_not_window(spark):
+    ch = _changes(spark, [(1, 1, "U", 11)])
+    plan = cdc.latest_changes(
+        ch, "k", ["seq"], "op", ["bal"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_segment_dedup_removes_cross_doc_boilerplate(spark):
+    shared = "the quick brown fox jumps over the lazy"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+            (1, shared + " one two three four five six seven eight"),
+            (2, shared + " red green blue cyan magenta yellow black white"),
+            (3, "totally unique words nobody else repeats anywhere here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(
+            docs, "doc_id", "text", seg_len=8, max_df=2
+        ).collect()
+    }
+    # the shared leading segment appears in 3 docs > max_df → dropped
+    assert out[0]["n_segs"] == 2 and out[0]["n_kept"] == 1
+    assert out[3]["n_segs"] == 1 and out[3]["n_kept"] == 1
+    # doc 3's text survives verbatim
+    import hashlib
+
+    assert (
+        out[3]["clean_md5"]
+        == hashlib.md5(
+            b"totally unique words nobody else repeats anywhere here"
+        ).hexdigest()
+    )
+    # a fully-boilerplate doc reassembles to the empty string
+    docs2 = spark.createDataFrame(
+        [(i, shared) for i in range(3)], "doc_id long, text string"
+    )
+    out2 = dedup.segment_dedup(docs2, "doc_id", "text", 8, 2).collect()
+    assert all(
+        r["n_kept"] == 0
+        and r["clean_md5"] == hashlib.md5(b"").hexdigest()
+        for r in out2
+    )
+
+
+def test_segment_dedup_keeps_order_and_ignores_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "   "), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = dedup.segment_dedup(docs, "doc_id", "text", 4, 2).collect()
+    assert [r["doc_id"] for r in rows] == [0]  # token-less docs drop out
+    import hashlib
+
+    # segments [a b c d][e f g h][i j] reassemble in original order
+    assert rows[0]["n_segs"] == 3
+    assert rows[0]["clean_md5"] == hashlib.md5(
+        b"a b c d e f g h i j"
+    ).hexdigest()
+
+
+def test_segment_dedup_plan_never_broadcasts_frequency_side(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+    )
+    plan = dedup.segment_dedup(
+        docs, "doc_id", "text", 2, 1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan

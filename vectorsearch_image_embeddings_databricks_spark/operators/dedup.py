@@ -678,3 +678,86 @@ def semantic_dedup(
     return resolve_components(
         ids, verified, driver_cc_max_edges=driver_cc_max_edges
     )
+
+
+# --------------------------------------------------------------------- #
+# cross-doc segment dedup (line-level dedup with reassembly)
+# --------------------------------------------------------------------- #
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """Cross-document segment-level dedup with reassembly — the
+    CCNet/RefinedWeb "line dedup" pass: a segment (here a fixed run of
+    ``seg_len`` tokens, standing in for a newline-delimited line, which
+    the fixture corpus lacks) that appears in more than ``max_df``
+    DISTINCT documents is boilerplate and is removed from every document
+    it appears in; the surviving segments are re-joined in their
+    original order. This is the *removal* complement of the cross-doc
+    boilerplate *detector* (textstats.cross_doc_boilerplate): that one
+    reports, this one rewrites the corpus.
+
+    Scale shape: segmentation is a row-local HOF projection (no
+    explode-then-window); the document-frequency table shuffles once on
+    the segment key with map-side partial aggregation; the join back is
+    a segment-key SHUFFLE_HASH join (the frequency side is
+    segment-vocabulary-sized — potentially corpus-scale, so it is never
+    broadcast); reassembly is one groupBy on the doc id whose
+    ``collect_list`` is bounded by the document's own length (row-local
+    sort, no window). Two key shuffles total, both AQE-skew-handled. At
+    100 TB the segment join key would be ``xxhash64(seg)`` (8 bytes)
+    rather than the segment text; the string key is kept here so the
+    DuckDB oracle can replay the grouping byte-for-byte.
+
+    Returns one row per non-empty document:
+    ``(doc id, n_segs, n_kept, clean_md5)`` where ``clean_md5`` is the
+    md5 of the reassembled (space-joined) surviving text — a
+    content-addressed handle for the rewritten corpus.
+    """
+    from ..functions.text import tokenize
+
+    ws = tokenize(text_col)
+    n_seg = F.ceil(F.size(ws) / F.lit(seg_len)).cast("int")
+    segs = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, i * seg_len + 1, seg_len)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(segs).alias("idx", "seg")
+    )
+    dfreq = exploded.groupBy("seg").agg(
+        F.count_distinct("__id").alias("__df")
+    )
+    joined = exploded.join(dfreq.hint("SHUFFLE_HASH"), "seg").select(
+        "__id",
+        F.struct(
+            F.col("idx"),
+            F.col("seg"),
+            (F.col("__df") <= max_df).alias("kept"),
+        ).alias("__s"),
+    )
+    a = F.array_sort(F.collect_list("__s"))
+    kept = F.filter(a, lambda x: x["kept"])
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.size(a).alias("n_segs"),
+            F.size(kept).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(kept, lambda x: x["seg"]), " "
+                )
+            ).alias("clean_md5"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

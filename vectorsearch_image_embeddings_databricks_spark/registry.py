@@ -7536,6 +7536,132 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Cross-doc segment dedup with reassembly (CCNet/RefinedWeb line dedup —
+# the REMOVAL complement of the boilerplate detector)
+# --------------------------------------------------------------------- #
+
+SEGDEDUP_LEN = 8   # tokens per segment (stand-in for a newline line)
+SEGDEDUP_MAX_DF = 2  # segment survives in ≤ this many distinct docs
+
+
+@register(
+    "segment_dedup_docs",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(
+                   list_slice(ws, i * {SEGDEDUP_LEN} + 1,
+                              i * {SEGDEDUP_LEN} + {SEGDEDUP_LEN}), ' ') AS seg
+        FROM w, unnest(range(0, CAST(ceil(len(ws) / {SEGDEDUP_LEN}.0) AS BIGINT)))
+                 AS u(i)
+        WHERE len(ws) > 0
+    ),
+    dfreq AS (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ),
+    j AS (
+        SELECT s.doc_id, s.idx, s.seg, d.df <= {SEGDEDUP_MAX_DF} AS kept
+        FROM segs s JOIN dfreq d USING (seg)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_segs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+           md5(coalesce(
+               string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY idx),
+               '')) AS clean_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-doc dedup with reassembly: fixed 8-token
+    segments shared by more than {SEGDEDUP_MAX_DF} distinct documents
+    are removed from every document and the survivors re-joined in
+    order; output is a per-doc attrition row plus the md5 of the
+    rewritten text (content-addressed handle for the cleaned corpus).
+    Two key shuffles (segment-key doc-frequency with map-side partials,
+    then doc-key reassembly bounded by the row's own length); the
+    frequency side joins via SHUFFLE_HASH, never broadcast — it is
+    segment-vocabulary-sized. See operators.dedup.segment_dedup."""
+    return dedup.segment_dedup(
+        load_docs(spark, sf_dir), "doc_id", "text",
+        seg_len=SEGDEDUP_LEN, max_df=SEGDEDUP_MAX_DF,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Batch CDC apply (MERGE INTO semantics over the change-feed hook,
+# NMR:277-278 consumed as upsert/delete instead of SCD2 history)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "cdc_apply_orders",
+    oracle="""
+    WITH ch AS (
+        SELECT o_custkey AS k,
+               epoch_us(o_orderdate) // 86400000000 AS d,
+               o_orderkey AS ok,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS bal
+        FROM orders
+    ),
+    latest AS (
+        SELECT k, op, bal FROM (
+            SELECT k, op, bal,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY d DESC, ok DESC) AS rn
+            FROM ch) t
+        WHERE rn = 1
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(round(sum(CASE WHEN l.op = 'U' THEN l.bal
+                          ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END), 2)
+                AS DOUBLE) AS balance
+    FROM customer c LEFT JOIN latest l ON l.k = c.c_custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply: the orders table read as a change log
+    against the customer snapshot — each order is an account-balance
+    upsert (or a delete when finalized), sequenced by (order day, order
+    key); the latest change per customer wins. Latest-per-key is a
+    single argmax aggregate (max over struct(seq…, op, payload) — one
+    key shuffle WITH map-side partials, never a row_number window over
+    the change log); the merge is one full-outer key join. Output: the
+    merged snapshot rolled up per market segment. See
+    operators.cdc.apply_cdc."""
+    from .operators import cdc
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", dec("c_acctbal", 2).alias("bal")
+    )
+    changes = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+        F.col("o_orderkey").alias("ok"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(cdc.OP_DELETE))
+        .otherwise(F.lit(cdc.OP_UPSERT))
+        .alias("op"),
+        dec("o_totalprice", 2).alias("bal"),
+    )
+    merged = cdc.apply_cdc(
+        cust, changes, "c_custkey",
+        seq_cols=["d", "ok"], op_col="op", payload_cols=["bal"],
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_live"),
+        F.round(F.sum("bal"), 2).cast("double").alias("balance"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
