@@ -1,0 +1,108 @@
+"""BPE pair counting, temperature sampling quotas, and event-transition
+counts: hand-computed semantics on literal frames + plan shapes."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.operators import (
+    sampling,
+    temporal,
+    textstats,
+)
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    # "aab" x2 docs, "ab" once  → words: aab:2, ab:1
+    # pairs: aab → (a,a),(a,b) each ×2 ; ab → (a,b) ×1
+    docs = spark.createDataFrame(
+        [(0, "aab ab"), (1, "aab")], "doc_id long, text string"
+    )
+    rows = textstats.bpe_pair_counts(docs, "text", top=10).collect()
+    got = {(r["a"], r["b"]): r["pair_count"] for r in rows}
+    assert got == {("a", "b"): 3, ("a", "a"): 2}
+    # ordering: count desc, then lexicographic
+    assert [(r["a"], r["b"]) for r in rows] == [("a", "b"), ("a", "a")]
+
+
+def test_bpe_single_char_words_produce_no_pairs(spark):
+    docs = spark.createDataFrame([(0, "a b c a")], "doc_id long, text string")
+    assert textstats.bpe_pair_counts(docs, "text").count() == 0
+
+
+def test_bpe_pair_work_is_vocab_sized(spark):
+    # the pair explode must read the aggregated word table, not the corpus:
+    # the plan has exactly one pre-explode aggregate below the generator
+    docs = spark.createDataFrame([(0, "xy xy xy")], "doc_id long, text string")
+    plan = textstats.bpe_pair_counts(docs, "text")._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.find("Aggregate", gen_pos)
+    assert gen_pos != -1 and agg_pos != -1  # explode sits ABOVE an aggregate
+
+
+def test_temperature_quotas_alpha_half(spark):
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(100)] + [(i + 100, "fr") for i in range(25)],
+        "doc_id long, lang string",
+    )
+    rows = {
+        r["lang"]: r
+        for r in sampling.temperature_quotas(docs, "lang", total=60).collect()
+    }
+    # weights: sqrt(100)=10, sqrt(25)=5 → quotas 60*2/3=40, 60*1/3=20
+    assert rows["en"]["weight_micro"] == 10_000_000
+    assert rows["fr"]["weight_micro"] == 5_000_000
+    assert rows["en"]["quota"] == 40 and rows["fr"]["quota"] == 20
+    # α=1/2 boosts the low-resource group vs proportional sampling
+    assert rows["fr"]["quota"] / 60 > 25 / 125
+
+
+def test_temperature_quota_sum_never_exceeds_total(spark):
+    docs = spark.createDataFrame(
+        [(i, f"l{i % 7}") for i in range(500)], "doc_id long, lang string"
+    )
+    rows = sampling.temperature_quotas(docs, "lang", total=123).collect()
+    assert sum(r["quota"] for r in rows) <= 123  # floor division per group
+    for r in rows:
+        assert r["weight_micro"] == math.floor(
+            math.sqrt(r["n_docs"]) * 1_000_000
+        )
+
+
+def test_event_transitions_hand_computed_and_tie_broken(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 10, 1, "view"),
+            (1, 20, 2, "click"),
+            (1, 20, 3, "buy"),   # same ts as event 2 → id breaks the tie
+            (2, 5, 4, "view"),
+            (2, 6, 5, "view"),
+        ],
+        "user long, ts long, event_id long, state string",
+    )
+    got = {
+        (r["from_state"], r["to_state"]): r["n_transitions"]
+        for r in temporal.event_transitions(
+            ev, "user", ["ts", "event_id"], "state"
+        ).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "buy"): 1,
+        ("view", "view"): 1,
+    }
+
+
+def test_event_transitions_window_is_key_partitioned(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, 1, "a")], "user long, ts long, event_id long, state string"
+    )
+    plan = temporal.event_transitions(
+        ev, "user", ["ts", "event_id"], "state"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # hashpartitioning on the entity key — never a single global sort
+    assert "hashpartitioning(user" in plan

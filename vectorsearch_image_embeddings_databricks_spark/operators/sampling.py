@@ -208,3 +208,39 @@ def weighted_sample_es(
         .limit(k)
         .select("id", "weight", F.round("__key", 6).alias("es_key"))
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+) -> DataFrame:
+    """Temperature-based multilingual sampling quotas (the α-smoothing
+    of mBERT/XLM-R/mT5 pipelines, α = 1/2): per-group sample quota
+    ∝ n_g^α, boosting low-resource groups relative to proportional
+    sampling. Returns one row per group with its raw count, micro-int
+    weight, and integer quota out of ``total``.
+
+    Exactness: α = 1/2 makes the weight ``floor(sqrt(n)·1e6)`` — IEEE
+    754 requires sqrt correctly rounded (unlike ln/exp), so the double
+    is bit-identical on every engine and the floor is policy-free; the
+    quota is pure integer arithmetic on those weights. Scale shape: one
+    partial-agg groupBy to |groups| rows, one broadcast of the scalar
+    weight sum — corpus touched once."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).alias(
+        "weight_micro"
+    )
+    weighted = counts.select(group_col, "n_docs", w)
+    tot = weighted.agg(F.sum("weight_micro").alias("__tw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "weight_micro",
+            F.expr(f"CAST({total} AS BIGINT) * weight_micro div __tw").alias(
+                "quota"
+            ),
+        )
+    )

@@ -239,3 +239,31 @@ def time_weighted_avg(
             ).alias("twa_micro"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key: str,
+    seq_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts: for each entity (``key``),
+    pair every event with its successor in ``seq_cols`` order and count
+    (from_state → to_state) transitions corpus-wide — the journey/
+    clickstream matrix behind session-flow and next-event models.
+
+    ``seq_cols`` must totalize the per-entity order (timestamp + unique
+    id tie-break), otherwise same-timestamp neighbors make the pairing
+    partition-dependent. Scale shape: ONE window partitioned by the
+    entity key (each task sorts only its own entities — never a global
+    sort) followed by a |states|²-sized groupBy with map-side partials."""
+    w = Window.partitionBy(key).orderBy(*seq_cols)
+    return (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n_transitions"))
+    )

@@ -642,3 +642,54 @@ def pmi_collocations(
         .orderBy(F.desc("c_ab"), "wa", "wb")
         .limit(top)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    top: int = 20,
+) -> DataFrame:
+    """BPE merge-candidate counting — the inner statistic of byte-pair-
+    encoding tokenizer training (Sennrich et al. 2016): for every
+    adjacent symbol pair inside a word, the total corpus frequency. The
+    highest-count pair is the next merge; training loops this statistic,
+    re-segmenting after each merge (a driver-side loop over a vocab-sized
+    table, the same driver-state contract as the k-means/IVF trainers).
+
+    Scale shape: one token-key shuffle collapses the corpus to the
+    word-frequency table (map-side partials), after which ALL pair work
+    happens on the vocabulary, not the corpus — pairs explode from
+    distinct words only, weighted by the word's count, and the pair-key
+    shuffle is Σ(len-1) over DISTINCT words. A 100 TB corpus with a
+    10M-word vocabulary does corpus-sized work exactly once. Ordering is
+    integer count + string tie-breaks; no float anywhere."""
+    from ..functions.text import tokenize
+
+    wc = (
+        df.select(F.explode(tokenize(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    t = F.col("t")
+    pairs = (
+        wc.filter(F.length(t) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: F.struct(
+                        t.substr(i, F.lit(1)).alias("a"),
+                        t.substr(i + 1, F.lit(1)).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "f",
+        )
+        .select("p.a", "p.b", "f")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("f").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(top)
+    )

@@ -31,6 +31,8 @@ from .functions.text import (
 )
 from .index.vector_index import VectorIndex
 from .operators import dedup, hybrid, textstats
+from .operators import sampling as sampling_ops
+from .operators import temporal as temporal_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -7658,6 +7660,112 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_live"),
         F.round(F.sum("bal"), 2).cast("double").alias("balance"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# BPE merge-candidate counting (tokenizer-training inner statistic)
+# --------------------------------------------------------------------- #
+
+BPE_TOP = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM documents
+    ),
+    wc AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM w GROUP BY t),
+    p AS (
+        SELECT substr(t, CAST(i AS INTEGER), 1) AS a,
+               substr(t, CAST(i AS INTEGER) + 1, 1) AS b, f
+        FROM wc, unnest(range(1, length(t))) AS u(i)
+        WHERE length(t) >= 2
+    )
+    SELECT a, b, CAST(sum(f) AS BIGINT) AS pair_count
+    FROM p GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT {BPE_TOP}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-symbol pairs by corpus frequency — the first merge
+    iteration of BPE tokenizer training. The corpus is touched exactly
+    once (token-key shuffle to the word-frequency table); all pair work
+    explodes from DISTINCT words weighted by count, so the second
+    shuffle is vocabulary-sized regardless of corpus size. See
+    operators.textstats.bpe_pair_counts."""
+    return textstats.bpe_pair_counts(
+        load_docs(spark, sf_dir), "text", top=BPE_TOP
+    )
+
+
+# --------------------------------------------------------------------- #
+# Temperature-based multilingual sampling quotas (mBERT/XLM-R α = 1/2)
+# --------------------------------------------------------------------- #
+
+TEMP_SAMPLE_TOTAL = 200
+
+
+@register(
+    "temperature_mixture_quotas",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_micro
+        FROM c
+    ),
+    t AS (SELECT sum(weight_micro) AS tw FROM w)
+    SELECT lang, n_docs, weight_micro,
+           CAST({TEMP_SAMPLE_TOTAL} AS BIGINT) * weight_micro // t.tw AS quota
+    FROM w, t
+    """,
+)
+def temperature_mixture_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling quotas under α = 1/2 temperature smoothing
+    (the multilingual-LLM upsampling recipe): quota ∝ sqrt(n_lang).
+    sqrt is IEEE-correctly-rounded so the micro-int weight is engine-
+    identical; the quota split is pure integer arithmetic. One
+    partial-agg groupBy + one scalar broadcast. See
+    operators.sampling.temperature_quotas."""
+    return sampling_ops.temperature_quotas(
+        load_docs(spark, sf_dir), "lang", total=TEMP_SAMPLE_TOTAL
+    )
+
+
+# --------------------------------------------------------------------- #
+# Markov event-transition matrix (clickstream next-event counts)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_state
+        FROM events
+    )
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM s WHERE to_state IS NOT NULL
+    GROUP BY from_state, to_state
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over the per-user event
+    stream, ordered by (ts, event_id) so same-timestamp neighbors are
+    deterministic. One user-partitioned window (no global sort) + a
+    |states|²-row groupBy. See operators.temporal.event_transitions."""
+    ev = load_events(spark, sf_dir)
+    return temporal_ops.event_transitions(
+        ev, "user_id", ["ts", "event_id"], "event_type"
     )
 
 
