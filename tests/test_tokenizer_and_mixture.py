@@ -106,3 +106,55 @@ def test_event_transitions_window_is_key_partitioned(spark):
     assert "Window" in plan
     # hashpartitioning on the entity key — never a single global sort
     assert "hashpartitioning(user" in plan
+
+
+def _funnel(spark, rows, span=100):
+    ev = spark.createDataFrame(
+        rows, "user long, ts long, event_id long, state string"
+    )
+    return {
+        (r["step"], r["step_name"]): r["n_entities"]
+        for r in temporal.window_funnel(
+            ev, "user", "ts", "event_id", "state",
+            steps=["a", "b", "c"], span=span,
+        ).collect()
+    }
+
+
+def test_window_funnel_full_and_partial_depths(spark):
+    rows = [
+        # user 1 completes a→b→c within span
+        (1, 0, 1, "a"), (1, 10, 2, "b"), (1, 20, 3, "c"),
+        # user 2 reaches b only (c out of order: before b)
+        (2, 0, 4, "a"), (2, 5, 5, "c"), (2, 10, 6, "b"),
+        # wait — user 2's c at ts=5 precedes b, but a later c would count;
+        # none exists → depth 2
+        # user 3: never does step a → depth 0, appears in no step count
+        (3, 0, 7, "b"), (3, 10, 8, "c"),
+    ]
+    got = _funnel(spark, rows)
+    assert got == {(1, "a"): 2, (2, "b"): 2, (3, "c"): 1}
+
+
+def test_window_funnel_span_expiry_and_first_match(spark):
+    rows = [
+        # first 'a' at ts=0 anchors the window; the b at ts=150 is outside
+        # span=100 even though a second 'a' at ts=120 would fit — first-match
+        # semantics never re-anchor
+        (1, 0, 1, "a"), (1, 120, 2, "a"), (1, 150, 3, "b"),
+        # strict ordering: b at the SAME ts as a does not advance
+        (2, 0, 4, "a"), (2, 0, 5, "b"), (2, 1, 6, "b"),
+    ]
+    got = _funnel(spark, rows)
+    assert got == {(1, "a"): 2, (2, "b"): 1, (3, "c"): 0}
+
+
+def test_window_funnel_is_single_corpus_pass(spark):
+    ev = spark.createDataFrame(
+        [(1, 0, 1, "a")], "user long, ts long, event_id long, state string"
+    )
+    plan = temporal.window_funnel(
+        ev, "user", "ts", "event_id", "state", ["a", "b"], 10
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # the corpus appears exactly once: no per-step self-joins
+    assert plan.count("LogicalRDD") == 1

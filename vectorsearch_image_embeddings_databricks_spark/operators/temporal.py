@@ -267,3 +267,105 @@ def event_transitions(
         .groupBy("from_state", "to_state")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+    steps: list[str],
+    span: int,
+) -> DataFrame:
+    """Multi-step windowed funnel (ClickHouse ``windowFunnel``): per
+    entity, the deepest prefix of ``steps`` completed in strict order,
+    where each step's event is the EARLIEST qualifying one (first-match
+    semantics), step k+1 must be strictly later than step k, and every
+    step must land within ``span`` of the FIRST step's event time
+    (``ts_col`` is numeric epoch; ``span`` in the same unit). Returns
+    ``(step, step_name, n_entities)`` with n_entities = entities
+    reaching AT LEAST that step — the funnel conversion curve.
+
+    First-match semantics make the result equal to the chain of
+    sequential per-entity ``min(ts)`` lookups (the SQL formulation), so
+    the operator is oracle-checkable even though the implementation is
+    a fold.
+
+    Scale shape: ONE groupBy on the entity key; each entity's events
+    are sorted row-locally (bounded by that entity's own history, the
+    same contract as sessionization) and folded by a codegen'd
+    ``aggregate`` HOF — no self-join per step (the naive SQL shape is
+    |steps| joins over the corpus), no window. The funnel curve rollup
+    is |steps| rows."""
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tb"),
+                F.col(state_col).alias("st"),
+            )
+        )
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    zero = F.struct(
+        F.lit(0).alias("step"),
+        F.lit(-1).cast("long").alias("t0"),
+        F.lit(-1).cast("long").alias("tprev"),
+    )
+
+    def fold(acc, e):
+        advance = (
+            (acc["step"] < F.lit(len(steps)))
+            & (e["st"] == F.element_at(steps_lit, acc["step"] + 1))
+            & (
+                (acc["step"] == 0)
+                | (
+                    (e["ts"] > acc["tprev"])
+                    & (e["ts"] - acc["t0"] <= F.lit(span))
+                )
+            )
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["step"] + 1).alias("step"),
+                F.when(acc["step"] == 0, e["ts"])
+                .otherwise(acc["t0"])
+                .alias("t0"),
+                e["ts"].alias("tprev"),
+            ),
+        ).otherwise(acc)
+
+    depth = (
+        df.filter(F.col(state_col).isin(steps))
+        .groupBy(key)
+        .agg(F.aggregate(ev, zero, fold)["step"].alias("depth"))
+    )
+    grid = (
+        depth.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i + 1).alias("step"),
+                            F.lit(s).alias("step_name"),
+                        )
+                        for i, s in enumerate(steps)
+                    ]
+                )
+            ).alias("g")
+        )
+        .select("g.step", "g.step_name")
+    )
+    reached = (
+        depth.groupBy("depth").agg(F.count("*").alias("n_at"))
+    )
+    return (
+        grid.join(
+            F.broadcast(reached), F.col("depth") >= F.col("step"), "left"
+        )
+        .groupBy("step", "step_name")
+        .agg(F.coalesce(F.sum("n_at"), F.lit(0)).alias("n_entities"))
+    )

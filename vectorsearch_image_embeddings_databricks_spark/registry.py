@@ -7770,6 +7770,64 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Multi-step windowed funnel (ClickHouse windowFunnel as a HOF fold)
+# --------------------------------------------------------------------- #
+
+WFUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+WFUNNEL_SPAN_US = 6 * 3600 * 1_000_000  # 6 hours, µs (ns on the Spark side)
+
+
+@register(
+    "window_funnel_steps",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    s1 AS (SELECT user_id, min(t) AS t1 FROM e
+           WHERE event_type = '{WFUNNEL_STEPS[0]}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(t) AS t2, min(t1) AS t1
+           FROM e JOIN s1 USING (user_id)
+           WHERE event_type = '{WFUNNEL_STEPS[1]}'
+             AND t > t1 AND t - t1 <= {WFUNNEL_SPAN_US}
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(t) AS t3, min(t1) AS t1
+           FROM e JOIN s2 USING (user_id)
+           WHERE event_type = '{WFUNNEL_STEPS[2]}'
+             AND t > t2 AND t - t1 <= {WFUNNEL_SPAN_US}
+           GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(t) AS t4
+           FROM e JOIN s3 USING (user_id)
+           WHERE event_type = '{WFUNNEL_STEPS[3]}'
+             AND t > t3 AND t - t1 <= {WFUNNEL_SPAN_US}
+           GROUP BY e.user_id)
+    SELECT CAST(v.step AS INTEGER) AS step, v.step_name,
+           CAST(v.n AS BIGINT) AS n_entities
+    FROM (VALUES
+        (1, '{WFUNNEL_STEPS[0]}', (SELECT count(*) FROM s1)),
+        (2, '{WFUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)),
+        (3, '{WFUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)),
+        (4, '{WFUNNEL_STEPS[3]}', (SELECT count(*) FROM s4))
+    ) AS v(step, step_name, n)
+    """,
+)
+def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step windowed funnel (signup → view → click → purchase within
+    6 hours of the first signup, strict order, first-match semantics) —
+    the ClickHouse ``windowFunnel`` aggregate. The implementation is a
+    single groupBy + codegen'd ``aggregate``-HOF fold per user (events
+    sorted row-locally, bounded by the user's own history); the naive
+    SQL shape the oracle uses is |steps| sequential corpus joins —
+    first-match semantics make the two provably equal, which is what
+    lets a fold-based operator carry a value-exact oracle at all. See
+    operators.temporal.window_funnel."""
+    ev = load_events(spark, sf_dir)
+    return temporal_ops.window_funnel(
+        ev, "user_id", "ts", "event_id", "event_type",
+        steps=WFUNNEL_STEPS, span=WFUNNEL_SPAN_US * 1000,
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -7805,21 +7863,17 @@ DRIVER_PRIORITY: list[str] = [
     "weighted_sample_docs", "winsorized_value_stats",
     "triangle_count_parts", "python_datasource_scan",
     "python_stream_source_rollup", "python_stream_sink_roundtrip",
-    # streaming stateful pair + gapfill (judge-green r2, never driver)
+    # streaming stateful pair (judge-green r2, never driver)
     "streaming_sessions_state", "streaming_interval_join_state",
-    "events_gapfill_hourly",
     # --- implementation/oracle changed in round 3: re-verify (3) ---
     "lm_perplexity_buckets", "streaming_dedup_state", "ngram_decontaminate",
-    # --- never driver-verified (fill to the 50-slot window; the
-    #     remainder — stable TPC-H analogs and vector variants, all
-    #     twice judge-replay-green — stays covered by tools/replay.py
-    #     in CI and the judge's own sweep) ---
-    # TPC-H analog sweep
-    # events/funnels/cohorts + provenance/regex
-    "funnel_view_click", "retention_cohorts", "source_regexp_stats",
-    "file_provenance",
-    # sampling + sketches
-    "stratified_sample_docs",
+    # --- added in the round-3 continuation session: new code gets
+    #     external verification first (replaces the tail fill of
+    #     judge-replay-green queries, which stay covered by
+    #     tools/replay.py in CI and the judge's own sweep) ---
+    "segment_dedup_docs", "cdc_apply_orders", "bpe_merge_candidates",
+    "temperature_mixture_quotas", "event_transitions",
+    "window_funnel_steps",
 ]
 
 
