@@ -7828,6 +7828,118 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Scalar (SQ8) and binary sign-bit quantization — the compression tiers
+# below PQ (index/quant.py); scoring is pure integer arithmetic
+# --------------------------------------------------------------------- #
+
+EMB_DIM = 64
+
+
+@register(
+    "sq8_quant_topk",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
+    mm AS (
+        SELECT i, min(e.embedding[i]::DOUBLE) AS mn,
+               max(e.embedding[i]::DOUBLE) AS mx
+        FROM embeddings e, dims GROUP BY i
+    ),
+    arrs AS (
+        SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm
+    ),
+    enc AS (
+        SELECT e.vec_id, e.label,
+               list_transform(range(1, {EMB_DIM + 1}), i ->
+                   CASE WHEN (a.mxs[i] - a.mns[i]) > 0
+                        THEN LEAST(255, GREATEST(0,
+                             CAST(floor((e.embedding[i]::DOUBLE - a.mns[i])
+                                        * 255.0 / (a.mxs[i] - a.mns[i]))
+                                  AS BIGINT)))
+                        ELSE 0 END) AS codes
+        FROM embeddings e, arrs a
+    ),
+    qw AS (
+        SELECT list_transform(range(1, {EMB_DIM + 1}), i ->
+                   CAST(floor(e.embedding[i]::DOUBLE
+                              * (a.mxs[i] - a.mns[i]) * 1000000.0)
+                        AS BIGINT)) AS w
+        FROM embeddings e, arrs a WHERE e.vec_id = {KNN_QUERY_ID}
+    )
+    SELECT enc.vec_id, enc.label,
+           CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                i -> enc.codes[i] * qw.w[i])) AS BIGINT) AS score_int
+    FROM enc, qw
+    ORDER BY score_int DESC, enc.vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def sq8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 top-k (FAISS ScalarQuantizer + ADC): per-dim
+    min/max trained in ONE dim-key aggregation (d rows of driver state —
+    the IVF/PQ trainer contract); the query folds into micro-int ADC
+    weights so scoring is a map-only codegen'd INTEGER dot product that
+    is rank-faithful to the true inner product (the dropped term is
+    corpus-constant); top-k is TakeOrderedAndProject. Zero shuffle on
+    the search path; integer scores make the oracle hash-exact. See
+    index.quant.sq8_topk."""
+    from .index import quant
+
+    emb = load_embeddings(spark, sf_dir)
+    qvec = (
+        emb.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    mins, maxes = quant.sq8_train(emb, "embedding", EMB_DIM)
+    return quant.sq8_topk(
+        emb, "vec_id", "embedding", qvec, mins, maxes,
+        k=KNN_K, extra_cols=["label"],
+    )
+
+
+@register(
+    "binary_quant_knn",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, label,
+               list_transform(range(0, {EMB_DIM // 32}), j ->
+                   CAST(list_sum(list_transform(range(0, 32), i ->
+                       CASE WHEN embedding[j * 32 + i + 1] > 0
+                            THEN CAST(1 AS BIGINT) << i
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+               ) AS words
+        FROM embeddings
+    ),
+    q AS (SELECT words AS qw FROM b WHERE vec_id = {KNN_QUERY_ID})
+    SELECT b.vec_id, b.label,
+           CAST(list_sum(list_transform(range(1, {EMB_DIM // 32 + 1}),
+                k -> bit_count(xor(b.words[k], q.qw[k])))) AS BIGINT)
+               AS hamming
+    FROM b, q
+    ORDER BY hamming, b.vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def binary_quant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization kNN: the corpus packed to ONE int64 of sign
+    bits per vector (32x compression — the candidate tier of modern BQ
+    vector stores), ranked by Hamming distance ``bit_count(XOR)``.
+    Map-only encode, zero-shuffle TakeOrderedAndProject; integer
+    distances ⇒ hash-exact oracle. See index.quant."""
+    from .index import quant
+
+    emb = load_embeddings(spark, sf_dir)
+    qvec = (
+        emb.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    return quant.binary_topk(
+        emb, "vec_id", "embedding", qvec, k=KNN_K, extra_cols=["label"]
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -7863,8 +7975,6 @@ DRIVER_PRIORITY: list[str] = [
     "weighted_sample_docs", "winsorized_value_stats",
     "triangle_count_parts", "python_datasource_scan",
     "python_stream_source_rollup", "python_stream_sink_roundtrip",
-    # streaming stateful pair (judge-green r2, never driver)
-    "streaming_sessions_state", "streaming_interval_join_state",
     # --- implementation/oracle changed in round 3: re-verify (3) ---
     "lm_perplexity_buckets", "streaming_dedup_state", "ngram_decontaminate",
     # --- added in the round-3 continuation session: new code gets
@@ -7873,7 +7983,7 @@ DRIVER_PRIORITY: list[str] = [
     #     tools/replay.py in CI and the judge's own sweep) ---
     "segment_dedup_docs", "cdc_apply_orders", "bpe_merge_candidates",
     "temperature_mixture_quotas", "event_transitions",
-    "window_funnel_steps",
+    "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
 ]
 
 
