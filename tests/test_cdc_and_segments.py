@@ -138,3 +138,43 @@ def test_segment_dedup_plan_never_broadcasts_frequency_side(spark):
         docs, "doc_id", "text", 2, 1
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
+
+
+def test_incremental_dedup_statuses(spark):
+    history = spark.createDataFrame(
+        [(100, "old text"), (101, "shared text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "shared text"),    # exists in history
+            (2, "fresh text"),     # novel, first occurrence
+            (3, "fresh text"),     # dup of 2 within the batch
+            (4, "brand new"),      # novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_dedup(
+            history, batch, "doc_id", "text"
+        ).collect()
+    }
+    assert got == {
+        1: "history_dup",
+        2: "novel",
+        3: "batch_dup",
+        4: "novel",
+    }
+
+
+def test_incremental_dedup_history_never_shuffles(spark):
+    history = spark.createDataFrame(
+        [(100, "a")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    plan = dedup.incremental_dedup(
+        history, batch, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the history pass is a broadcast left-semi: the big side sees no
+    # exchange before the join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

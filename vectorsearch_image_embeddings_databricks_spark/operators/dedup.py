@@ -761,3 +761,50 @@ def segment_dedup(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def incremental_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental ingest dedup — classify each NEW-batch document
+    against the already-ingested corpus (the daily-crawl shape: the
+    corpus-wide operators above re-scan everything; a pipeline ingesting
+    a new slice must not). Statuses:
+
+    - ``history_dup``: content hash already exists in the history;
+    - ``batch_dup``: first occurrence is inside this batch but an
+      earlier batch row (smaller id) has the same hash;
+    - ``novel``: first occurrence anywhere.
+
+    Scale shape: the batch's distinct hash set is BROADCAST against the
+    history scan (a batch is bounded — hours of crawl — while history is
+    the 100 TB side, which therefore never shuffles and is touched by
+    exactly one map-side semi-join pass); the within-batch first-
+    occurrence is an argmin aggregate on the batch only. No window over
+    history, no history shuffle.
+    """
+    bh = batch.select(
+        F.col(id_col).alias("__bid"), F.md5(F.col(text_col)).alias("__h")
+    )
+    batch_hashes = bh.select("__h").distinct()
+    hits = (
+        history.select(F.md5(F.col(text_col)).alias("__h"))
+        .join(F.broadcast(batch_hashes), "__h", "left_semi")
+        .distinct()
+        .withColumn("__in_hist", F.lit(True))
+    )
+    first_in_batch = bh.groupBy("__h").agg(F.min("__bid").alias("__first"))
+    return (
+        bh.join(F.broadcast(first_in_batch), "__h")
+        .join(F.broadcast(hits), "__h", "left")
+        .select(
+            F.col("__bid").alias(id_col),
+            F.when(F.col("__in_hist").isNotNull(), F.lit("history_dup"))
+            .when(F.col("__bid") > F.col("__first"), F.lit("batch_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

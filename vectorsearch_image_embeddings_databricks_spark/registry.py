@@ -7940,6 +7940,38 @@ def binary_quant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Incremental ingest dedup (new batch vs already-ingested history)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "incremental_dedup_ingest",
+    oracle="""
+    WITH hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+    b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+    fst AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h),
+    hh AS (SELECT DISTINCT h FROM hist WHERE h IN (SELECT h FROM b))
+    SELECT b.doc_id,
+           CASE WHEN hh.h IS NOT NULL THEN 'history_dup'
+                WHEN b.doc_id > fst.first_id THEN 'batch_dup'
+                ELSE 'novel' END AS status
+    FROM b JOIN fst USING (h) LEFT JOIN hh ON hh.h = b.h
+    """,
+)
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the doc_id %10 == 0 slice plays the
+    newly-crawled batch, the rest the ingested history. The batch's
+    distinct hash set is broadcast against ONE map-side semi-join pass
+    over history — the 100 TB side never shuffles; within-batch
+    first-occurrence is an argmin on the batch alone. See
+    operators.dedup.incremental_dedup."""
+    docs = load_docs(spark, sf_dir)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_dedup(history, batch, "doc_id", "text")
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -7969,7 +8001,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_pair_cooccurrence", "pq_encode_stats", "pmi_collocations",
     "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
-    "ivf_adc_topk", "matryoshka_recall", "k_anonymity_audit",
+    "ivf_adc_topk", "matryoshka_recall", "incremental_dedup_ingest",
     "events_ohlc_hourly", "formats_roundtrip_stats", "source_drift_chi2",
     "dpp_returnflag_revenue", "time_weighted_avg_user",
     "weighted_sample_docs", "winsorized_value_stats",
@@ -7984,6 +8016,8 @@ DRIVER_PRIORITY: list[str] = [
     "segment_dedup_docs", "cdc_apply_orders", "bpe_merge_candidates",
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
+    # k_anonymity_audit was demoted to fit: a 2-aggregate rollup, twice
+    # replay-green, lowest re-verification value of the r3 additions
 ]
 
 
