@@ -158,3 +158,40 @@ def test_window_funnel_is_single_corpus_pass(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     # the corpus appears exactly once: no per-step self-joins
     assert plan.count("LogicalRDD") == 1
+
+
+def test_integer_zscore_outliers_hand_computed(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.quantiles import (
+        integer_zscore_outliers,
+    )
+
+    ev = spark.createDataFrame(
+        # group 1: nine 10s and one 100 — the 100 is > 2σ out
+        [(1, 10)] * 9 + [(1, 100)]
+        # group 2: constant values — σ = 0, x = μ, strict > keeps 0 outliers
+        + [(2, 5)] * 4,
+        "g long, cents long",
+    )
+    got = {
+        r["g"]: (r["n_events"], r["n_outliers"])
+        for r in integer_zscore_outliers(ev, "g", "cents", k=2).collect()
+    }
+    assert got == {1: (10, 1), 2: (4, 0)}
+
+
+def test_integer_zscore_matches_float_formula(spark):
+    import statistics
+
+    from vectorsearch_image_embeddings_databricks_spark.operators.quantiles import (
+        integer_zscore_outliers,
+    )
+
+    vals = [3, 14, 15, 92, 65, 35, 89, 79, 32, 38, 46]
+    ev = spark.createDataFrame([(1, v) for v in vals], "g long, cents long")
+    n_out = integer_zscore_outliers(ev, "g", "cents", k=2).collect()[0][
+        "n_outliers"
+    ]
+    mu = statistics.mean(vals)
+    sigma = statistics.pstdev(vals)
+    expect = sum(1 for v in vals if abs(v - mu) > 2 * sigma)
+    assert n_out == expect

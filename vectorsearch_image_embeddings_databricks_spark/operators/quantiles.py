@@ -28,7 +28,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -130,5 +130,51 @@ def winsorized_stats(
             F.min("lo_bound").alias("lo_bound"),
             F.max("hi_bound").alias("hi_bound"),
             F.sum(clamped).alias("sum_winsorized"),
+        )
+    )
+
+
+def integer_zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_cents: Column | str,
+    k: int = 2,
+) -> DataFrame:
+    """Per-group σ-threshold outlier counts with EXACT integer algebra —
+    the anomaly gate (|x − μ| > k·σ) a data-quality pipeline runs per
+    entity, made engine-exact by never materializing μ or σ as floats:
+
+        (x − μ)² > k²σ²
+        ⟺ (n·x − S)² > k²·(n·Q − S²)      with S = Σx, Q = Σx² (ints)
+
+    so membership is decided by cross-multiplied INTEGER comparisons on
+    cent-scaled values (the dec() money policy). Float mean/variance
+    would be partial-aggregation-order-dependent; this is not.
+
+    Scale shape: one group-key partial-agg groupBy to |groups| rows of
+    (n, S, Q), one equi-join back on the group key, a second |groups|-
+    row rollup. Long arithmetic overflows around n·Q ≈ 9·10¹⁸ — at
+    ~10⁶ events/group with 10⁵-cent values switch the accumulators to
+    DECIMAL(38,0); the comparison algebra is unchanged."""
+    v = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__q"),
+    )
+    dev = F.col("__n") * v - F.col("__s")
+    spread = F.lit(k * k) * (
+        F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    )
+    return (
+        df.join(stats, group_col)
+        .select(
+            F.col(group_col),
+            ((dev * dev) > spread).cast("int").alias("__is_out"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("__is_out").alias("n_outliers"),
         )
     )

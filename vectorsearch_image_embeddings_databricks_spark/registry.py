@@ -7972,6 +7972,102 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Exact integer z-score outlier gate (per-user anomaly counts)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "value_outliers_zscore",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    st AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               sum(cents) AS s, sum(cents * cents) AS q
+        FROM e GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN (st.n * e.cents - st.s)
+                              * (st.n * e.cents - st.s)
+                         > 4 * (st.n * st.q - st.s * st.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN st USING (user_id)
+    GROUP BY e.user_id
+    """,
+)
+def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user |x − μ| > 2σ anomaly counts with the mean/variance kept
+    as exact integer sums (cents) and the test cross-multiplied to
+    (n·x − S)² > 4(n·Q − S²) — float μ/σ would make the verdict depend
+    on partial-aggregation order; integers cannot. One key shuffle to
+    |users| stat rows, one join back, one rollup. See
+    operators.quantiles.integer_zscore_outliers."""
+    from .operators.quantiles import integer_zscore_outliers
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        (dec("value", 2) * 100).cast("long").alias("cents"),
+    )
+    return integer_zscore_outliers(ev, "user_id", "cents", k=2)
+
+
+# --------------------------------------------------------------------- #
+# Top per-user-day event paths (journey/path mining)
+# --------------------------------------------------------------------- #
+
+PATHS_TOP = 20
+
+
+@register(
+    "top_event_paths",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_journeys
+    FROM p GROUP BY path
+    ORDER BY n_journeys DESC, path
+    LIMIT {PATHS_TOP}
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey path mining: each (user, UTC day) becomes its ordered
+    event-type path string; output the most common journeys. One
+    (user, day) groupBy whose collect is bounded by the entity-day's
+    own history (row-local sort — no window), then a path-key rollup.
+    Order totalized by (ts, event_id)."""
+    ev = load_events(spark, sf_dir)
+    day = F.expr(f"ts div {NANOS_PER_DAY}")  # exact integer ns→day
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("event_type")
+                    )
+                )
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy(F.col("user_id"), day.alias("__day"))
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), "path")
+        .limit(PATHS_TOP)
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8001,10 +8097,10 @@ DRIVER_PRIORITY: list[str] = [
     "part_pair_cooccurrence", "pq_encode_stats", "pmi_collocations",
     "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
-    "ivf_adc_topk", "matryoshka_recall", "incremental_dedup_ingest",
+    "ivf_adc_topk", "incremental_dedup_ingest",
     "events_ohlc_hourly", "formats_roundtrip_stats", "source_drift_chi2",
     "dpp_returnflag_revenue", "time_weighted_avg_user",
-    "weighted_sample_docs", "winsorized_value_stats",
+    "winsorized_value_stats",
     "triangle_count_parts", "python_datasource_scan",
     "python_stream_source_rollup", "python_stream_sink_roundtrip",
     # --- implementation/oracle changed in round 3: re-verify (3) ---
@@ -8016,8 +8112,10 @@ DRIVER_PRIORITY: list[str] = [
     "segment_dedup_docs", "cdc_apply_orders", "bpe_merge_candidates",
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
-    # k_anonymity_audit was demoted to fit: a 2-aggregate rollup, twice
-    # replay-green, lowest re-verification value of the r3 additions
+    "value_outliers_zscore", "top_event_paths",
+    # demoted to fit the window (all multiply replay-green, lowest
+    # re-verification value): k_anonymity_audit, matryoshka_recall,
+    # weighted_sample_docs
 ]
 
 
