@@ -1,0 +1,73 @@
+"""Count-min sketch (operators/sketch.py): the CMS guarantee
+(estimate ≥ truth), exactness at generous width, cell-wise mergeability,
+and the sketch-sized-shuffle plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.operators import sketch
+
+
+def _toks(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "t string")
+
+
+def test_cms_never_underestimates_and_exact_at_wide_width(spark):
+    words = ["a"] * 7 + ["b"] * 3 + ["c"] * 1 + ["dd"] * 5
+    toks = _toks(spark, words)
+    sk = sketch.cms_build(toks, "t", depth=4, width=4096)
+    probes = toks.select("t").distinct()
+    est = {
+        r["t"]: r["cms_estimate"]
+        for r in sketch.cms_estimate(sk, probes, "t", 4, 4096).collect()
+    }
+    truth = {"a": 7, "b": 3, "c": 1, "dd": 5}
+    for t, c in truth.items():
+        assert est[t] >= c
+    # at width >> vocabulary, collisions are absent and the sketch is exact
+    assert est == truth
+
+
+def test_cms_overestimates_only_under_collisions(spark):
+    # width 2 forces collisions: estimates must still dominate the truth
+    words = [f"w{i}" for i in range(20)] * 3
+    toks = _toks(spark, words)
+    sk = sketch.cms_build(toks, "t", depth=3, width=2)
+    est = sketch.cms_estimate(
+        sk, toks.select("t").distinct(), "t", 3, 2
+    ).collect()
+    assert all(r["cms_estimate"] >= 3 for r in est)
+
+
+def test_cms_merges_by_cellwise_sum(spark):
+    a = _toks(spark, ["x"] * 4 + ["y"] * 2)
+    b = _toks(spark, ["x"] * 1 + ["z"] * 5)
+    union = a.union(b)
+    direct = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in sketch.cms_build(union, "t", 4, 64).collect()
+    }
+    merged = {}
+    for part in (a, b):
+        for r in sketch.cms_build(part, "t", 4, 64).collect():
+            k = (r["j"], r["cell"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert direct == merged
+
+
+def test_cms_build_shuffle_is_sketch_sized(spark):
+    toks = _toks(spark, ["a", "b"] * 10)
+    plan = sketch.cms_build(
+        toks, "t", 4, 64
+    )._jdf.queryExecution().executedPlan().toString()
+    # partial aggregation before the exchange: each task ships ≤ d·w rows
+    assert "partial_count" in plan
+
+
+def test_cms_unknown_probe_estimates_zero_at_wide_width(spark):
+    sk = sketch.cms_build(_toks(spark, ["seen"]), "t", 4, 4096)
+    est = sketch.cms_estimate(
+        sk, _toks(spark, ["never-seen-token"]), "t", 4, 4096
+    ).collect()
+    assert est[0]["cms_estimate"] == 0

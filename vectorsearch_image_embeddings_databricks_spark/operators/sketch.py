@@ -1,0 +1,116 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable
+heavy-hitter counting in d·w integers, the streaming/distributed answer
+to "top tokens without shuffling the full token vocabulary".
+
+Spark-first shape: the sketch build is ONE groupBy onto (depth, cell)
+keys — map-side partial aggregation collapses every task's contribution
+to at most d·w rows before the exchange, so the shuffle is sketch-sized
+(d·w rows) regardless of corpus size, and sketches of different slices
+merge by cell-wise addition (the same partial-agg algebra). Estimation
+joins a probe set's cells against the d·w-row sketch (broadcast).
+
+Hashing is md5-derived (the repo's cross-engine idiom: first 6 hex
+digits → int), so a DuckDB oracle replays the sketch bit-for-bit; all
+counts are integers — value-exact verification of an approximate
+structure (the approximation error is deterministic given the hash
+family, so even the OVERestimates hash-match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(token: Column, j: Column | int, width: int) -> Column:
+    """Row j's cell for a token: md5-derived, engine-portable."""
+    jc = F.lit(j) if isinstance(j, int) else j
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(token, F.lit("#"), jc.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    tokens: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Build the sketch from a token-occurrence stream: each occurrence
+    increments one cell per depth row. Returns (j, cell, cnt) — d·w
+    rows. The groupBy's map-side combine bounds every task's shuffle
+    output at d·w rows; cell-wise SUM is the merge operator, so
+    per-slice sketches union for free."""
+    t = F.col(token_col)
+    rows = tokens.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        t.alias("__t"),
+    )
+    return (
+        rows.select("j", _cell(F.col("__t"), F.col("j"), width).alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-estimate each probe token: min over its d cells (the CMS
+    guarantee: estimate ≥ true count, with bounded overestimation).
+    The probe set explodes to |probes|·d rows and joins the BROADCAST
+    d·w-row sketch — corpus never touched."""
+    t = F.col(token_col)
+    pj = probes.select(
+        t.alias("__t"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    ).select("__t", "j", _cell(F.col("__t"), F.col("j"), width).alias("cell"))
+    return (
+        pj.join(F.broadcast(sketch), ["j", "cell"], "left")
+        .groupBy("__t")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+        .withColumnRenamed("__t", token_col)
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    top: int = 10,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Heavy-hitter report: the exact top-``top`` tokens (ground truth
+    at fixture scale) side-by-side with their CMS estimates — the audit
+    a pipeline runs before trusting the sketch at a width where exact
+    counting is no longer affordable. Output
+    (token, exact_count, cms_estimate), estimate ≥ exact always."""
+    from ..functions.text import tokenize
+
+    toks = df.select(F.explode(tokenize(text_col)).alias("t"))
+    sketch = cms_build(toks, "t", depth=depth, width=width)
+    exact = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "t")
+        .limit(top)
+    )
+    est = cms_estimate(sketch, exact.select("t"), "t", depth, width)
+    return (
+        exact.join(est, "t")
+        .select(
+            F.col("t").alias("token"), "exact_count", "cms_estimate"
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )

@@ -8068,6 +8068,67 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Count-min sketch heavy hitters (mergeable d·w-int sketch, value-exact
+# because the hash family is md5-derived and replayable)
+# --------------------------------------------------------------------- #
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOP = 10
+
+
+def _cms_cell_sql(tok: str, j: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat({tok}, '#', "
+        f"CAST({j} AS VARCHAR))), 1, 6)) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM documents
+    ),
+    occ AS (SELECT t, j FROM toks, unnest(range(0, {CMS_DEPTH})) AS u(j)),
+    sketch AS (
+        SELECT j, {_cms_cell_sql('t', 'j')} AS cell,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM occ GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS exact_count
+        FROM toks GROUP BY t
+        ORDER BY exact_count DESC, t LIMIT {CMS_TOP}
+    ),
+    probe AS (
+        SELECT e.t, e.exact_count, u.j,
+               {_cms_cell_sql('e.t', 'u.j')} AS cell
+        FROM exact e, unnest(range(0, {CMS_DEPTH})) AS u(j)
+    )
+    SELECT p.t AS token, p.exact_count,
+           min(coalesce(s.cnt, 0)) AS cms_estimate
+    FROM probe p LEFT JOIN sketch s ON s.j = p.j AND s.cell = p.cell
+    GROUP BY p.t, p.exact_count
+    ORDER BY p.exact_count DESC, token
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit: exact top-{CMS_TOP} token counts next to
+    their sketch estimates. The build shuffles at most d·w rows per
+    task (map-side combine onto the 256 cells); per-slice sketches
+    merge by cell-wise SUM. md5-derived hashing makes even the
+    overestimates engine-exact. See operators.sketch."""
+    from .operators import sketch
+
+    return sketch.cms_heavy_hitters(
+        load_docs(spark, sf_dir), "text",
+        top=CMS_TOP, depth=CMS_DEPTH, width=CMS_WIDTH,
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8098,7 +8159,7 @@ DRIVER_PRIORITY: list[str] = [
     "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
     "ivf_adc_topk", "incremental_dedup_ingest",
-    "events_ohlc_hourly", "formats_roundtrip_stats", "source_drift_chi2",
+    "events_ohlc_hourly", "source_drift_chi2",
     "dpp_returnflag_revenue", "time_weighted_avg_user",
     "winsorized_value_stats",
     "triangle_count_parts", "python_datasource_scan",
@@ -8112,10 +8173,10 @@ DRIVER_PRIORITY: list[str] = [
     "segment_dedup_docs", "cdc_apply_orders", "bpe_merge_candidates",
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
-    "value_outliers_zscore", "top_event_paths",
+    "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
     # demoted to fit the window (all multiply replay-green, lowest
     # re-verification value): k_anonymity_audit, matryoshka_recall,
-    # weighted_sample_docs
+    # weighted_sample_docs, formats_roundtrip_stats
 ]
 
 
