@@ -178,3 +178,29 @@ def test_incremental_dedup_history_never_shuffles(spark):
     # the history pass is a broadcast left-semi: the big side sees no
     # exchange before the join
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_cdc_sequential_batches_equal_one_shot_when_split_by_sequence(spark):
+    # the invariant streaming_cdc_snapshot rests on: applying
+    # sequence-ordered batches one at a time == one global apply
+    base = _base(spark)
+    ch = _changes(
+        spark,
+        [
+            (1, 1, "U", 11), (2, 1, "D", 0), (4, 2, "U", 40),
+            (1, 3, "D", 0), (2, 4, "U", 22), (4, 5, "U", 41),
+        ],
+    )
+    one_shot = sorted(
+        (r["k"], r["bal"])
+        for r in cdc.apply_cdc(base, ch, "k", ["seq"], "op", ["bal"]).collect()
+    )
+    snap = base
+    for lo, hi in ((0, 3), (3, 99)):
+        snap = cdc.apply_cdc(
+            base=snap,
+            changes=ch.filter((F.col("seq") > lo) & (F.col("seq") <= hi)),
+            key="k", seq_cols=["seq"], op_col="op", payload_cols=["bal"],
+        )
+    sequential = sorted((r["k"], r["bal"]) for r in snap.collect())
+    assert one_shot == sequential

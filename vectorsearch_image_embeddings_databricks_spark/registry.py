@@ -8129,6 +8129,125 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Streaming CDC apply: the E66 MERGE driven by an availableNow change
+# feed, one apply_cdc per micro-batch, final snapshot hash-verified
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "streaming_cdc_snapshot",
+    oracle="""
+    WITH ch AS (
+        SELECT o_custkey AS k,
+               epoch_us(o_orderdate) // 86400000000 AS d,
+               o_orderkey AS ok,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS bal
+        FROM orders
+    ),
+    latest AS (
+        SELECT k, op, bal FROM (
+            SELECT k, op, bal,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY d DESC, ok DESC) AS rn
+            FROM ch) t
+        WHERE rn = 1
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(round(sum(CASE WHEN l.op = 'U' THEN l.bal
+                          ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END), 2)
+                AS DOUBLE) AS balance
+    FROM customer c LEFT JOIN latest l ON l.k = c.c_custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E66 CDC MERGE driven as a STREAM: the order change log is fed
+    in two sequence-ordered availableNow micro-batches; ``foreachBatch``
+    applies each batch to the running snapshot with the same
+    ``apply_cdc`` operator, swapping snapshot versions per batch (the
+    lakehouse MERGE-per-micro-batch pattern). Because slices are split
+    BY SEQUENCE (order day) and each apply collapses its batch to
+    latest-per-key, the sequential composition provably equals the
+    one-shot global latest-per-key MERGE — which is exactly what the
+    oracle computes. Change rows carry the full image (balance +
+    segment), the real-CDC convention that makes delete-then-reinsert
+    lossless."""
+    import tempfile
+    import uuid
+
+    from .operators import cdc
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        dec("c_acctbal", 2).alias("bal"),
+    )
+    seg_dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    changes = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+            F.col("o_orderkey").alias("ok"),
+            F.when(F.col("o_orderstatus") == "F", F.lit(cdc.OP_DELETE))
+            .otherwise(F.lit(cdc.OP_UPSERT))
+            .alias("op"),
+            dec("o_totalprice", 2).alias("bal"),
+        )
+        .join(F.broadcast(seg_dim), "c_custkey")
+    )
+    mid = changes.select(
+        F.expr("percentile(CAST(d AS DOUBLE), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/cdc_log"
+        _write_ordered_slices(
+            src,
+            [changes.filter(F.col("d") < mid),
+             changes.filter(F.col("d") >= mid)],
+        )
+        state = {"path": f"{tmp}/snap_base"}
+        cust.write.parquet(state["path"])
+
+        def apply_batch(batch_df, batch_id):
+            snap = batch_df.sparkSession.read.parquet(state["path"])
+            merged = cdc.apply_cdc(
+                snap, batch_df, "c_custkey",
+                seq_cols=["d", "ok"], op_col="op",
+                payload_cols=["bal", "seg"],
+            )
+            new_path = f"{tmp}/snap_{batch_id}_{uuid.uuid4().hex[:8]}"
+            merged.write.parquet(new_path)
+            state["path"] = new_path
+
+        q = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = (
+            spark.read.parquet(state["path"])
+            .groupBy(F.col("seg").alias("c_mktsegment"))
+            .agg(
+                F.count("*").alias("n_live"),
+                F.round(F.sum("bal"), 2).cast("double").alias("balance"),
+            )
+        )
+        final.cache().count()  # materialize before the tmpdir vanishes
+        return final
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8159,7 +8278,7 @@ DRIVER_PRIORITY: list[str] = [
     "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
     "ivf_adc_topk", "incremental_dedup_ingest",
-    "events_ohlc_hourly", "source_drift_chi2",
+    "source_drift_chi2",
     "dpp_returnflag_revenue", "time_weighted_avg_user",
     "winsorized_value_stats",
     "triangle_count_parts", "python_datasource_scan",
@@ -8174,9 +8293,10 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
+    "streaming_cdc_snapshot",
     # demoted to fit the window (all multiply replay-green, lowest
     # re-verification value): k_anonymity_audit, matryoshka_recall,
-    # weighted_sample_docs, formats_roundtrip_stats
+    # weighted_sample_docs, formats_roundtrip_stats, events_ohlc_hourly
 ]
 
 
