@@ -71,3 +71,17 @@ def test_cms_unknown_probe_estimates_zero_at_wide_width(spark):
         sk, _toks(spark, ["never-seen-token"]), "t", 4, 4096
     ).collect()
     assert est[0]["cms_estimate"] == 0
+
+
+def test_cms_from_counts_equals_occurrence_build(spark):
+    toks = _toks(spark, ["a"] * 5 + ["b"] * 3 + ["c"])
+    wc = toks.groupBy("t").agg(F.count("*").alias("c"))
+    from_occ = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in sketch.cms_build(toks, "t", 4, 64).collect()
+    }
+    from_counts = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in sketch.cms_build_from_counts(wc, "t", "c", 4, 64).collect()
+    }
+    assert from_occ == from_counts

@@ -29,6 +29,11 @@ FLAGSHIPS = [
     "boilerplate_ngrams",
     "source_drift_chi2",
     "events_ohlc_hourly",
+    "segment_dedup_docs",
+    "cms_heavy_hitters",
+    "sq8_quant_topk",
+    "window_funnel_steps",
+    "cdc_apply_orders",
 ]
 
 spark = (

@@ -734,7 +734,9 @@ def segment_dedup(
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(
         F.col(id_col).alias("__id"), F.posexplode(segs).alias("idx", "seg")
-    )
+    ).localCheckpoint(eager=True)  # feeds BOTH the doc-frequency count
+    # and the join back — materialized once so the corpus isn't
+    # re-scanned and re-segmented (the cross_doc_boilerplate convention)
     dfreq = exploded.groupBy("seg").agg(
         F.count_distinct("__id").alias("__df")
     )

@@ -84,6 +84,33 @@ def cms_estimate(
     )
 
 
+def cms_build_from_counts(
+    counts: DataFrame,
+    token_col: str,
+    cnt_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Build the identical sketch from a pre-aggregated (token, count)
+    table — CMS is a linear sketch, so summing counts into cells equals
+    replaying occurrences. Use this when a token-count table already
+    exists (one corpus pass shared with exact consumers): the cell
+    groupBy then reads vocabulary-sized input instead of the corpus."""
+    t = F.col(token_col)
+    rows = counts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        t.alias("__t"),
+        F.col(cnt_col).alias("__c"),
+    )
+    return (
+        rows.select(
+            "j", _cell(F.col("__t"), F.col("j"), width).alias("cell"), "__c"
+        )
+        .groupBy("j", "cell")
+        .agg(F.sum("__c").alias("cnt"))
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     text_col: str,
@@ -95,17 +122,24 @@ def cms_heavy_hitters(
     at fixture scale) side-by-side with their CMS estimates — the audit
     a pipeline runs before trusting the sketch at a width where exact
     counting is no longer affordable. Output
-    (token, exact_count, cms_estimate), estimate ≥ exact always."""
+    (token, exact_count, cms_estimate), estimate ≥ exact always.
+
+    Plan: ONE corpus pass to the vocabulary-sized token-count table
+    (materialized once); the sketch derives from those counts (CMS is
+    linear), the exact top-k is a TakeOrderedAndProject over the same
+    table."""
     from ..functions.text import tokenize
 
-    toks = df.select(F.explode(tokenize(text_col)).alias("t"))
-    sketch = cms_build(toks, "t", depth=depth, width=width)
-    exact = (
-        toks.groupBy("t")
+    wc = (
+        df.select(F.explode(tokenize(text_col)).alias("t"))
+        .groupBy("t")
         .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "t")
-        .limit(top)
+        .localCheckpoint(eager=True)
     )
+    sketch = cms_build_from_counts(
+        wc, "t", "exact_count", depth=depth, width=width
+    )
+    exact = wc.orderBy(F.desc("exact_count"), "t").limit(top)
     est = cms_estimate(sketch, exact.select("t"), "t", depth, width)
     return (
         exact.join(est, "t")
