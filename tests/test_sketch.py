@@ -85,3 +85,43 @@ def test_cms_from_counts_equals_occurrence_build(spark):
         for r in sketch.cms_build_from_counts(wc, "t", "c", 4, 64).collect()
     }
     assert from_occ == from_counts
+
+
+def _lang_toks(spark, rows):
+    return spark.createDataFrame(rows, "lang string, t string")
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    uniq = [("en", f"tok{i}") for i in range(300)]
+    once = sketch.hll_distinct_estimate(
+        _lang_toks(spark, uniq), "lang", "t"
+    ).collect()[0]
+    thrice = sketch.hll_distinct_estimate(
+        _lang_toks(spark, uniq * 3), "lang", "t"
+    ).collect()[0]
+    assert once["hll_micro_estimate"] == thrice["hll_micro_estimate"]
+    assert once["exact_distinct"] == thrice["exact_distinct"] == 300
+
+
+def test_hll_estimate_within_error_band(spark):
+    rows = [("en", f"w{i}") for i in range(1000)] + [
+        ("fr", f"v{i}") for i in range(100)
+    ]
+    got = {
+        r["lang"]: r
+        for r in sketch.hll_distinct_estimate(
+            _lang_toks(spark, rows), "lang", "t"
+        ).collect()
+    }
+    for lang, n in (("en", 1000), ("fr", 100)):
+        est = got[lang]["hll_micro_estimate"] / 1_000_000
+        # m=64 → σ ≈ 13%; 3σ band
+        assert abs(est - n) / n < 0.4, (lang, est)
+
+
+def test_hll_register_build_has_mapside_partial_max(spark):
+    df = _lang_toks(spark, [("en", "a")])
+    plan = sketch.hll_distinct_estimate(
+        df, "lang", "t"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan

@@ -148,3 +148,78 @@ def cms_heavy_hitters(
         )
         .orderBy(F.desc("exact_count"), "token")
     )
+
+
+# ---------------------------------------------------------------------- #
+# HyperLogLog (Flajolet et al. 2007) — distinct counting in m registers
+# ---------------------------------------------------------------------- #
+
+HLL_M = 64          # registers (2^6); σ ≈ 1.04/√m ≈ 13% — audit-grade
+HLL_REST_BITS = 18  # 24 md5 bits − 6 bucket bits
+HLL_ALPHA_M = 0.709  # the standard α for m = 64
+
+
+def _hll_parts(token: Column) -> tuple[Column, Column]:
+    """(bucket, rank) for a token: 24 md5-derived bits → 6-bit bucket +
+    the rank (leading-zero count + 1) of the remaining 18 bits. rank is
+    computed by an exact integer floor-log2 (a greatest() over 2^k
+    comparisons — no float log), so registers are engine-identical."""
+    h = F.conv(F.substring(F.md5(token), 1, 6), 16, 10).cast("long")
+    bucket = h % HLL_M
+    # (h − bucket)/64 is an exact double op (h < 2^24) → exact long
+    rest = ((h - bucket) / F.lit(HLL_M)).cast("long")
+    flog2 = F.greatest(
+        *[
+            F.when(rest >= F.lit(1 << k), F.lit(k)).otherwise(F.lit(-1))
+            for k in range(HLL_REST_BITS)
+        ]
+    )
+    rank = F.lit(HLL_REST_BITS) - flog2  # rest==0 → flog2=-1 → rank=19
+    return bucket, rank
+
+
+def hll_distinct_estimate(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Per-group HLL distinct estimate next to the exact distinct count
+    (the audit a pipeline runs before trusting HLL where exact DISTINCT
+    is unaffordable). Registers are per-(group, bucket) integer MAXes —
+    duplicates cannot move a max, which is WHY HLL counts distincts —
+    so the register build is one key shuffle whose map-side partials are
+    bounded at |groups|·m rows per task; per-slice registers merge by
+    cell-wise MAX (the same partial-agg algebra as the CMS sum).
+
+    Value-exactness of a float estimate: every indicator term
+    2^−M ∈ [2^−19, 1] is an exact double, and any partial sum of ≤ m
+    such terms spans ≤ 25 bits of mantissa — every addition order yields
+    the identical double, so the harmonic-mean estimate is deterministic
+    and the micro-floored value hash-matches across engines."""
+    t = F.col(token_col)
+    bucket, rank = _hll_parts(t)
+    regs = (
+        df.select(F.col(group_col).alias("__g"), bucket.alias("__b"),
+                  rank.alias("__r"))
+        .groupBy("__g", "__b")
+        .agg(F.max("__r").alias("__m"))
+    )
+    ind = F.lit(1.0) / F.expr("shiftleft(1L, __m)").cast("double")
+    per_group = regs.groupBy("__g").agg(
+        F.sum(ind).alias("__s"),
+        F.count("*").alias("__nb"),
+    )
+    raw = F.lit(HLL_ALPHA_M * HLL_M * HLL_M) / (
+        F.col("__s") + (F.lit(HLL_M) - F.col("__nb"))  # empty buckets: 2^0
+    )
+    est = per_group.select(
+        "__g", F.floor(raw * F.lit(1_000_000)).alias("hll_micro_estimate")
+    )
+    exact = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count_distinct(t).alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "__g")
+        .withColumnRenamed("__g", group_col)
+        .orderBy(group_col)
+    )

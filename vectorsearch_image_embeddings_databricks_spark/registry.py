@@ -8248,6 +8248,74 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# HyperLogLog distinct audit (md5-replayable registers; the float
+# estimate is deterministic because Σ 2^-M terms span ≤ 25 mantissa
+# bits — see operators.sketch.hll_distinct_estimate)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "hll_distinct_audit",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT lang, t,
+               CAST(concat('0x', substr(md5(t), 1, 6)) AS BIGINT) AS hv
+        FROM toks
+    ),
+    br AS (
+        SELECT lang, hv % 64 AS b, (hv - hv % 64) // 64 AS rest FROM h
+    ),
+    rk AS (
+        SELECT lang, b,
+               18 - list_max(list_transform(range(0, 18),
+                   k -> CASE WHEN rest >= (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                             THEN k ELSE -1 END)) AS r
+        FROM br
+    ),
+    regs AS (SELECT lang, b, max(r) AS m FROM rk GROUP BY lang, b),
+    pg AS (
+        SELECT lang, sum(1.0 / (CAST(1 AS BIGINT) << CAST(m AS INTEGER))) AS s,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM regs GROUP BY lang
+    ),
+    est AS (
+        SELECT lang,
+               CAST(floor(0.709 * 64 * 64 / (s + (64 - nb)) * 1000000)
+                    AS BIGINT) AS hll_micro_estimate
+        FROM pg
+    ),
+    ex AS (
+        SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+        FROM toks GROUP BY lang
+    )
+    SELECT ex.lang, ex.exact_distinct, est.hll_micro_estimate
+    FROM ex JOIN est USING (lang)
+    ORDER BY ex.lang
+    """,
+)
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HLL distinct-token estimate vs the exact DISTINCT —
+    the audit before trusting HLL where exact counting is unaffordable.
+    Registers build in one key shuffle bounded at |langs|·64 rows per
+    task (map-side MAX partials); per-slice registers merge by
+    cell-wise MAX. The md5 hash family and the bounded-mantissa sum
+    argument make even the float estimate hash-exact. See
+    operators.sketch.hll_distinct_estimate."""
+    from .operators import sketch
+    from .functions.text import tokenize
+
+    toks = load_docs(spark, sf_dir).select(
+        "lang", F.explode(tokenize("text")).alias("t")
+    )
+    return sketch.hll_distinct_estimate(toks, "lang", "t")
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8279,7 +8347,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
     "ivf_adc_topk", "incremental_dedup_ingest",
     "source_drift_chi2",
-    "dpp_returnflag_revenue", "time_weighted_avg_user",
+    "time_weighted_avg_user",
     "winsorized_value_stats",
     "triangle_count_parts", "python_datasource_scan",
     "python_stream_source_rollup", "python_stream_sink_roundtrip",
@@ -8293,10 +8361,13 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
+    "hll_distinct_audit",
     "streaming_cdc_snapshot",
     # demoted to fit the window (all multiply replay-green, lowest
     # re-verification value): k_anonymity_audit, matryoshka_recall,
-    # weighted_sample_docs, formats_roundtrip_stats, events_ohlc_hourly
+    # weighted_sample_docs, formats_roundtrip_stats, events_ohlc_hourly,
+    # dpp_returnflag_revenue (its plan shape is pinned by a build-time
+    # assert inside the query itself)
 ]
 
 
