@@ -8316,6 +8316,124 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# RAG context assembly: retrieval (the reference's core, O19) feeding
+# chunking + token budgeting (the LLM-pipeline side) in ONE plan
+# --------------------------------------------------------------------- #
+
+RAG_K = 5
+RAG_CHUNK = 16
+RAG_BUDGET = 64
+
+
+@register(
+    "rag_context_assembly",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = {KNN_QUERY_ID}
+    ),
+    topk AS (
+        SELECT vec_id, rank FROM (
+            SELECT e.vec_id,
+                   row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+                   ) AS rank
+            FROM embeddings e, q
+        ) t WHERE rank <= {RAG_K}
+    ),
+    d AS (
+        SELECT t.rank, doc.doc_id,
+               list_filter(string_split(doc.text, ' '), x -> x <> '') AS ws
+        FROM topk t JOIN documents doc ON doc.doc_id = t.vec_id
+    ),
+    c AS (
+        SELECT rank, doc_id, ws, len(ws) AS n,
+               CASE WHEN len(ws) <= {RAG_CHUNK} THEN 1
+                    ELSE 1 + (len(ws) - 1) // {RAG_CHUNK} END AS nc
+        FROM d
+    ),
+    ch AS (
+        SELECT rank, doc_id, chunk_id,
+               CAST(least({RAG_CHUNK}, n - chunk_id * {RAG_CHUNK}) AS BIGINT)
+                   AS n_chunk_tokens,
+               md5(array_to_string(
+                   list_slice(ws, chunk_id * {RAG_CHUNK} + 1,
+                              least(n, chunk_id * {RAG_CHUNK} + {RAG_CHUNK})),
+                   ' ')) AS chunk_md5
+        FROM (SELECT rank, doc_id, ws, n, nc, unnest(range(nc)) AS chunk_id
+              FROM c)
+    ),
+    sel AS (
+        SELECT rank, doc_id, chunk_id, n_chunk_tokens, chunk_md5,
+               sum(n_chunk_tokens) OVER (
+                   ORDER BY rank, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM ch
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           n_chunk_tokens, cum_tokens, chunk_md5
+    FROM sel WHERE cum_tokens <= {RAG_BUDGET}
+    """,
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG context construction: exact top-{RAG_K} retrieval
+    (the reference's similarity_search, NMR:388) → join the document
+    texts → non-overlapping {RAG_CHUNK}-token chunks → greedy prefix
+    under a {RAG_BUDGET}-token context budget, in relevance order. The
+    corpus-facing stage is the zero-shuffle top-k scan; everything
+    after operates on k retrieved rows (broadcast joins, a window over
+    ≤ k·chunks rows — bounded by k, never by the corpus), so the
+    assembly adds nothing to the retrieval cost class.""".format(
+        RAG_K=RAG_K, RAG_CHUNK=RAG_CHUNK, RAG_BUDGET=RAG_BUDGET
+    )
+    from .operators import packing
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding",
+                      dim=len(qvec))
+    topk = idx.search(qvec, k=RAG_K).select(
+        "vec_id", "score"
+    )
+    ranked = topk.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "vec_id"))
+        .alias("rank"),  # window over k rows — bounded by k, not corpus
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hits = docs.join(F.broadcast(ranked), "doc_id")
+    chunks = packing.chunk_tokens(
+        hits, "doc_id", "text", window=RAG_CHUNK, stride=RAG_CHUNK
+    )
+    joined = chunks.join(F.broadcast(ranked), "doc_id").select(
+        "rank", "doc_id", "chunk_id",
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+    cum = F.sum("n_chunk_tokens").over(
+        Window.orderBy("rank", "chunk_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )  # ≤ k·chunks rows — the retrieval set, never the corpus
+    )
+    return (
+        joined.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= RAG_BUDGET)
+        .select(
+            "rank", "doc_id", "chunk_id", "n_chunk_tokens",
+            "cum_tokens", "chunk_md5",
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8348,8 +8466,7 @@ DRIVER_PRIORITY: list[str] = [
     "ivf_adc_topk", "incremental_dedup_ingest",
     "source_drift_chi2",
     "time_weighted_avg_user",
-    "winsorized_value_stats",
-    "triangle_count_parts", "python_datasource_scan",
+        "triangle_count_parts", "python_datasource_scan",
     "python_stream_source_rollup", "python_stream_sink_roundtrip",
     # --- implementation/oracle changed in round 3: re-verify (3) ---
     "lm_perplexity_buckets", "streaming_dedup_state", "ngram_decontaminate",
@@ -8361,13 +8478,15 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
+    "rag_context_assembly",
     "hll_distinct_audit",
     "streaming_cdc_snapshot",
     # demoted to fit the window (all multiply replay-green, lowest
     # re-verification value): k_anonymity_audit, matryoshka_recall,
     # weighted_sample_docs, formats_roundtrip_stats, events_ohlc_hourly,
     # dpp_returnflag_revenue (its plan shape is pinned by a build-time
-    # assert inside the query itself)
+    # assert inside the query itself), winsorized_value_stats (grouped-
+    # rank ≡ naive-window equivalence is pytest-pinned)
 ]
 
 
