@@ -243,7 +243,12 @@ def sample_frames(
                     raw = bytes(content)
                     n = min(max_frames, max(1, len(raw) // 4096))
                     for i in range(n):
-                        frame = hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                        # index appended as ASCII digits so the stub
+                        # derivation is replayable in a SQL oracle
+                        # (md5(payload || CAST(i AS VARCHAR)))
+                        frame = hashlib.md5(
+                            raw + str(i).encode("ascii")
+                        ).digest()
                         rows.append((path, i, i * every_ms, frame))
                 except Exception:
                     rows.append((path, 0, 0, None))

@@ -8434,6 +8434,71 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Video frame sampling (the third multimodal column family: E9's video
+# sibling of image_pipeline / audio_chunks)
+# --------------------------------------------------------------------- #
+
+VIDEO_REPEAT = 400  # payload = text × 400 → multi-frame fake videos
+
+
+@register(
+    "video_frame_samples",
+    oracle=f"""
+    WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    f AS (
+        SELECT 'vid_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.mp4'
+                   AS filename,
+               repeat(text, {VIDEO_REPEAT}) AS payload
+        FROM sel
+    ),
+    n AS (
+        SELECT filename, payload,
+               least(16, greatest(1,
+                     octet_length(encode(payload)) // 4096)) AS nf
+        FROM f
+    )
+    SELECT filename, CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS ts_ms,
+           md5(payload || CAST(i AS VARCHAR)) AS frame_md5
+    FROM (SELECT filename, payload, nf, unnest(range(nf)) AS i FROM n)
+    """,
+)
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9, video column: binary ingest of (synthetic, text-derived)
+    video payloads → ``sample_frames`` flat-map (one row per sampled
+    frame via mapInPandas — partition-local, no shuffle; the stub
+    decoder derives frame count from byte length and frame bytes from
+    md5(payload ‖ index), both replayed exactly by the oracle; a real
+    ffmpeg decoder slots into the same schema/batch contract). Output:
+    (filename, frame_idx, ts_ms, frame_md5)."""
+    import os
+    import tempfile
+
+    from .multimodal.images import sample_frames
+    from .sources import ingest_binary_dir
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    payloads = [
+        (r["doc_id"], (r["text"] * VIDEO_REPEAT).encode("utf-8"))
+        for r in docs.collect()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, payload in payloads:
+            with open(os.path.join(tmp, f"vid_{i:04d}.mp4"), "wb") as f:
+                f.write(payload)
+        vids = ingest_binary_dir(spark, tmp, glob="*.mp4")
+        frames = sample_frames(vids, every_ms=1000, max_frames=16)
+        res = frames.select(
+            F.element_at(F.split("path", "/"), -1).alias("filename"),
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("ts_ms").cast("long").alias("ts_ms"),
+            F.lower(F.hex("frame")).alias("frame_md5"),
+        )
+        res.cache().count()  # materialize before the tmpdir vanishes
+        return res
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8461,7 +8526,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_decontaminate", "kmeans_assign", "repetition_summary",
     "rerank_token_overlap", "cluster_balanced_sample",
     "part_pair_cooccurrence", "pq_encode_stats", "pmi_collocations",
-    "pq_adc_topk", "pq_adc_recall", "boilerplate_ngrams",
+    "pq_adc_topk", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
     "ivf_adc_topk", "incremental_dedup_ingest",
     "source_drift_chi2",
@@ -8478,6 +8543,7 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
+    "video_frame_samples",
     "rag_context_assembly",
     "hll_distinct_audit",
     "streaming_cdc_snapshot",
@@ -8486,7 +8552,8 @@ DRIVER_PRIORITY: list[str] = [
     # weighted_sample_docs, formats_roundtrip_stats, events_ohlc_hourly,
     # dpp_returnflag_revenue (its plan shape is pinned by a build-time
     # assert inside the query itself), winsorized_value_stats (grouped-
-    # rank ≡ naive-window equivalence is pytest-pinned)
+    # rank ≡ naive-window equivalence is pytest-pinned), pq_adc_recall
+    # (pq_adc_topk keeps the machinery in-window)
 ]
 
 
