@@ -195,3 +195,37 @@ def test_integer_zscore_matches_float_formula(spark):
     sigma = statistics.pstdev(vals)
     expect = sum(1 for v in vals if abs(v - mu) > 2 * sigma)
     assert n_out == expect
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "ab"), (2, "abcd"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textstats.char_entropy(docs, "doc_id", "text").collect()
+    }
+    assert 3 not in got  # empty doc dropped
+    assert got[0]["entropy_micro"] == 0  # single symbol → zero entropy
+    assert got[1]["entropy_micro"] == math.floor(math.log(2) * 1e6)
+    assert got[2]["entropy_micro"] == math.floor(math.log(4) * 1e6)
+    assert got[2]["n_distinct_chars"] == 4 and got[2]["n_chars_total"] == 4
+
+
+def test_char_entropy_matches_python_float_fold(spark):
+    import math
+    from collections import Counter
+
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = textstats.char_entropy(docs, "doc_id", "text").collect()[0]
+    cnts = Counter(text)
+    n = sum(cnts.values())
+    s = 0.0
+    for c in sorted(cnts):  # the operator's sorted fold order
+        s += float(cnts[c]) * math.log(float(cnts[c]))
+    expect = math.floor((math.log(float(n)) - s / n) * 1e6)
+    assert row["entropy_micro"] == expect

@@ -693,3 +693,59 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(top)
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document Shannon character entropy — the curation signal for
+    gibberish/boilerplate (low entropy = repeated characters, high =
+    random noise): H = ln(n) − (Σ c·ln(c))/n over the doc's character
+    histogram (c = per-char count, n = total chars).
+
+    Determinism of a float SUM of irrational terms: the per-char terms
+    are folded in SORTED-character order by a sequential ``aggregate``
+    HOF on both engines (Spark left-fold over ``sort_array``; DuckDB
+    ``list_reduce`` over ``list(... ORDER BY c)``) — same terms, same
+    order, same IEEE additions → identical doubles, so the micro-floored
+    entropy is hash-exact. An unordered SUM would be partial-agg-order-
+    dependent and is exactly what this shape avoids.
+
+    Scale: one (doc, char) key shuffle with map-side partials (the
+    alphabet bounds per-doc rows), one doc-key fold bounded by the
+    doc's own alphabet. Docs with no characters are dropped (no
+    histogram to measure)."""
+    c_char = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col)),
+            lambda i: F.col(text_col).substr(i, F.lit(1)),
+        )
+    ).alias("c")
+    chars = (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("__id"), c_char)
+    )
+    counts = chars.groupBy("__id", "c").agg(F.count("*").alias("cnt"))
+    lst = F.array_sort(
+        F.collect_list(F.struct(F.col("c"), F.col("cnt")))
+    )
+    per_doc = counts.groupBy("__id").agg(
+        lst.alias("__lst"), F.sum("cnt").alias("n_chars_total")
+    )
+    s = F.aggregate(
+        F.col("__lst"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["cnt"].cast("double") * F.log(x["cnt"].cast("double")),
+    )
+    n = F.col("n_chars_total").cast("double")
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_chars_total",
+        F.size("__lst").alias("n_distinct_chars"),
+        F.floor((F.log(n) - s / n) * F.lit(1_000_000)).alias(
+            "entropy_micro"
+        ),
+    )

@@ -8499,6 +8499,48 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Character-entropy curation filter (deterministic ordered float fold)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "char_entropy_docs",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+        FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+        WHERE length(text) > 0
+    ),
+    cnts AS (
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM ch GROUP BY doc_id, c
+    ),
+    pd AS (
+        SELECT doc_id,
+               list(cnt ORDER BY c) AS lst,
+               CAST(sum(cnt) AS BIGINT) AS n_chars_total,
+               CAST(count(*) AS INTEGER) AS n_distinct_chars
+        FROM cnts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_total, n_distinct_chars,
+           CAST(floor((ln(n_chars_total)
+                 - list_reduce(list_transform(lst,
+                       x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))),
+                       (a, b) -> a + b) / n_chars_total)
+                 * 1000000) AS BIGINT) AS entropy_micro
+    FROM pd
+    """,
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy (gibberish/boilerplate
+    curation signal). A float sum of irrational ln terms is made
+    hash-exact by folding in SORTED-character order on BOTH engines
+    (sequential HOF fold — never an unordered SUM whose result depends
+    on partial-agg order). See operators.textstats.char_entropy."""
+    return textstats.char_entropy(load_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8527,7 +8569,7 @@ DRIVER_PRIORITY: list[str] = [
     "rerank_token_overlap", "cluster_balanced_sample",
     "part_pair_cooccurrence", "pq_encode_stats", "pmi_collocations",
     "pq_adc_topk", "boilerplate_ngrams",
-    "quality_model_score", "pagerank_trade_graph", "hard_negative_triplets",
+    "quality_model_score", "pagerank_trade_graph",
     "ivf_adc_topk", "incremental_dedup_ingest",
     "source_drift_chi2",
     "time_weighted_avg_user",
@@ -8543,6 +8585,7 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
+    "char_entropy_docs",
     "video_frame_samples",
     "rag_context_assembly",
     "hll_distinct_audit",
@@ -8553,7 +8596,8 @@ DRIVER_PRIORITY: list[str] = [
     # dpp_returnflag_revenue (its plan shape is pinned by a build-time
     # assert inside the query itself), winsorized_value_stats (grouped-
     # rank ≡ naive-window equivalence is pytest-pinned), pq_adc_recall
-    # (pq_adc_topk keeps the machinery in-window)
+    # (pq_adc_topk keeps the machinery in-window), hard_negative_triplets
+    # (planted-geometry pytest pins its argmax semantics)
 ]
 
 
