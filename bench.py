@@ -122,6 +122,24 @@ NEW_OPS = [
     "quality_model_score",
     "pagerank_trade_graph",
     "hard_negative_triplets",
+    # round 3 continuation-session additions (streaming_cdc_snapshot and
+    # video_frame_samples are excluded: their wall time is tempdir +
+    # micro-batch startup, not query compute)
+    "segment_dedup_docs",
+    "cdc_apply_orders",
+    "bpe_merge_candidates",
+    "temperature_mixture_quotas",
+    "event_transitions",
+    "window_funnel_steps",
+    "sq8_quant_topk",
+    "binary_quant_knn",
+    "incremental_dedup_ingest",
+    "value_outliers_zscore",
+    "top_event_paths",
+    "cms_heavy_hitters",
+    "hll_distinct_audit",
+    "rag_context_assembly",
+    "char_entropy_docs",
 ]
 
 
