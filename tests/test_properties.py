@@ -590,3 +590,106 @@ def test_winsorized_stats_matches_python_reference(spark, vals):
     assert (out["lo_bound"], out["hi_bound"]) == (lo, hi)
     assert out["sum_winsorized"] == sum(min(max(v, lo), hi) for v in vals)
     assert out["n"] == n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cms_estimate_dominates_truth_for_any_stream(spark, words):
+    from collections import Counter
+
+    from vectorsearch_image_embeddings_databricks_spark.operators import sketch
+
+    toks = spark.createDataFrame([(w,) for w in words], "t string")
+    sk = sketch.cms_build(toks, "t", depth=3, width=8)  # narrow → collisions
+    est = {
+        r["t"]: r["cms_estimate"]
+        for r in sketch.cms_estimate(
+            sk, toks.select("t").distinct(), "t", 3, 8
+        ).collect()
+    }
+    truth = Counter(words)
+    assert all(est[w] >= c for w, c in truth.items())
+    # total mass conservation per depth row: Σ cells == |stream|
+    rows = sk.collect()
+    for j in range(3):
+        assert sum(r["cnt"] for r in rows if r["j"] == j) == len(words)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=2, max_size=60),
+)
+def test_zscore_outliers_respect_chebyshev_bound(spark, vals):
+    from vectorsearch_image_embeddings_databricks_spark.operators.quantiles import (
+        integer_zscore_outliers,
+    )
+
+    ev = spark.createDataFrame([(1, v) for v in vals], "g long, cents long")
+    row = integer_zscore_outliers(ev, "g", "cents", k=2).collect()[0]
+    # Chebyshev: P(|x−μ| > kσ) ≤ 1/k² → strictly fewer than n/4 outliers
+    # can exceed 2σ (equality impossible under the strict > test)
+    assert row["n_outliers"] <= len(vals) // 4
+    assert row["n_events"] == len(vals)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    spans=st.integers(1, 200),
+    seed=st.integers(0, 5),
+)
+def test_window_funnel_depth_monotone_in_span(spark, spans, seed):
+    import random
+
+    from vectorsearch_image_embeddings_databricks_spark.operators import temporal
+
+    rng = random.Random(seed)
+    rows = [
+        (1, i * 10 + rng.randint(0, 5), i, rng.choice(["a", "b", "c", "x"]))
+        for i in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user long, ts long, event_id long, state string"
+    )
+
+    def depth(span):
+        out = {
+            r["step"]: r["n_entities"]
+            for r in temporal.window_funnel(
+                ev, "user", "ts", "event_id", "state", ["a", "b", "c"], span
+            ).collect()
+        }
+        return max((s for s, n in out.items() if n > 0), default=0)
+
+    # a wider window can only deepen the funnel (first-match anchor is
+    # span-independent: it is the first step-1 event)
+    assert depth(spans) <= depth(spans + 50)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 400), min_size=1, max_size=6),
+    total=st.integers(10, 500),
+)
+def test_temperature_quota_sum_and_order_preservation(spark, counts, total):
+    from vectorsearch_image_embeddings_databricks_spark.operators.sampling import (
+        temperature_quotas,
+    )
+
+    rows = [
+        (i, f"l{g}") for g, n in enumerate(counts) for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {
+        r["lang"]: r for r in temperature_quotas(docs, "lang", total).collect()
+    }
+    assert sum(r["quota"] for r in out.values()) <= total
+    # bigger groups never get smaller quotas (sqrt is monotone)
+    ordered = sorted(out.values(), key=lambda r: r["n_docs"])
+    quotas = [r["quota"] for r in ordered]
+    assert quotas == sorted(quotas)

@@ -7723,7 +7723,8 @@ TEMP_SAMPLE_TOTAL = 200
     ),
     t AS (SELECT sum(weight_micro) AS tw FROM w)
     SELECT lang, n_docs, weight_micro,
-           CAST({TEMP_SAMPLE_TOTAL} AS BIGINT) * weight_micro // t.tw AS quota
+           CAST(CAST({TEMP_SAMPLE_TOTAL} AS BIGINT) * weight_micro // t.tw
+                AS BIGINT) AS quota
     FROM w, t
     """,
 )
@@ -8366,10 +8367,10 @@ RAG_BUDGET = 64
     ),
     sel AS (
         SELECT rank, doc_id, chunk_id, n_chunk_tokens, chunk_md5,
-               sum(n_chunk_tokens) OVER (
+               CAST(sum(n_chunk_tokens) OVER (
                    ORDER BY rank, chunk_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS cum_tokens
+               ) AS BIGINT) AS cum_tokens
         FROM ch
     )
     SELECT CAST(rank AS INTEGER) AS rank, doc_id,
