@@ -621,3 +621,44 @@ def test_embedding_decontaminate_ann_tier_cross_join(spark):
                 key="other", vector_col="embedding",
             ),
         )
+
+
+def test_jaccard_prefix_filter_is_lossless(docs, spark):
+    for thr in (0.5, 0.7, 0.85):
+        base = {
+            (r["id_a"], r["id_b"], round(r["jac"], 9))
+            for r in dedup.near_dup_pairs_jaccard(
+                docs, "doc_id", "text", n=3, threshold=thr
+            ).collect()
+        }
+        pf = {
+            (r["id_a"], r["id_b"], round(r["jac"], 9))
+            for r in dedup.near_dup_pairs_jaccard(
+                docs, "doc_id", "text", n=3, threshold=thr,
+                prefix_filter=True,
+            ).collect()
+        }
+        assert pf == base, f"threshold {thr}"
+
+
+def test_jaccard_prefix_filter_explodes_fewer_postings(docs, spark):
+    # the candidate join reads prefix postings only: strictly fewer rows
+    # than the full inverted index for any threshold > 0
+    from vectorsearch_image_embeddings_databricks_spark.functions.text import (
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    sh = docs.select(
+        F.col("doc_id").alias("__id"),
+        word_shingles("text", n=3).alias("__sh"),
+    ).withColumn("__sz", F.size("__sh"))
+    full = sh.select(F.explode("__sh")).count()
+    prefix_len = sh.select(
+        F.sum(
+            F.col("__sz")
+            - F.floor(F.lit(0.7) * F.col("__sz")).cast("int")
+            + 1
+        ).alias("p")
+    ).collect()[0]["p"]
+    assert prefix_len < full * 0.55  # at t=0.7 prefixes are ≤ ~37% + 1

@@ -112,6 +112,7 @@ def near_dup_pairs_jaccard(
     n: int = 3,
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard pairs ≥ threshold.
 
@@ -119,6 +120,18 @@ def near_dup_pairs_jaccard(
     shingles per pair → |A∩B| / (|A|+|B|−|A∩B|). The join is keyed on the
     shingle value, so cost is Σ df(s)² over shingles, not n² — with
     ``max_shingle_df`` bounding the quadratic term for stop-shingles.
+
+    ``prefix_filter=True`` switches to the PPJoin-style LOSSLESS
+    candidate pass (Xiao et al., WWW'08): order every document's
+    shingles by ascending global document frequency and self-join only
+    on each document's first ``|A| − ⌊t·|A|⌋ + 1`` shingles — if
+    J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), so the first shared shingle
+    (in the global order) must fall inside BOTH prefixes; the join
+    therefore finds every qualifying pair, and an exact
+    ``array_intersect`` verify computes the same Jaccard as the full
+    join. Because prefixes preferentially keep RARE shingles, the join
+    cost drops from Σ df(s)² to Σ df_prefix(s)² — the dominant term at
+    100 TB. Identical output by construction (pytest-pinned).
 
     Returns (id_a, id_b, jac) with id_a < id_b.
     """
@@ -142,6 +155,8 @@ def near_dup_pairs_jaccard(
             F.broadcast(freq.filter(F.col("__df") <= max_shingle_df).select("__s")),
             "__s",
         )
+    if prefix_filter:
+        return _jaccard_prefix_filtered(ex, threshold)
     # materialize the (small) inverted index once — as a lazy self-join
     # input it would be computed by BOTH shuffle-map stages concurrently
     ex = ex.localCheckpoint(eager=True)
@@ -173,6 +188,88 @@ def near_dup_pairs_jaccard(
     return (
         shared.select("id_a", "id_b", jac.alias("jac"))
         .filter(F.col("jac") >= threshold)
+    )
+
+
+def _jaccard_prefix_filtered(ex: DataFrame, threshold: float) -> DataFrame:
+    """The PPJoin candidate pass over an exploded (id, size, shingle-
+    hash) inverted index: df-ascending per-doc order, prefix-prefix
+    equi-join, exact set-intersection verify.
+
+    Losslessness: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so in
+    the global order at most |A| − ⌈t·|A|⌉ elements of A precede the
+    first shared shingle — it lies inside A's (and symmetrically B's)
+    prefix. ⌊t·|A|⌋ + 1 ≥ ⌈t·|A|⌉ keeps the prefix a superset under
+    float rounding (a longer prefix can only ADD candidates).
+
+    Scale shape: the frequency join is a SHUFFLE_HASH on the shingle
+    key (vocab-sized side, never broadcast); per-doc ordering is a
+    row-local array sort; the candidate join touches only prefix
+    postings (rare shingles — Σ df_prefix(s)²); the verify joins the
+    candidate pair ids back to the per-doc sorted sets and intersects
+    row-locally."""
+    freq = ex.groupBy("__s").agg(F.count("*").alias("__df"))
+    exf = ex.join(freq.hint("SHUFFLE_HASH"), "__s")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__df"), F.col("__s")))
+    )
+    per_doc = (
+        exf.groupBy("__id", "__sz")
+        .agg(ordered.alias("__ord"))
+        .select(
+            "__id",
+            "__sz",
+            F.transform("__ord", lambda x: x["__s"]).alias("__set"),
+            F.slice(
+                F.transform("__ord", lambda x: x["__s"]),
+                1,
+                F.col("__sz")
+                - F.floor(F.lit(threshold) * F.col("__sz")).cast("int")
+                + 1,
+            ).alias("__prefix"),
+        )
+        .localCheckpoint(eager=True)  # read by the candidate pass (×2)
+        # and the verify fetch — segmented once
+    )
+    pre = per_doc.select(
+        "__id", "__sz", F.explode("__prefix").alias("__p")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    ratio_ok = F.least(F.col("a.__sz"), F.col("b.__sz")) >= F.lit(
+        threshold
+    ) * F.greatest(F.col("a.__sz"), F.col("b.__sz"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__p") == F.col("b.__p"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & ratio_ok,
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = per_doc.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sz").alias("sz_a"),
+        F.col("__set").alias("set_a"),
+    )
+    fb = per_doc.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sz").alias("sz_b"),
+        F.col("__set").alias("set_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter.cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - inter
+    ).cast("double")
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
     )
 
 

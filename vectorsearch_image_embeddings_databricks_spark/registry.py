@@ -415,6 +415,30 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("near_dup_pairs_ppjoin", oracle=ORACLE["near_dup_pairs_jaccard"])
+def near_dup_pairs_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact-Jaccard pair set through the PPJoin prefix-filter
+    tier (Xiao et al. WWW'08): df-ascending prefixes bound the candidate
+    join at Σ df_prefix(s)² — the 100 TB path for stop-shingle-heavy web
+    corpora, where the full inverted index's Σ df(s)² explodes. Lossless
+    by the prefix theorem (J ≥ t ⟹ the first shared shingle falls in
+    both prefixes); verified here against the identical oracle, and
+    pinned equal to the baseline tier by pytest. At this fixture's
+    near-unique shingle distribution the baseline tier is faster — the
+    crossover favors prefixes exactly when df² blows up. See
+    operators.dedup._jaccard_prefix_filtered."""
+    docs = load_docs(spark, sf_dir)
+    res = dedup.near_dup_pairs_jaccard(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+        prefix_filter=True,
+    )
+    return res.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jac") * F.lit(1e6)).cast("long").alias("jac_micro"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # E4 — exact dedup (summary + normalized-key duplicate groups)
 # --------------------------------------------------------------------- #
@@ -8568,7 +8592,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_enrichment_rollup", "cosine_lsh_near_dup",
     "embedding_decontaminate", "kmeans_assign", "repetition_summary",
     "rerank_token_overlap", "cluster_balanced_sample",
-    "part_pair_cooccurrence", "pq_encode_stats", "pmi_collocations",
+    "part_pair_cooccurrence", "pmi_collocations",
     "pq_adc_topk", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph",
     "ivf_adc_topk", "incremental_dedup_ingest",
@@ -8586,7 +8610,7 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
-    "char_entropy_docs",
+    "char_entropy_docs", "near_dup_pairs_ppjoin",
     "video_frame_samples",
     "rag_context_assembly",
     "hll_distinct_audit",
@@ -8598,7 +8622,8 @@ DRIVER_PRIORITY: list[str] = [
     # assert inside the query itself), winsorized_value_stats (grouped-
     # rank ≡ naive-window equivalence is pytest-pinned), pq_adc_recall
     # (pq_adc_topk keeps the machinery in-window), hard_negative_triplets
-    # (planted-geometry pytest pins its argmax semantics)
+    # (planted-geometry pytest pins its argmax semantics), pq_encode_stats
+    # (pq_adc_topk exercises the same encode expression)
 ]
 
 
