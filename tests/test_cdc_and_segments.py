@@ -204,3 +204,58 @@ def test_cdc_sequential_batches_equal_one_shot_when_split_by_sequence(spark):
         )
     sequential = sorted((r["k"], r["bal"]) for r in snap.collect())
     assert one_shot == sequential
+
+
+def test_exact_substring_dedup_cuts_only_the_shared_span(spark):
+    import hashlib
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha " + shared + " omega"),
+            (1, "beta " + shared),
+            (2, "gamma delta epsilon"),      # < k tokens, untouched
+            (3, shared), (4, shared),        # full-duplicate pair
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(
+            docs, "doc_id", "text", k=8
+        ).collect()
+    }
+    # the shared 8-gram is cut from every carrier; unique affixes survive
+    assert got[0]["n_covered"] == 8
+    assert got[0]["clean_md5"] == hashlib.md5(b"alpha omega").hexdigest()
+    assert got[1]["clean_md5"] == hashlib.md5(b"beta").hexdigest()
+    # short doc untouched
+    assert got[2]["n_covered"] == 0
+    assert got[2]["clean_md5"] == hashlib.md5(
+        b"gamma delta epsilon"
+    ).hexdigest()
+    # exact duplicates collapse to empty
+    for d in (3, 4):
+        assert got[d]["n_covered"] == got[d]["n_tokens"] == 8
+        assert got[d]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_exact_substring_dedup_overlapping_runs_cover_exactly(spark):
+    # a 10-token duplicated run yields 3 overlapping 8-grams; coverage is
+    # the union of their spans = all 10 positions, not 24
+    run = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(0, "x " + run), (1, run + " y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(
+            docs, "doc_id", "text", k=8
+        ).collect()
+    }
+    import hashlib
+
+    assert got[0]["n_covered"] == 10 and got[1]["n_covered"] == 10
+    assert got[0]["clean_md5"] == hashlib.md5(b"x").hexdigest()
+    assert got[1]["clean_md5"] == hashlib.md5(b"y").hexdigest()

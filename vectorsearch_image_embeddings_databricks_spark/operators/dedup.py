@@ -907,3 +907,92 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup with span REMOVAL (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ≥ ``k``-token run that appears verbatim in MORE THAN ONE document is
+    duplicated text; every token position covered by such a run is cut
+    from every document carrying it, and the survivors re-join in
+    order. Two docs share a ≥k-token substring iff they share a k-gram,
+    so k-gram postings are a complete witness set — the suffix-array
+    machinery of the paper is an optimization for single-machine RAM,
+    not a semantic requirement.
+
+    Differs from segment_dedup (fixed non-overlapping segments ≈ line
+    dedup): spans here are OVERLAPPING k-grams, so coverage is exact to
+    the token — a duplicated sentence is removed wherever it starts.
+
+    Scale shape: gram postings explode once (row-local positional HOF);
+    the duplicated-gram set is one gram-key groupBy (map-side partials)
+    joined back via SHUFFLE_HASH (gram vocabulary is corpus-scale —
+    never broadcast); coverage expansion explodes k rows per DUPLICATED
+    gram only (bounded by dup density, not corpus); reassembly is one
+    doc-key groupBy + a row-local positional filter. Grams join on
+    xxhash64 keys (8-byte shuffle; collision P ≈ |grams|²/2⁶⁴ —
+    negligible, and validated against the string-keyed oracle).
+
+    Returns one row per document:
+    ``(id, n_tokens, n_covered, clean_md5)``.
+    """
+    from ..functions.text import tokenize
+
+    ws = tokenize(text_col)
+    grams = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, k))).alias(
+                    "g"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    pos_df = (
+        df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("pg"))
+        .select("__id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+        .localCheckpoint(eager=True)  # feeds the dup-gram count AND the
+        # coverage join — grams computed once
+    )
+    dupg = (
+        pos_df.groupBy("g")
+        .agg(F.count_distinct("__id").alias("__dfc"))
+        .filter(F.col("__dfc") >= 2)
+        .select("g")
+    )
+    covered = (
+        pos_df.join(dupg.hint("SHUFFLE_HASH"), "g")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_set("cp")).alias("__cov"))
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), ws.alias("__ws")
+    )
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__ws"),
+        lambda x, i: ~F.array_contains(cov, i.cast("int")),
+    )
+    return (
+        base.join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.size("__ws").cast("long").alias("n_tokens"),
+            F.size(cov).cast("long").alias("n_covered"),
+            F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+        )
+    )

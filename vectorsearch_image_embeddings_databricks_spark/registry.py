@@ -8566,6 +8566,69 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Exact-substring dedup with span removal (Lee et al. 2021)
+# --------------------------------------------------------------------- #
+
+ESD_K = 8  # minimum duplicated run length, tokens
+
+
+@register(
+    "exact_substring_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(ws, i + 1, i + {ESD_K}), ' ') AS gram
+        FROM (SELECT doc_id, ws, len(ws) AS n FROM w),
+             unnest(range(0, greatest(n - {ESD_K} + 1, 0))) AS u(i)
+    ),
+    dup AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cp AS (
+        SELECT DISTINCT g.doc_id, g.pos + j AS p
+        FROM g JOIN dup USING (gram), unnest(range(0, {ESD_K})) AS v(j)
+    ),
+    cov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+        FROM cp GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS p, ws[CAST(i AS INTEGER)] AS tok
+        FROM w, unnest(range(1, len(ws) + 1)) AS u(i)
+    ),
+    keep AS (
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS txt
+        FROM toks t LEFT JOIN cp ON cp.doc_id = t.doc_id AND cp.p = t.p
+        WHERE cp.p IS NULL
+        GROUP BY t.doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           coalesce(cov.n_covered, 0) AS n_covered,
+           md5(coalesce(keep.txt, '')) AS clean_md5
+    FROM w LEFT JOIN cov USING (doc_id) LEFT JOIN keep USING (doc_id)
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with span removal: every ≥{ESD_K}-token
+    run appearing verbatim in more than one document is cut from all of
+    them (Lee et al. 2021 — the overlapping-span complement of
+    segment_dedup's fixed lines). Gram postings materialized once;
+    dup-gram set via one gram-key groupBy joined back SHUFFLE_HASH;
+    coverage explodes k rows per DUPLICATED gram only; reassembly is a
+    row-local positional filter. See
+    operators.dedup.exact_substring_dedup.""".format(ESD_K=ESD_K)
+    return dedup.exact_substring_dedup(
+        load_docs(spark, sf_dir), "doc_id", "text", k=ESD_K
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8591,7 +8654,7 @@ DRIVER_PRIORITY: list[str] = [
     "zorder_layout", "knn_filtered", "chunk_pack_pipeline",
     "streaming_enrichment_rollup", "cosine_lsh_near_dup",
     "embedding_decontaminate", "kmeans_assign", "repetition_summary",
-    "rerank_token_overlap", "cluster_balanced_sample",
+    "cluster_balanced_sample",
     "part_pair_cooccurrence", "pmi_collocations",
     "pq_adc_topk", "boilerplate_ngrams",
     "quality_model_score", "pagerank_trade_graph",
@@ -8610,7 +8673,7 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
-    "char_entropy_docs", "near_dup_pairs_ppjoin",
+    "char_entropy_docs", "near_dup_pairs_ppjoin", "exact_substring_dedup",
     "video_frame_samples",
     "rag_context_assembly",
     "hll_distinct_audit",
@@ -8623,7 +8686,8 @@ DRIVER_PRIORITY: list[str] = [
     # rank ≡ naive-window equivalence is pytest-pinned), pq_adc_recall
     # (pq_adc_topk keeps the machinery in-window), hard_negative_triplets
     # (planted-geometry pytest pins its argmax semantics), pq_encode_stats
-    # (pq_adc_topk exercises the same encode expression)
+    # (pq_adc_topk exercises the same encode expression),
+    # rerank_token_overlap (pool-bound + ordering pytest-pinned)
 ]
 
 
