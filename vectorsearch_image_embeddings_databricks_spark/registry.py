@@ -8629,6 +8629,100 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Per-group OLS trend (regression analytics over exact integer
+# sufficient statistics)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "per_lang_ols_trend",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                    AS BIGINT) AS x,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM d GROUP BY lang
+    )
+    SELECT lang, n,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+                AS BIGINT) AS slope_micro,
+           CAST(floor((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) * 1000000)
+                AS BIGINT) AS intercept_micro,
+           CAST(floor(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           AS DOUBLE)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
+                AS BIGINT) AS r2_micro
+    FROM s
+    """,
+)
+def per_lang_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language least-squares trend of char count on token count
+    (slope/intercept/R², micro-floored) — grouped regression as pure
+    aggregates: the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    are EXACT integer sums (one partial-agg key shuffle to |langs|
+    rows), and the closed-form OLS arithmetic runs on those identical
+    integers, so the doubles are engine-identical and the micro-floors
+    hash-match. No per-group model-fit UDF, no second pass. At corpus
+    scale where n·Σxy² would overflow int64, widen the statistics to
+    DECIMAL(38,0) — the formulas are unchanged."""
+    from .functions.text import token_count
+
+    d = load_docs(spark, sf_dir).select(
+        "lang",
+        token_count("text").cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2num = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ).cast("double")
+    r2den = den * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    micro = F.lit(1_000_000)
+    return s.select(
+        "lang",
+        "n",
+        F.floor(slope * micro).alias("slope_micro"),
+        F.floor(intercept * micro).alias("intercept_micro"),
+        F.floor(r2num / r2den * micro).alias("r2_micro"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8653,7 +8747,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_keep_best", "vocab_oov_stats", "near_dedup_keep_best",
     "zorder_layout", "knn_filtered", "chunk_pack_pipeline",
     "streaming_enrichment_rollup", "cosine_lsh_near_dup",
-    "embedding_decontaminate", "kmeans_assign", "repetition_summary",
+    "embedding_decontaminate", "kmeans_assign",
     "cluster_balanced_sample",
     "part_pair_cooccurrence", "pmi_collocations",
     "pq_adc_topk", "boilerplate_ngrams",
@@ -8673,7 +8767,8 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mixture_quotas", "event_transitions",
     "window_funnel_steps", "sq8_quant_topk", "binary_quant_knn",
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
-    "char_entropy_docs", "near_dup_pairs_ppjoin", "exact_substring_dedup",
+    "char_entropy_docs", "near_dup_pairs_ppjoin",
+    "exact_substring_dedup", "per_lang_ols_trend",
     "video_frame_samples",
     "rag_context_assembly",
     "hll_distinct_audit",
@@ -8687,7 +8782,8 @@ DRIVER_PRIORITY: list[str] = [
     # (pq_adc_topk keeps the machinery in-window), hard_negative_triplets
     # (planted-geometry pytest pins its argmax semantics), pq_encode_stats
     # (pq_adc_topk exercises the same encode expression),
-    # rerank_token_overlap (pool-bound + ordering pytest-pinned)
+    # rerank_token_overlap (pool-bound + ordering pytest-pinned),
+    # repetition_summary (run-length-fold ≡ oracle re-aggregation pinned)
 ]
 
 
