@@ -693,3 +693,47 @@ def test_temperature_quota_sum_and_order_preservation(spark, counts, total):
     ordered = sorted(out.values(), key=lambda r: r["n_docs"])
     quotas = [r["quota"] for r in ordered]
     assert quotas == sorted(quotas)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+        ).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_exact_substring_dedup_matches_bruteforce(spark, texts):
+    import hashlib
+
+    K = 4
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["clean_md5"])
+        for r in dedup.exact_substring_dedup(
+            docs, "doc_id", "text", k=K
+        ).collect()
+    }
+    # brute force: every K-gram seen in ≥2 docs covers its span
+    toks = {i: t.split() if t else [] for i, t in enumerate(texts)}
+    toks = {i: [w for w in ws if w] for i, ws in toks.items()}
+    owners: dict[tuple, set] = {}
+    for i, ws in toks.items():
+        for p in range(len(ws) - K + 1):
+            owners.setdefault(tuple(ws[p : p + K]), set()).add(i)
+    for i, ws in toks.items():
+        cov = set()
+        for p in range(len(ws) - K + 1):
+            if len(owners[tuple(ws[p : p + K])]) >= 2:
+                cov.update(range(p, p + K))
+        kept = " ".join(w for j, w in enumerate(ws) if j not in cov)
+        expect = (
+            len(ws),
+            len(cov),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+        assert got[i] == expect, (i, texts)
