@@ -8723,6 +8723,143 @@ def per_lang_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# EMA smoothing (α = 1/2) via the deterministic ordered-fold technique
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "ema_user_value",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               epoch_us(ts) AS t, event_id
+        FROM events
+    ),
+    pu AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               list(cents ORDER BY t, event_id) AS lst
+        FROM e GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           -- elements cast to DOUBLE first: list_reduce coerces the
+           -- accumulator to the ELEMENT type, so a BIGINT list would
+           -- truncate every halving step
+           CAST(floor(list_reduce(
+                    list_transform(lst, x -> CAST(x AS DOUBLE)),
+                    (a, b) -> (a + b) / 2.0) * 1000000)
+                AS BIGINT) AS ema_micro
+    FROM pu
+    """,
+)
+def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average (α = 1/2) of the event value
+    stream — the time-series smoothing primitive. An EMA is a
+    sequential recurrence, so the float result depends on evaluation
+    order; it is made hash-exact the same way as char_entropy: BOTH
+    engines fold the cent values in the totalized (ts, event_id) order
+    (Spark `aggregate` HOF seeded with the first element ≡ DuckDB
+    `list_reduce`), so every IEEE addition happens in the same sequence.
+    One user-key groupBy; the fold is bounded by the user's own
+    history."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        (dec("value", 2) * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    lst_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "cents"))
+        ),
+        lambda x: x["cents"],
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), lst_sorted.alias("__lst")
+    )
+    ema = F.aggregate(
+        F.slice(F.col("__lst"), 2, F.greatest(F.size("__lst") - 1, F.lit(0))),
+        F.element_at(F.col("__lst"), 1).cast("double"),
+        lambda acc, x: (acc + x.cast("double")) / F.lit(2.0),
+    )
+    return pu.select(
+        "user_id",
+        "n_events",
+        F.floor(ema * F.lit(1_000_000)).alias("ema_micro"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Linear multi-touch attribution (integer credit split per conversion)
+# --------------------------------------------------------------------- #
+
+ATTR_WINDOW_US = 3600 * 1_000_000  # 1 hour lookback, µs
+
+
+@register(
+    "linear_touch_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS tp
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(ts) AS tc,
+               (epoch_us(ts) // 3600000000) % 24 AS hour
+        FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+        SELECT p.pid, c.hour FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.tc < p.tp AND c.tc >= p.tp - {ATTR_WINDOW_US}
+    ),
+    k AS (SELECT pid, CAST(count(*) AS BIGINT) AS kt FROM touch GROUP BY pid)
+    SELECT t.hour,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(1000000 // k.kt) AS BIGINT) AS credit_micro
+    FROM touch t JOIN k USING (pid)
+    GROUP BY t.hour
+    """,
+)
+def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the hour before a
+    purchase shares that conversion's credit equally — credit per touch
+    is the INTEGER ⌊1e6/k⌋ so the per-channel rollup is exact under any
+    aggregation order (the float 1/k split would not be). Channel proxy
+    = the touch's UTC hour-of-day (raw epoch arithmetic, tz-free). One
+    user-keyed range join (the as-of family shape), one conversion-key
+    count, one ≤24-row rollup."""
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("tp"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("tc"),
+        (F.expr("ts div 3600000000000") % 24).alias("hour"),
+    )
+    w_ns = ATTR_WINDOW_US * 1000
+    touch = p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("tc") < F.col("tp"))
+        & (F.col("tc") >= F.col("tp") - F.lit(w_ns)),
+    ).select("pid", "hour")
+    k = touch.groupBy("pid").agg(F.count("*").alias("kt"))
+    return (
+        touch.join(k, "pid")
+        .groupBy("hour")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(F.expr("1000000 div kt")).alias("credit_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8743,8 +8880,8 @@ def per_lang_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY: list[str] = [
     # --- queries ADDED in round 3 (39 total; those that fit the
     #     window): new code gets external verification first ---
-    "semantic_dedup", "chunk_documents", "dsir_importance_weights",
-    "dedup_keep_best", "vocab_oov_stats", "near_dedup_keep_best",
+    "semantic_dedup", "dsir_importance_weights",
+    "dedup_keep_best", "near_dedup_keep_best",
     "zorder_layout", "knn_filtered", "chunk_pack_pipeline",
     "streaming_enrichment_rollup", "cosine_lsh_near_dup",
     "embedding_decontaminate", "kmeans_assign",
@@ -8769,6 +8906,7 @@ DRIVER_PRIORITY: list[str] = [
     "value_outliers_zscore", "top_event_paths", "cms_heavy_hitters",
     "char_entropy_docs", "near_dup_pairs_ppjoin",
     "exact_substring_dedup", "per_lang_ols_trend",
+    "ema_user_value", "linear_touch_attribution",
     "video_frame_samples",
     "rag_context_assembly",
     "hll_distinct_audit",
@@ -8783,7 +8921,9 @@ DRIVER_PRIORITY: list[str] = [
     # (planted-geometry pytest pins its argmax semantics), pq_encode_stats
     # (pq_adc_topk exercises the same encode expression),
     # rerank_token_overlap (pool-bound + ordering pytest-pinned),
-    # repetition_summary (run-length-fold ≡ oracle re-aggregation pinned)
+    # repetition_summary (run-length-fold ≡ oracle re-aggregation pinned),
+    # vocab_oov_stats (top-k + left-join shape shared with quality_model),
+    # chunk_documents (chunk_pack_pipeline exercises the same arithmetic)
 ]
 
 
