@@ -140,6 +140,11 @@ NEW_OPS = [
     "hll_distinct_audit",
     "rag_context_assembly",
     "char_entropy_docs",
+    "near_dup_pairs_ppjoin",
+    "exact_substring_dedup",
+    "per_lang_ols_trend",
+    "ema_user_value",
+    "linear_touch_attribution",
 ]
 
 

@@ -180,15 +180,18 @@ def binary_topk(
     zero-shuffle scan shape as sq8_topk; the per-row state is
     ceil(d/32)·8 bytes."""
     dim = len(query_vec)
-    qwords = (
-        df.sparkSession.range(1)
-        .select(
-            sign_words_expr(
-                F.array(*[F.lit(float(x)) for x in query_vec]), dim
-            ).alias("qb")
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    # query packing is pure integer arithmetic on literals — done in
+    # Python (identical semantics: bit i set iff x_i > 0), not as a
+    # one-row Spark job
+    qwords = [
+        sum(
+            1 << i
+            for i in range(WORD_BITS)
+            if j * WORD_BITS + i < dim and query_vec[j * WORD_BITS + i] > 0
         )
-        .collect()[0]["qb"]
-    )
+        for j in range(n_words)
+    ]
     qb = F.array(*[F.lit(int(w)).cast("long") for w in qwords])
     dist = hamming_words(sign_words_expr(vec_col, dim), qb)
     return (

@@ -885,12 +885,17 @@ def incremental_dedup(
     occurrence is an argmin aggregate on the batch only. No window over
     history, no history shuffle.
     """
+    # NULL text hashes as the empty string: a NULL md5 key would silently
+    # drop the row from the equi-joins, losing the document's status
     bh = batch.select(
-        F.col(id_col).alias("__bid"), F.md5(F.col(text_col)).alias("__h")
+        F.col(id_col).alias("__bid"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__h"),
     )
     batch_hashes = bh.select("__h").distinct()
     hits = (
-        history.select(F.md5(F.col(text_col)).alias("__h"))
+        history.select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__h")
+        )
         .join(F.broadcast(batch_hashes), "__h", "left_semi")
         .distinct()
         .withColumn("__in_hist", F.lit(True))
@@ -983,10 +988,18 @@ def exact_substring_dedup(
         F.col(id_col).alias("__id"), ws.alias("__ws")
     )
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("__ws"),
-        lambda x, i: ~F.array_contains(cov, i.cast("int")),
-    )
+    # array_except builds its lookup set ONCE per row → O(n + |cov|);
+    # a per-token array_contains scan would be O(n·|cov|), which stalls
+    # a task on a heavily-duplicated long document. sequence order is
+    # preserved, so kept positions stay ascending.
+    kept_pos = F.when(
+        F.size("__ws") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.size("__ws") - 1).cast("array<int>"),
+            cov,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(kept_pos, lambda p: F.element_at("__ws", p + 1))
     return (
         base.join(covered, "__id", "left")
         .select(

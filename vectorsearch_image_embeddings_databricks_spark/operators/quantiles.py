@@ -157,6 +157,7 @@ def integer_zscore_outliers(
     ~10⁶ events/group with 10⁵-cent values switch the accumulators to
     DECIMAL(38,0); the comparison algebra is unchanged."""
     v = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    v = v.cast("long")  # an int32 input would overflow v*v at |v| ≥ 46341
     stats = df.groupBy(group_col).agg(
         F.count("*").alias("__n"),
         F.sum(v).alias("__s"),

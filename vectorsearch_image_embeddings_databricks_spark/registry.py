@@ -541,7 +541,7 @@ DECONTAM_DF_CAP = 50
 )
 def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: train docs (doc_id % 20 != 0) sharing
-    ≥ {min_shared} distinct trigrams with any eval doc (doc_id % 20 = 0).
+    ≥ min_shared distinct trigrams with any eval doc (doc_id % 20 = 0).
     Inverted-index broadcast join on int64 n-gram hashes with an
     eval-side document-frequency cap — the pre-training contamination
     sweep of an LLM data pipeline (GPT-3-style n-gram decontamination),
@@ -652,7 +652,7 @@ PACK_STREAMS = 4
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: longest-first offset
     binning inside parallel packing streams (every window PARTITIONED —
-    no global sort), token budget {PACK_BUDGET}. Per-bin doc counts,
+    no global sort), token budget 256. Per-bin doc counts,
     token totals, and utilization; integer-exact, window math mirrored
     verbatim in the oracle. See operators.packing."""
     from .operators import packing
@@ -717,17 +717,15 @@ CHUNK_PACK_STREAMS = 4
 )
 def chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end context construction: CHUNK every document into
-    non-overlapping {W}-token windows (stride = window — the training
+    non-overlapping 32-token windows (stride = window — the training
     split, not the RAG overlap split), then PACK the chunks into
-    {B}-token training bins with the streamed offset binner. This is the
+    256-token training bins with the streamed offset binner. This is the
     composition a pretraining data pipeline actually runs (chunk →
     pack → batch manifest), exercised as ONE registry query so the
     interaction — chunk token counts feeding the packer's windows — is
     hash-verified, not just each stage alone. Plan: the row-local chunk
     stage adds no shuffle, so the whole pipeline costs exactly the
-    packer's one partitioned-window pass.""".format(
-        W=CHUNK_PACK_WINDOW, B=CHUNK_PACK_BUDGET
-    )
+    packer's one partitioned-window pass."""
     from .operators import packing
 
     docs = load_docs(spark, sf_dir)
@@ -2603,7 +2601,7 @@ def dup_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTEs don't support the deduplicating UNION, so an
     unbounded cyclic closure would not terminate) with a DISTINCT
     collapse, rep = min reachable id. Equals the full connected-component
-    closure whenever component diameter ≤ {RECURSIVE_REACH_DEPTH}
+    closure whenever component diameter ≤ 4
     (pytest-pinned against near_dedup_minhash at fixture scale) — the
     declarative counterpart of the operator family's iterative label
     propagation. Both engines run the same bounded recursion."""
@@ -4505,7 +4503,7 @@ CLUSTER_SAMPLE_CAP = 40
 )
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage-balanced curation: cap every topic cluster at
-    {CLUSTER_SAMPLE_CAP} docs using the auditable md5 sampler, so
+    40 docs using the auditable md5 sampler, so
     over-crowded clusters (boilerplate concentrates there) shrink while
     rare clusters survive intact. Composition of the map-only k-means
     assignment with a cluster-PARTITIONED rank window (no global sort)
@@ -4787,8 +4785,8 @@ IVFADC_K = 10
 )
 def ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full FAISS-IVFADC query path (Jégou et al. §V): coarse-
-    quantize the corpus into {IVFADC_NLIST} cells, PQ-encode, then
-    search = probe the {IVFADC_NPROBE} query-nearest cells and
+    quantize the corpus into 8 cells, PQ-encode, then
+    search = probe the 3 query-nearest cells and
     ADC-score ONLY their code lists. Composes E44 (PQ storage) with the
     IVF pruning layer: the scan reads ~nprobe/nlist of the codes table
     (cell-partitioned at scale), scoring is the codegen'd LUT sum, and
@@ -4855,8 +4853,8 @@ MATRYOSHKA_K = 20
 def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-representation evaluation (Kusupati et al. 2022, the
     dimension-truncation trick modern embedding APIs expose): top-k by
-    cosine over the FIRST {MATRYOSHKA_DIM} dims vs the full {PQ_M}×
-    {PQ_SUB}-dim top-k, reported as recall@{MATRYOSHKA_K}. The
+    cosine over the FIRST 16 dims vs the full 4×
+    16-dim top-k, reported as recall@20. The
     deployment question this answers: how much recall survives a 4×
     cheaper index? Both sides are scan → TakeOrderedAndProject (no
     shuffle); the truncated side's slice happens inside the scan
@@ -4998,7 +4996,7 @@ def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (the data-quality gate a training
     pipeline runs per ingest batch): χ² statistic of each source's
     doc-length histogram against the corpus-wide distribution over
-    {DRIFT_BUCKETS} fixed-width buckets. Per-bucket terms are
+    8 fixed-width buckets. Per-bucket terms are
     micro-floored to integers BEFORE the cross-bucket sum, so the
     statistic is engine-exact (a float sum over buckets would be
     order-dependent). Plan: the corpus is scanned ONCE into the
@@ -5256,7 +5254,7 @@ PYDS_BUCKET = 3      # pushed-down bucket filter
 def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python DataSource API end to end: a custom partitioned
     connector (sources/pydatasource.py) with FILTER PUSHDOWN — the
-    ``bucket = {PYDS_BUCKET}`` predicate is consumed by the reader's
+    ``bucket = 3`` predicate is consumed by the reader's
     ``pushFilters`` and applied inside the generator, so each of the
     parallel read tasks emits ~1/{10} of its slice instead of Spark
     post-filtering the firehose. The generator is pure integer
@@ -5303,9 +5301,9 @@ PYDS_STREAM_BATCH = 250  # 4 micro-batches of offset progression
 def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 STREAMING Python DataSource end to end
     (SimpleDataSourceStreamReader): the tick_stream source serves its
-    keyspace as offset-tracked micro-batches ({PYDS_STREAM_BATCH} rows
+    keyspace as offset-tracked micro-batches (250 rows
     per read), the stream runs until the sink holds the full keyspace
-    ({PYDS_STREAM_ROWS} rows — ≥4 micro-batches of real offset
+    (1000 rows — ≥4 micro-batches of real offset
     progression, asserted below), and the per-bucket rollup of the sink
     hash-matches the range(n) oracle. readBetweenOffsets regenerates
     any committed range, which is the exactly-once replay contract a
@@ -5496,7 +5494,7 @@ TRIANGLE_MIN_SUPPORT = 2  # co-purchase edges need >= this many orders
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the part co-purchase graph (edges =
-    part pairs sharing ≥ {TRIANGLE_MIN_SUPPORT} orders) — degree-
+    part pairs sharing ≥ 2 orders) — degree-
     oriented per Suri & Vassilvitskii (WWW'11): orienting each edge
     low-degree→high-degree caps every vertex's wedge fan-out at
     O(√|E|), so the candidate set is O(|E|^1.5) TOTAL regardless of
@@ -5544,7 +5542,7 @@ ES_SAMPLE_K = 25
 )
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis):
-    keep the {ES_SAMPLE_K} docs with the largest u^(1/w), w = doc
+    keep the 25 docs with the largest u^(1/w), w = doc
     length — the one-pass, shuffle-free mixture-sampling primitive
     ("sample N docs ∝ quality"). u is md5-seeded (cross-engine
     deterministic); selection is scan → TakeOrderedAndProject. See
@@ -5579,7 +5577,7 @@ K_ANON_K = 8  # minimum safe equivalence-class size
 )
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the (nation, market-segment) quasi-
-    identifier pair: any equivalence class smaller than k={K_ANON_K}
+    identifier pair: any equivalence class smaller than k=8
     re-identifies its members and must be suppressed or generalized
     before the table ships to training — the structured-data
     counterpart of pii_scrub_stats (E23). One partial-agg groupBy to
@@ -5654,7 +5652,7 @@ BOILER_FLAG_MICRO = 100_000  # flag docs >= 10% boilerplate
 )
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate sweep (CCNet/RefinedWeb corpus
-    cleaning): word {BOILER_N}-grams shared by ≥ {BOILER_MIN_DF} docs are
+    cleaning): word 3-grams shared by ≥ 5 docs are
     boilerplate; per-source report of docs whose distinct-n-gram set is
     ≥ 10% boilerplate. Distinct from repetition_summary (intra-doc
     Gopher metrics) — this one finds text repeated ACROSS documents.
@@ -5721,7 +5719,7 @@ _PR_BASE = (_PR_SCALE * 3) // 20  # (scale * (den-num)) // den
 
 
 def _pagerank_oracle() -> str:
-    """Unrolled {PAGERANK_ITERS}-iteration integer PageRank in DuckDB —
+    """Unrolled 3-iteration integer PageRank in DuckDB —
     same fixed-point recurrence as operators.graph.pagerank (nonnegative
     floor division is engine-identical)."""
     sql = f"""
@@ -5766,7 +5764,7 @@ def _pagerank_oracle() -> str:
 @register("pagerank_trade_graph", oracle=_pagerank_oracle())
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the customer↔supplier trade graph
-    (distinct trading pairs, both directions), {PAGERANK_ITERS}
+    (distinct trading pairs, both directions), 3
     iterations in exact fixed-point integer arithmetic — the source-
     weighting step of a crawl-scale pipeline, and the repo's iterative-
     algorithm showcase with a hash-exact unrolled-CTE oracle. Each
@@ -5857,7 +5855,7 @@ TRIPLET_ANCHORS = 12  # vec_id < 12 are the mined anchors
 )
 def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative triplet mining for contrastive training: for each
-    anchor (vec_id < {TRIPLET_ANCHORS}), the most-cosine-similar
+    anchor (vec_id < 12), the most-cosine-similar
     same-label vector (hardest positive) and different-label vector
     (hardest negative). Broadcast anchors, one corpus scan, map-side
     struct-max per anchor — shuffle is O(anchors × tasks), no corpus
@@ -6815,7 +6813,7 @@ Q11_AVG_MULT = 1.5
 )
 def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-shaped global-scalar-subquery filter: parts whose total
-    traded value exceeds {Q11_AVG_MULT}× the average part's. The per-part
+    traded value exceeds 1.5× the average part's. The per-part
     agg is computed once and reused for both the threshold (a 1-row
     global agg, broadcast cross-joined — no driver round-trip, stays one
     Spark job) and the filter, so lineitem is scanned exactly once.
@@ -7244,12 +7242,12 @@ CHUNK_STRIDE = 24
     """,
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-token-window chunking with overlap (window {W}, stride {S})
+    """Fixed-token-window chunking with overlap (window 32, stride 24)
     — the context construction step of RAG indexing and long-document
     training. Entirely row-local (tokenize → integer chunk count →
     posexplode → slice): scan → generate → project, zero shuffles; the
     oracle restates the integer chunk arithmetic verbatim. See
-    operators.packing.chunk_tokens.""".format(W=CHUNK_WINDOW, S=CHUNK_STRIDE)
+    operators.packing.chunk_tokens."""
     from .operators.packing import chunk_tokens
 
     docs = load_docs(spark, sf_dir)
@@ -7489,12 +7487,12 @@ VOCAB_COVERAGE_SIZE = 100
     """,
 )
 def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary coverage audit: top-{N} corpus vocabulary
+    """Tokenizer-vocabulary coverage audit: top-200 corpus vocabulary
     (count desc, token asc — deterministic), per-language token totals
     and out-of-vocab rates. The vocabulary is a TakeOrderedAndProject
     that reaches the corpus as a broadcast left-join — the corpus never
     shuffles on more than the token key. See
-    operators.textstats.oov_stats.""".format(N=VOCAB_COVERAGE_SIZE)
+    operators.textstats.oov_stats."""
     docs = load_docs(spark, sf_dir)
     return textstats.oov_stats(
         docs, "doc_id", "text", "lang", vocab_size=VOCAB_COVERAGE_SIZE
@@ -7604,7 +7602,7 @@ SEGDEDUP_MAX_DF = 2  # segment survives in ≤ this many distinct docs
 )
 def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level cross-doc dedup with reassembly: fixed 8-token
-    segments shared by more than {SEGDEDUP_MAX_DF} distinct documents
+    segments shared by more than SEGDEDUP_MAX_DF (2) distinct documents
     are removed from every document and the survivors re-joined in
     order; output is a per-doc attrition row plus the md5 of the
     rewritten text (content-addressed handle for the cleaned corpus).
@@ -7623,10 +7621,11 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NMR:277-278 consumed as upsert/delete instead of SCD2 history)
 # --------------------------------------------------------------------- #
 
-
-@register(
-    "cdc_apply_orders",
-    oracle="""
+#: shared by cdc_apply_orders AND streaming_cdc_snapshot: the streaming
+#: variant's whole point is that its sequential per-micro-batch apply
+#: equals THIS one-shot global MERGE, so both queries must verify
+#: against the identical oracle text.
+_CDC_MERGE_ORACLE = """
     WITH ch AS (
         SELECT o_custkey AS k,
                epoch_us(o_orderdate) // 86400000000 AS d,
@@ -7651,8 +7650,29 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c LEFT JOIN latest l ON l.k = c.c_custkey
     WHERE l.op IS NULL OR l.op <> 'D'
     GROUP BY c.c_mktsegment
-    """,
-)
+    """
+
+
+def _order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders table read as a CDC change log: key = customer,
+    sequence = (order day, order key), op = delete when finalized else
+    upsert, payload = the order total as the new balance. Shared by the
+    batch and streaming MERGE queries so their change semantics cannot
+    drift apart."""
+    from .operators import cdc
+
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+        F.col("o_orderkey").alias("ok"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(cdc.OP_DELETE))
+        .otherwise(F.lit(cdc.OP_UPSERT))
+        .alias("op"),
+        dec("o_totalprice", 2).alias("bal"),
+    )
+
+
+@register("cdc_apply_orders", oracle=_CDC_MERGE_ORACLE)
 def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style CDC apply: the orders table read as a change log
     against the customer snapshot — each order is an account-balance
@@ -7668,17 +7688,8 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", dec("c_acctbal", 2).alias("bal")
     )
-    changes = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"),
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
-        F.col("o_orderkey").alias("ok"),
-        F.when(F.col("o_orderstatus") == "F", F.lit(cdc.OP_DELETE))
-        .otherwise(F.lit(cdc.OP_UPSERT))
-        .alias("op"),
-        dec("o_totalprice", 2).alias("bal"),
-    )
     merged = cdc.apply_cdc(
-        cust, changes, "c_custkey",
+        cust, _order_changes(spark, sf_dir), "c_custkey",
         seq_cols=["d", "ok"], op_col="op", payload_cols=["bal"],
     )
     return merged.groupBy("c_mktsegment").agg(
@@ -7972,8 +7983,10 @@ def binary_quant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_dedup_ingest",
     oracle="""
-    WITH hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
-    b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+    WITH hist AS (SELECT md5(coalesce(text, '')) AS h FROM documents
+                  WHERE doc_id % 10 <> 0),
+    b AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
+          WHERE doc_id % 10 = 0),
     fst AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h),
     hh AS (SELECT DISTINCT h FROM hist WHERE h IN (SELECT h FROM b))
     SELECT b.doc_id,
@@ -8140,7 +8153,7 @@ def _cms_cell_sql(tok: str, j: str) -> str:
     """,
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch audit: exact top-{CMS_TOP} token counts next to
+    """Count-min sketch audit: exact top-10 token counts next to
     their sketch estimates. The build shuffles at most d·w rows per
     task (map-side combine onto the 256 cells); per-slice sketches
     merge by cell-wise SUM. md5-derived hashing makes even the
@@ -8159,35 +8172,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 
-@register(
-    "streaming_cdc_snapshot",
-    oracle="""
-    WITH ch AS (
-        SELECT o_custkey AS k,
-               epoch_us(o_orderdate) // 86400000000 AS d,
-               o_orderkey AS ok,
-               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS bal
-        FROM orders
-    ),
-    latest AS (
-        SELECT k, op, bal FROM (
-            SELECT k, op, bal,
-                   row_number() OVER (PARTITION BY k
-                                      ORDER BY d DESC, ok DESC) AS rn
-            FROM ch) t
-        WHERE rn = 1
-    )
-    SELECT c.c_mktsegment,
-           CAST(count(*) AS BIGINT) AS n_live,
-           CAST(round(sum(CASE WHEN l.op = 'U' THEN l.bal
-                          ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END), 2)
-                AS DOUBLE) AS balance
-    FROM customer c LEFT JOIN latest l ON l.k = c.c_custkey
-    WHERE l.op IS NULL OR l.op <> 'D'
-    GROUP BY c.c_mktsegment
-    """,
-)
+@register("streaming_cdc_snapshot", oracle=_CDC_MERGE_ORACLE)
 def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The E66 CDC MERGE driven as a STREAM: the order change log is fed
     in two sequence-ordered availableNow micro-batches; ``foreachBatch``
@@ -8213,18 +8198,8 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_dim = load(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("seg")
     )
-    changes = (
-        load(spark, sf_dir, "orders")
-        .select(
-            F.col("o_custkey").alias("c_custkey"),
-            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
-            F.col("o_orderkey").alias("ok"),
-            F.when(F.col("o_orderstatus") == "F", F.lit(cdc.OP_DELETE))
-            .otherwise(F.lit(cdc.OP_UPSERT))
-            .alias("op"),
-            dec("o_totalprice", 2).alias("bal"),
-        )
-        .join(F.broadcast(seg_dim), "c_custkey")
+    changes = _order_changes(spark, sf_dir).join(
+        F.broadcast(seg_dim), "c_custkey"
     )
     mid = changes.select(
         F.expr("percentile(CAST(d AS DOUBLE), 0.5)").alias("m")
@@ -8404,16 +8379,14 @@ RAG_BUDGET = 64
     """,
 )
 def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end RAG context construction: exact top-{RAG_K} retrieval
+    """End-to-end RAG context construction: exact top-5 retrieval
     (the reference's similarity_search, NMR:388) → join the document
-    texts → non-overlapping {RAG_CHUNK}-token chunks → greedy prefix
-    under a {RAG_BUDGET}-token context budget, in relevance order. The
+    texts → non-overlapping 16-token chunks → greedy prefix
+    under a 64-token context budget, in relevance order. The
     corpus-facing stage is the zero-shuffle top-k scan; everything
     after operates on k retrieved rows (broadcast joins, a window over
     ≤ k·chunks rows — bounded by k, never by the corpus), so the
-    assembly adds nothing to the retrieval cost class.""".format(
-        RAG_K=RAG_K, RAG_CHUNK=RAG_CHUNK, RAG_BUDGET=RAG_BUDGET
-    )
+    assembly adds nothing to the retrieval cost class."""
     from .operators import packing
 
     emb = load(spark, sf_dir, "embeddings")
@@ -8615,14 +8588,14 @@ ESD_K = 8  # minimum duplicated run length, tokens
     """,
 )
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup with span removal: every ≥{ESD_K}-token
+    """Exact-substring dedup with span removal: every ≥8-token
     run appearing verbatim in more than one document is cut from all of
     them (Lee et al. 2021 — the overlapping-span complement of
     segment_dedup's fixed lines). Gram postings materialized once;
     dup-gram set via one gram-key groupBy joined back SHUFFLE_HASH;
     coverage explodes k rows per DUPLICATED gram only; reassembly is a
     row-local positional filter. See
-    operators.dedup.exact_substring_dedup.""".format(ESD_K=ESD_K)
+    operators.dedup.exact_substring_dedup."""
     return dedup.exact_substring_dedup(
         load_docs(spark, sf_dir), "doc_id", "text", k=ESD_K
     )
