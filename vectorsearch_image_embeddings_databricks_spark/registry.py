@@ -8851,8 +8851,11 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: behavior, not a guarantee; nothing here may hard-depend on it (the
 #: parity test bounds the list at ≤50 instead of pinning ==50).
 DRIVER_PRIORITY: list[str] = [
-    # --- queries ADDED in round 3 (39 total; those that fit the
-    #     window): new code gets external verification first ---
+    # --- queries ADDED in round 3 (61 across both sessions; those that
+    #     fit the window): new code gets external verification first.
+    #     Every demotion below names its compensating coverage; all
+    #     demoted queries stay pinned by tools/replay.py in CI and the
+    #     robustness matrix. ---
     "semantic_dedup", "dsir_importance_weights",
     "dedup_keep_best", "near_dedup_keep_best",
     "zorder_layout", "knn_filtered", "chunk_pack_pipeline",
