@@ -8635,8 +8635,10 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * CAST(sx AS DOUBLE))
                       / CAST(n AS DOUBLE) * 1000000)
                 AS BIGINT) AS intercept_micro,
-           CAST(floor(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                           AS DOUBLE)
+           -- the squared numerator overflows int64 at 10x scale; its
+           -- factor is exact in a double (< 2^53), so square THERE
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
                       / (CAST(n * sxx - sx * sx AS DOUBLE)
                          * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
                 AS BIGINT) AS r2_micro
@@ -8678,10 +8680,9 @@ def per_lang_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")
-    r2num = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    ).cast("double")
+    # square in DOUBLE: the factor (~1e10 at sf0.1) is exact below
+    # 2^53, while the int64 square overflows under ANSI
+    r2num = num * num
     r2den = den * (
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     ).cast("double")
