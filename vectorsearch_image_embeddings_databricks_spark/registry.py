@@ -8834,6 +8834,115 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Classifier evaluation: per-class precision/recall of the lang-ID
+# heuristic against gold labels (the eval harness of every model-based
+# curation filter)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "lang_id_eval_metrics",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang AS true_lang,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('fr')} AS s_fr,
+               regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS cjk
+        FROM documents
+    ),
+    pred AS (
+        SELECT true_lang,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN greatest(s_de, s_en, s_es, s_fr) < 0.05 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    ),
+    cls AS (SELECT DISTINCT true_lang AS c FROM pred),
+    m AS (
+        SELECT c,
+               (SELECT count(*) FROM pred
+                WHERE true_lang = c AND pred_lang = c) AS tp,
+               (SELECT count(*) FROM pred
+                WHERE pred_lang = c AND true_lang <> c) AS fp,
+               (SELECT count(*) FROM pred
+                WHERE true_lang = c AND pred_lang <> c) AS fn
+        FROM cls
+    )
+    SELECT c AS lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+           END AS precision_micro,
+           CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+           END AS recall_micro
+    FROM m
+    """,
+)
+def lang_id_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall of the stopword-marker language-ID
+    against the gold `lang` labels — the evaluation harness every
+    model-based curation filter needs before it gates data. Confusion
+    counts come from ONE groupBy over (true, pred) pairs (|classes|²
+    rows), precision/recall are integer-micro floor divisions (exact;
+    −1 marks the undefined 0/0 case). The corpus is scanned once."""
+    docs = load_docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("lang").alias("true_lang"),
+        lang_id("text").alias("pred_lang"),
+    )
+    conf = pairs.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)  # |classes|² rows, read by 3 rollups
+    tp = (
+        conf.filter(F.col("true_lang") == F.col("pred_lang"))
+        .select(F.col("true_lang").alias("lang"), F.col("n").alias("tp"))
+    )
+    fp = (
+        conf.filter(F.col("true_lang") != F.col("pred_lang"))
+        .groupBy(F.col("pred_lang").alias("lang"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("true_lang") != F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    classes = conf.select(F.col("true_lang").alias("lang")).distinct()
+    j = (
+        classes.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) == 0, F.lit(-1).cast("long")
+    ).otherwise(
+        F.expr("tp * 1000000 div (tp + fp)")
+    )
+    rec = F.when(
+        (F.col("tp") + F.col("fn")) == 0, F.lit(-1).cast("long")
+    ).otherwise(
+        F.expr("tp * 1000000 div (tp + fn)")
+    )
+    return j.select(
+        "lang", "tp", "fp", "fn",
+        prec.alias("precision_micro"),
+        rec.alias("recall_micro"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # Driver-facing ordering
 # --------------------------------------------------------------------- #
 
@@ -8861,7 +8970,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_keep_best", "near_dedup_keep_best",
     "zorder_layout", "knn_filtered", "chunk_pack_pipeline",
     "streaming_enrichment_rollup", "cosine_lsh_near_dup",
-    "embedding_decontaminate", "kmeans_assign",
+    "embedding_decontaminate",
     "cluster_balanced_sample",
     "part_pair_cooccurrence", "pmi_collocations",
     "pq_adc_topk", "boilerplate_ngrams",
@@ -8884,6 +8993,7 @@ DRIVER_PRIORITY: list[str] = [
     "char_entropy_docs", "near_dup_pairs_ppjoin",
     "exact_substring_dedup", "per_lang_ols_trend",
     "ema_user_value", "linear_touch_attribution",
+    "lang_id_eval_metrics",
     "video_frame_samples",
     "rag_context_assembly",
     "hll_distinct_audit",
@@ -8900,7 +9010,8 @@ DRIVER_PRIORITY: list[str] = [
     # rerank_token_overlap (pool-bound + ordering pytest-pinned),
     # repetition_summary (run-length-fold ≡ oracle re-aggregation pinned),
     # vocab_oov_stats (top-k + left-join shape shared with quality_model),
-    # chunk_documents (chunk_pack_pipeline exercises the same arithmetic)
+    # chunk_documents (chunk_pack_pipeline exercises the same arithmetic),
+    # kmeans_assign (multi-iteration convergence/determinism pytest-pinned)
 ]
 
 
