@@ -125,3 +125,28 @@ def test_hll_register_build_has_mapside_partial_max(spark):
         df, "lang", "t"
     )._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan
+
+
+def test_hll_registers_merge_by_cellwise_max(spark):
+    a = _lang_toks(spark, [("en", f"a{i}") for i in range(80)])
+    b = _lang_toks(spark, [("en", f"b{i}") for i in range(60)])
+    union = a.union(b)
+
+    def regs(df):
+        from pyspark.sql import functions as F
+        bucket, rank = sketch._hll_parts(F.col("t"))
+        return {
+            (r["__g"], r["__b"]): r["__m"]
+            for r in df.select(
+                F.col("lang").alias("__g"), bucket.alias("__b"),
+                rank.alias("__r"),
+            ).groupBy("__g", "__b").agg(F.max("__r").alias("__m")).collect()
+        }
+
+    direct = regs(union)
+    ra, rb = regs(a), regs(b)
+    merged = {}
+    for part in (ra, rb):
+        for k, v in part.items():
+            merged[k] = max(merged.get(k, 0), v)
+    assert direct == merged
