@@ -737,3 +737,54 @@ def test_exact_substring_dedup_matches_bruteforce(spark, texts):
             hashlib.md5(kept.encode()).hexdigest(),
         )
         assert got[i] == expect, (i, texts)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["p", "q", "r"]), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_segment_dedup_matches_bruteforce(spark, texts):
+    import hashlib
+
+    SEG, MAXDF = 3, 1
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_md5"])
+        for r in dedup.segment_dedup(
+            docs, "doc_id", "text", seg_len=SEG, max_df=MAXDF
+        ).collect()
+    }
+    toks = {
+        i: [w for w in (t.split() if t else []) if w]
+        for i, t in enumerate(texts)
+    }
+    segs = {
+        i: [
+            " ".join(ws[j * SEG : (j + 1) * SEG])
+            for j in range((len(ws) + SEG - 1) // SEG)
+        ]
+        for i, ws in toks.items()
+    }
+    dfreq: dict[str, set] = {}
+    for i, ss in segs.items():
+        for s_ in ss:
+            dfreq.setdefault(s_, set()).add(i)
+    for i, ss in segs.items():
+        if not toks[i]:
+            assert i not in got  # token-less docs drop out
+            continue
+        kept = [s_ for s_ in ss if len(dfreq[s_]) <= MAXDF]
+        expect = (
+            len(ss),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+        assert got[i] == expect, (i, texts)
