@@ -1009,3 +1009,73 @@ def exact_substring_dedup(
             F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment pairs: C(A→B) = |A∩B| / |A| — the
+    subset-duplication detector symmetric Jaccard misses (a short doc
+    quoted whole inside a long one scores near-zero Jaccard but
+    containment 1.0; Broder's original resemblance/containment split).
+    Emits (id_a, id_b, cont_ab_micro, cont_ba_micro) for pairs where
+    EITHER direction ≥ threshold, id_a < id_b, micro-floored.
+
+    Same inverted-index shape as near_dup_pairs_jaccard (shingle-key
+    equi-join, never all-pairs; ``max_shingle_df`` caps hot shingles).
+    Containment admits no symmetric length-ratio prune — a tiny doc can
+    be fully contained in a huge one — so the join keeps every
+    shared-shingle pair; the dominant cost is still Σ df(s)²."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, n=n).alias("__sh"),
+    ).withColumn("__sz", F.size("__sh"))
+    ex = sh.select(
+        "__id",
+        "__sz",
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__s"),
+    )
+    if max_shingle_df is not None:
+        freq = ex.groupBy("__s").agg(F.count("*").alias("__df"))
+        ex = ex.join(
+            F.broadcast(
+                freq.filter(F.col("__df") <= max_shingle_df).select("__s")
+            ),
+            "__s",
+        )
+    ex = ex.localCheckpoint(eager=True)
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sz").alias("sz_a"),
+            F.col("b.__sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    cont_ab = F.expr("shared * 1000000 div sz_a")
+    cont_ba = F.expr("shared * 1000000 div sz_b")
+    thr_micro = int(threshold * 1_000_000)
+    return (
+        shared.select(
+            "id_a",
+            "id_b",
+            cont_ab.alias("cont_ab_micro"),
+            cont_ba.alias("cont_ba_micro"),
+        )
+        .filter(
+            (F.col("cont_ab_micro") >= thr_micro)
+            | (F.col("cont_ba_micro") >= thr_micro)
+        )
+    )
