@@ -327,3 +327,29 @@ def test_triangle_count_star_bounded_wedges(spark):
     assert r["n_edges"] == 29
     assert r["n_wedges"] == 0      # leaves have out-degree 1, hub in-degree 29
     assert r["n_triangles"] == 0
+
+
+def test_triangle_count_single_wedge_join_plan(spark):
+    """The O(|E|^1.5) wedge self-join must execute exactly ONCE:
+    n_wedges and n_triangles are two aggregates of the same left join
+    (r3 verdict: the count + semi-join shape ran it twice). Pinned by
+    the optimized plan of the RETURNED DataFrame — one inner join
+    (w1 x w2), one left-outer join (closing-edge match), one cross join
+    (single-row edge_stats x wedge_stats), and nothing else: a second
+    wedge materialization would show as an extra Inner/LeftOuter join
+    or as an eagerly-collected LocalRelation result."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, ["src", "dst"])
+    res = triangle_count(df)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join Inner") == 1, plan
+    assert plan.count("Join LeftOuter") == 1, plan
+    assert plan.count("Join Cross") == 1, plan
+    # lazy single-pass plan, not a driver-collected LocalRelation
+    assert "LocalRelation" not in plan.split("\n")[0], plan
+    r = res.collect()[0]
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (6, 4, 4)

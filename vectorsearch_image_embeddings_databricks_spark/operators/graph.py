@@ -145,9 +145,15 @@ def triangle_count(
 
     Plan: degree groupBy (one shuffle) → broadcast-or-shuffle join of
     degrees onto edges → wedge self-join on the oriented source →
-    closing semi-join against the oriented edge set → single-row count.
-    Returns (n_edges, n_wedges, n_triangles) — wedge count included so
-    the orientation bound is observable.
+    closing LEFT join against the oriented edge set → single-row
+    conditional count. The wedge self-join — the one O(|E|^1.5) stage
+    the orientation exists to bound — executes exactly ONCE:
+    ``n_wedges`` (count of all join rows) and ``n_triangles`` (count of
+    rows whose closing edge matched) are two aggregates of the SAME
+    left join, not a count + a separate semi-join (the left join is
+    row-preserving because the closing-edge set is distinct by
+    construction). Returns (n_edges, n_wedges, n_triangles) — wedge
+    count included so the orientation bound is observable.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = (
@@ -180,16 +186,23 @@ def triangle_count(
     w2 = oriented.select(F.col("a"), F.col("b").alias("q"))
     wedges = w1.join(w2, "a").filter(F.col("p") < F.col("q"))
     # a wedge (p, q) out of a closes iff {p, q} is an edge — in EITHER
-    # orientation (p->q or q->p), since orientation is by degree
+    # orientation (p->q or q->p), since orientation is by degree.
+    # Each undirected edge {p, q} contributes exactly one (p, q) row
+    # (it is oriented exactly once), so `closing` is duplicate-free and
+    # a LEFT join preserves the wedge multiset: count(*) = n_wedges,
+    # count(closed) = n_triangles — ONE execution of the wedge join for
+    # both statistics (previously a count + a semi-join ran it twice).
     o1 = oriented.select(F.col("a").alias("p"), F.col("b").alias("q"))
     o2 = oriented.select(F.col("b").alias("p"), F.col("a").alias("q"))
-    closing = o1.union(o2)
-    tri = wedges.join(closing, ["p", "q"], "left_semi")
-    n_edges = oriented.count()
-    n_wedges = wedges.count()
-    n_tri = tri.count()
-    spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(n_edges, n_wedges, n_tri)],
-        "n_edges long, n_wedges long, n_triangles long",
+    closing = o1.union(o2).withColumn("closed", F.lit(1))
+    wedge_stats = (
+        wedges.join(closing, ["p", "q"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("closed").alias("n_triangles"),
+        )
+    )
+    edge_stats = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
+    return edge_stats.crossJoin(wedge_stats).select(
+        "n_edges", "n_wedges", "n_triangles"
     )
