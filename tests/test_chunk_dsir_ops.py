@@ -210,3 +210,12 @@ def test_pmi_collocations_planted_pair(spark):
     assert (
         pmi_collocations(df2, "text", min_count=5, top=10).count() == len(got)
     )
+
+
+def test_chunk_tokens_rejects_gap_leaving_stride(spark):
+    import pytest
+    from vectorsearch_image_embeddings_databricks_spark.operators.packing import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_tokens(df, "doc_id", "text", window=4, stride=5)

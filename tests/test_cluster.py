@@ -113,3 +113,26 @@ def test_balanced_sample_caps_clusters_deterministically(spark):
         ).collect()
     }
     assert s1 == s2
+
+
+def test_lloyd_empty_cluster_carries_centroid_forward(spark):
+    """A cluster emptied mid-run must keep its previous centroid (k may
+    not silently shrink): two identical-direction seeds tie every
+    member to the smaller cluster id, leaving the other empty."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.cluster import lloyd_iterate
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])] + [
+        (i, [1.0, 0.0]) for i in range(3, 10)
+    ] + [(i, [0.0, 1.0]) for i in range(10, 15)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    assigned, cents = lloyd_iterate(
+        df, "vec_id", "embedding", k=3, iterations=2
+    )
+    assert [cid for cid, _ in cents] == [0, 1, 2]
+    # cluster 1 (duplicate seed of 0) got no members; its carried
+    # centroid is the original seed direction
+    assert cents[1][1] == [1.0, 0.0]
+    got = {r["cluster_id"] for r in assigned.collect()}
+    assert got == {0, 2}

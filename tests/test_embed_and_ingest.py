@@ -458,3 +458,37 @@ def test_manifest_sink_empty_task_writes_no_file():
     w = ManifestParquetStreamWriter({"path": tempfile.mkdtemp()})
     msg = w.write(iter([]))
     assert msg.path == "" and msg.n_rows == 0
+
+
+def test_manifest_reader_survives_stale_tmp_manifest(spark):
+    """A crash between the .tmp manifest write and its atomic rename
+    leaves `.{batchId}.tmp` in the manifest dir; the reader must skip
+    it (and commit() must sweep it) instead of raising on int(name) —
+    otherwise one crash permanently bricks the reader half of the
+    exactly-once contract."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+    from vectorsearch_image_embeddings_databricks_spark.sources.pydatasource import (
+        ManifestParquetStreamWriter,
+        read_manifest_files,
+    )
+
+    path = tempfile.mkdtemp(prefix="manifest_tmp_test_")
+    w = ManifestParquetStreamWriter({"path": path})
+    rows = [Row(event_id=i, bucket=i % 10, value=i) for i in range(10)]
+    msg = w.write(iter(rows))
+    w.commit([msg], batchId=0)
+    mdir = os.path.join(path, "manifest")
+    # simulate the crashed batch-1 attempt
+    stale = os.path.join(mdir, ".1.tmp")
+    with open(stale, "w") as f:
+        f.write("{not json")
+    got = read_manifest_files(spark, path)
+    assert got.count() == 10
+    # the next successful commit sweeps the stale tmp
+    msg2 = w.write(iter(rows))
+    w.commit([msg2], batchId=1)
+    assert not os.path.exists(stale)
+    assert read_manifest_files(spark, path).count() == 20

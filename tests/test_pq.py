@@ -62,12 +62,21 @@ def test_trained_codebooks_cut_residual_vs_seeded(spark):
     emb = _emb(spark)
     seeded = pq.seed_codebooks(emb, "vec_id", "embedding", m=M, k=K, dim=DIM)
     trained = pq.train_codebooks(
-        emb, "embedding", m=M, k=K, dim=DIM, sample_size=500
+        emb, "embedding", m=M, k=K, dim=DIM, sample_size=500,
+        id_col="vec_id",
     )
     trained2 = pq.train_codebooks(
-        emb, "embedding", m=M, k=K, dim=DIM, sample_size=500
+        emb, "embedding", m=M, k=K, dim=DIM, sample_size=500,
+        id_col="vec_id",
     )
     assert trained == trained2
+    # layout-independence: the id-keyed sample makes codebooks identical
+    # under a different partitioning of the same rows
+    trained3 = pq.train_codebooks(
+        emb.repartition(7), "embedding", m=M, k=K, dim=DIM,
+        sample_size=500, id_col="vec_id",
+    )
+    assert trained == trained3
 
     def residual(books):
         return (

@@ -60,16 +60,37 @@ def test_temperature_quotas_alpha_half(spark):
     assert rows["fr"]["quota"] / 60 > 25 / 125
 
 
-def test_temperature_quota_sum_never_exceeds_total(spark):
+def test_temperature_quota_sum_exact_by_largest_remainder(spark):
+    """Floor-divided quotas undershoot the total; the largest-remainder
+    redistribution must close the gap exactly, and no group may gain
+    more than one extra slot."""
     docs = spark.createDataFrame(
         [(i, f"l{i % 7}") for i in range(500)], "doc_id long, lang string"
     )
     rows = sampling.temperature_quotas(docs, "lang", total=123).collect()
-    assert sum(r["quota"] for r in rows) <= 123  # floor division per group
+    assert sum(r["quota"] for r in rows) == 123
     for r in rows:
         assert r["weight_micro"] == math.floor(
             math.sqrt(r["n_docs"]) * 1_000_000
         )
+        # base floor quota is within 1 of the corrected quota
+        base = 123 * r["weight_micro"] // sum(
+            x["weight_micro"] for x in rows
+        )
+        assert r["quota"] in (base, base + 1)
+
+
+def test_temperature_quota_no_int64_overflow(spark):
+    """total × weight_micro beyond int64 (weight ~1.4e6 × total 1e13 ≈
+    1.4e19 > 2^63−1): the DECIMAL(38,0) path must return exact quotas
+    where a BIGINT product would raise under ANSI or wrap."""
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, lang string"
+    )
+    rows = sampling.temperature_quotas(
+        small, "lang", total=10**13
+    ).collect()
+    assert sum(r["quota"] for r in rows) == 10**13
 
 
 def test_event_transitions_hand_computed_and_tie_broken(spark):

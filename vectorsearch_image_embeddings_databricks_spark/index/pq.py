@@ -79,18 +79,33 @@ def train_codebooks(
     sample_size: int = 10_000,
     seed: int = 42,
     iterations: int = 10,
+    id_col: str | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
-    """Production training tier: per-subspace L2 Lloyd on a bounded,
-    deterministic driver sample (same driver-state contract as
-    ``IVFIndex`` — the codebook crosses the driver, the corpus never
-    does). Codes are numbered 0..k-1 per subspace."""
+    """Production training tier: per-subspace L2 Lloyd on a bounded
+    driver sample (same driver-state contract as ``IVFIndex`` — the
+    codebook crosses the driver, the corpus never does). Codes are
+    numbered 0..k-1 per subspace.
+
+    Determinism: pass ``id_col`` to sample the ``sample_size`` smallest
+    ``xxhash64(id, seed)`` rows (a TakeOrderedAndProject — stable across
+    partitioning, input layout, and cluster size, like
+    ``seed_codebooks``'s ordered probe). Without ``id_col`` the sample
+    is ``limit(n)`` — deterministic only within one session/layout, so
+    codebooks can differ across cluster configs despite the fixed RNG
+    seed."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    probe = df.select(
+        F.col(vec_col).alias("v"),
+        *( [F.col(id_col).alias("__id")] if id_col else [] ),
+    )
+    if id_col:
+        probe = probe.orderBy(F.xxhash64(F.col("__id"), F.lit(seed)))
     sample = np.array(
         [
             [float(x) for x in r["v"]]
-            for r in df.select(F.col(vec_col).alias("v")).limit(sample_size).collect()
+            for r in probe.limit(sample_size).collect()
         ],
         dtype=np.float64,
     )

@@ -138,13 +138,19 @@ def lloyd_iterate(
         )
         import math
 
-        centroids = []
-        for r in sorted(means, key=lambda r: r["cluster_id"]):
+        updated = {}
+        for r in means:
             v = list(r["mean_vec"])
             n = math.sqrt(sum(x * x for x in v))
-            centroids.append(
-                (int(r["cluster_id"]), [x / n for x in v] if n else v)
-            )
+            updated[int(r["cluster_id"])] = [x / n for x in v] if n else v
+        # a cluster that received no members this step produces no mean
+        # row; carry its previous centroid forward so k never shrinks
+        # and every seeded cluster id stays addressable (standard empty-
+        # cluster handling — the alternative, dropping it, silently
+        # changes k mid-run)
+        centroids = [
+            (cid, updated.get(cid, prev)) for cid, prev in centroids
+        ]
         assigned = assign_to_centroids(df, id_col, vec_col, centroids)
     return assigned, centroids
 

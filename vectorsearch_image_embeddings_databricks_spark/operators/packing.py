@@ -118,6 +118,14 @@ def chunk_tokens(
     """
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # windows starting every `stride` tokens with stride > window
+        # leave (stride − window)-token gaps — the docstring's
+        # every-token-covered contract would silently break
+        raise ValueError(
+            f"stride ({stride}) must be <= window ({window}): larger "
+            "strides leave uncovered token gaps"
+        )
     from ..functions.text import tokenize
 
     toks = df.select(

@@ -224,23 +224,54 @@ def temperature_quotas(
     Exactness: α = 1/2 makes the weight ``floor(sqrt(n)·1e6)`` — IEEE
     754 requires sqrt correctly rounded (unlike ln/exp), so the double
     is bit-identical on every engine and the floor is policy-free; the
-    quota is pure integer arithmetic on those weights. Scale shape: one
-    partial-agg groupBy to |groups| rows, one broadcast of the scalar
-    weight sum — corpus touched once."""
+    quota is pure integer arithmetic on those weights, carried in
+    DECIMAL(38,0) because ``total × weight_micro`` overflows int64 once
+    groups reach ~1e12 rows (weight ≈ 1e12) against a 1e12-row total.
+    Floor-divided quotas sum to less than ``total``; the shortfall is
+    redistributed by largest remainder (ties to the smaller group
+    value), so ``sum(quota) == total`` exactly. Scale shape: one
+    partial-agg groupBy to |groups| rows, two broadcast scalars, and a
+    rank window over the BOUNDED |groups|-row table (never the corpus)
+    — corpus touched once."""
+    from pyspark.sql import Window
+
     counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
     w = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).alias(
         "weight_micro"
     )
     weighted = counts.select(group_col, "n_docs", w)
-    tot = weighted.agg(F.sum("weight_micro").alias("__tw"))
+    tot = weighted.agg(
+        F.sum(F.col("weight_micro").cast("decimal(38,0)")).alias("__tw")
+    )
+    num = (
+        f"CAST({int(total)} AS DECIMAL(38,0))"
+        " * CAST(weight_micro AS DECIMAL(38,0))"
+    )
+    based = weighted.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "weight_micro",
+        F.expr(f"CAST(({num}) div __tw AS BIGINT)").alias("__base"),
+        F.expr(f"({num}) % __tw").alias("__rem"),
+    )
+    short = based.agg(
+        (F.lit(int(total)) - F.sum("__base")).cast("long").alias("__short")
+    )
+    # |groups|-row table: the unpartitioned rank window is bounded
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("__rem"), F.col(group_col))
+    )
     return (
-        weighted.crossJoin(F.broadcast(tot))
+        based.withColumn("__rk", rk)
+        .crossJoin(F.broadcast(short))
         .select(
             group_col,
             "n_docs",
             "weight_micro",
-            F.expr(f"CAST({total} AS BIGINT) * weight_micro div __tw").alias(
-                "quota"
-            ),
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__short"), F.lit(1))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("quota"),
         )
     )

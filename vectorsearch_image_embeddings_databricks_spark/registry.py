@@ -7756,19 +7756,35 @@ TEMP_SAMPLE_TOTAL = 200
                CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_micro
         FROM c
     ),
-    t AS (SELECT sum(weight_micro) AS tw FROM w)
+    t AS (SELECT CAST(sum(CAST(weight_micro AS HUGEINT)) AS HUGEINT) AS tw
+          FROM w),
+    b AS (
+        SELECT lang, n_docs, weight_micro,
+               CAST((CAST({TEMP_SAMPLE_TOTAL} AS HUGEINT) * weight_micro)
+                    // t.tw AS BIGINT) AS base,
+               (CAST({TEMP_SAMPLE_TOTAL} AS HUGEINT) * weight_micro) % t.tw
+                   AS rem
+        FROM w, t
+    ),
+    s AS (SELECT CAST({TEMP_SAMPLE_TOTAL} AS BIGINT) - sum(base) AS short
+          FROM b),
+    r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+          FROM b)
     SELECT lang, n_docs, weight_micro,
-           CAST(CAST({TEMP_SAMPLE_TOTAL} AS BIGINT) * weight_micro // t.tw
-                AS BIGINT) AS quota
-    FROM w, t
+           CAST(base + CASE WHEN rk <= s.short THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+    FROM r, s
     """,
 )
 def temperature_mixture_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language sampling quotas under α = 1/2 temperature smoothing
     (the multilingual-LLM upsampling recipe): quota ∝ sqrt(n_lang).
     sqrt is IEEE-correctly-rounded so the micro-int weight is engine-
-    identical; the quota split is pure integer arithmetic. One
-    partial-agg groupBy + one scalar broadcast. See
+    identical; the quota split is DECIMAL(38,0)/HUGEINT integer
+    arithmetic (int64 overflows at corpus scale) with the floor-division
+    shortfall redistributed by largest remainder so quotas sum to the
+    requested total exactly. One partial-agg groupBy + two scalar
+    broadcasts + a rank window over the bounded |langs|-row table. See
     operators.sampling.temperature_quotas."""
     return sampling_ops.temperature_quotas(
         load_docs(spark, sf_dir), "lang", total=TEMP_SAMPLE_TOTAL

@@ -222,6 +222,15 @@ class ManifestParquetStreamWriter(DataSourceStreamWriter):
         ]
         mdir = os.path.join(self.path, "manifest")
         os.makedirs(mdir, exist_ok=True)
+        # sweep stale .tmp manifests from crashed earlier attempts —
+        # anything not yet os.replace'd was never committed and its
+        # batch is being (or will be) replayed
+        for stale in os.listdir(mdir):
+            if stale.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(mdir, stale))
+                except OSError:
+                    pass
         tmp = os.path.join(mdir, f".{batchId}.tmp")
         with open(tmp, "w") as f:
             json.dump({"batchId": batchId, "files": files}, f)
@@ -247,7 +256,12 @@ def read_manifest_files(spark, path: str):
 
     mdir = os.path.join(path, "manifest")
     files: list[str] = []
-    for name in sorted(os.listdir(mdir), key=int):
+    # Only numeric entries are committed manifests: a crash between the
+    # .tmp write and its atomic os.replace can leave a stale
+    # `.{batchId}.tmp` behind, and int() on it would permanently brick
+    # the reader half of the exactly-once contract.
+    committed = [n for n in os.listdir(mdir) if n.isdigit()]
+    for name in sorted(committed, key=int):
         with open(os.path.join(mdir, name)) as f:
             files.extend(e["path"] for e in json.load(f)["files"])
     return spark.read.parquet(*files)
