@@ -253,21 +253,31 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     total_new = round(sum(timings[n] for n in NEW_OPS), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite wall time, best-of-3 per "
-                "query (exact+ANN kNN, hybrid, dedup family, text "
-                "analysis, relational, events); value covers the same 41 "
-                "queries as r1, value_new_ops the operators added since",
-                "value": total,
-                "value_new_ops": total_new,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-            }
-        )
-    )
+    payload = {
+        "metric": "headline query suite wall time, best-of-3 per "
+        "query (exact+ANN kNN, hybrid, dedup family, text "
+        "analysis, relational, events); value covers the same 41 "
+        "queries as r1, value_new_ops the operators added since",
+        "value": total,
+        "value_new_ops": total_new,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    line = json.dumps(payload)
+    print(line)
+    # Also persist the artifact: the driver captures stdout with a
+    # bounded window, and BENCH_r03's stored line was truncated past
+    # recovery (only the tail 67 of 78 query timings survived). The
+    # file copy makes the full per-query map recoverable from the repo
+    # regardless of any capture limit.
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json")
+        with open(out, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # stdout already carried the result
     spark.stop()
 
 

@@ -662,3 +662,28 @@ def test_jaccard_prefix_filter_explodes_fewer_postings(docs, spark):
         ).alias("p")
     ).collect()[0]["p"]
     assert prefix_len < full * 0.55  # at t=0.7 prefixes are ≤ ~37% + 1
+
+
+def test_ivf_explicit_centroids_skip_training(emb):
+    """The explicit-quantizer tier (what makes the registry IVF row
+    hash-verifiable): caller-supplied centroids are used verbatim (no
+    KMeans), full-probe search equals exact search, and pruning is real
+    at nprobe < nlist."""
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    ivf = IVFIndex(emb, nlist=8, replication=1, centroids=seeds)
+    assert len(ivf.centroids) == 8
+    for given, kept in zip(seeds, ivf.centroids):
+        assert given == list(kept)
+    exact = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    q = seeds[0]
+    full = [r["vec_id"] for r in ivf.search(q, k=5, nprobe=8).collect()]
+    ex = [r["vec_id"] for r in exact.search(q, k=5).collect()]
+    assert full == ex
+    # a pruned probe scans a strict subset of the corpus
+    probed = ivf.assigned.filter(
+        F.col("centroid_id").isin([0, 1])
+    ).count()
+    assert 0 < probed < emb.count()

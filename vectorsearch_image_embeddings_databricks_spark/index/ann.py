@@ -381,21 +381,34 @@ class IVFIndex:
         max_iter: int = 20,
         train_sample: int = 4096,
         replication: int = 2,
+        centroids: list | None = None,
     ) -> None:
         self.key = key
         self.vector_col = vector_col
         self.replication = max(1, int(replication))
-        sample = np.asarray(
-            [
-                r[0]
-                for r in df.select(vector_col)
-                .orderBy(F.xxhash64(F.col(key), F.lit(seed)))
-                .limit(train_sample)
-                .collect()
-            ],
-            dtype=np.float64,
-        )
-        self.centroids = _spherical_kmeans(sample, nlist, seed, max_iter)
+        if centroids is not None:
+            # explicit-quantizer tier: caller-supplied cell centers skip
+            # KMeans entirely. With centroids drawn from the data itself
+            # (e.g. the nlist smallest-key rows — the seed_codebooks
+            # convention), every stage of an IVF search is replayable in
+            # plain SQL, which is what makes the registry's IVF row
+            # hash-verifiable instead of rows-only.
+            self.centroids = [
+                np.asarray([float(x) for x in c], dtype=np.float64)
+                for c in centroids
+            ]
+        else:
+            sample = np.asarray(
+                [
+                    r[0]
+                    for r in df.select(vector_col)
+                    .orderBy(F.xxhash64(F.col(key), F.lit(seed)))
+                    .limit(train_sample)
+                    .collect()
+                ],
+                dtype=np.float64,
+            )
+            self.centroids = _spherical_kmeans(sample, nlist, seed, max_iter)
         self.assigned = df.withColumn(
             "centroid_id", F.explode(self._assign_expr())
         ).cache()

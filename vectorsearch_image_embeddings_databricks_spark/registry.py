@@ -2290,20 +2290,75 @@ def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_knn")
+ANN_IVF_NLIST = 8   # seeded cells: centroids = embeddings of vec_id < 8
+ANN_IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_knn",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {ANN_IVF_NLIST}
+    ),
+    q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = {KNN_QUERY_ID}
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cv)
+                            DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    probes AS (
+        SELECT cell FROM (
+            SELECT c.cell,
+                   row_number() OVER (
+                       ORDER BY list_inner_product(q.qv, c.cv) DESC,
+                                c.cell) AS rn
+            FROM cents c CROSS JOIN q
+        ) WHERE rn <= {ANN_IVF_NPROBE}
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS score
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+    JOIN probes p ON p.cell = a.cell
+    CROSS JOIN q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+             e.vec_id
+    LIMIT {KNN_K}
+    """,
+)
 def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: KMeans coarse quantizer + partition-pruned exact
-    search (the 100 TB scale path for repeated queries)."""
+    """IVF-flat ANN: coarse quantizer + partition-pruned exact search
+    (the 100 TB scale path for repeated queries). Hash-verified via the
+    seeded-quantizer technique ``ivf_adc_topk`` established: the cell
+    centers are the embeddings of the ``nlist`` smallest vec_ids (one
+    bounded driver probe), so assignment (argmax inner product, ties to
+    the smaller cell), probe selection (top-nprobe cells by q·c), and
+    the exact cosine top-k inside the probed cells all replay in plain
+    SQL. The trained-KMeans production twin is IVFIndex's default path,
+    recall-pinned in pytest and audited by ``ann_recall_report``."""
     from .index.ann import IVFIndex
 
-    # plain load: KMeans at fixture scale is iteration-launch-bound, and
-    # repartitioning multiplies tiny tasks per iteration.
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]["embedding"]
-    # max_iter=8: quantizer training converges in <8 rounds at fixture
-    # scale; at 100 TB train the quantizer on a sample, not the corpus.
-    ivf = IVFIndex(emb, nlist=8, max_iter=8)
-    return ivf.search(q, k=KNN_K, nprobe=4).select(
+    seed_rows = (
+        emb.filter(F.col("vec_id") < ANN_IVF_NLIST)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    q = seed_rows[KNN_QUERY_ID]["embedding"]
+    ivf = IVFIndex(
+        emb, nlist=ANN_IVF_NLIST, replication=1, centroids=cents
+    )
+    return ivf.search(q, k=KNN_K, nprobe=ANN_IVF_NPROBE).select(
         "vec_id", F.round("score", 6).alias("score")
     )
 
@@ -3682,20 +3737,36 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
-@register("stratified_sample_docs")
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN 'g' ELSE '40' END
+    GROUP BY lang
+    """,
+)
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-language rebalancing sample (rows-only check:
-    hash-bucket membership is engine-specific; determinism + rate
-    properties are pytest-asserted)."""
-    from .operators.sampling import stratified_sample
+    """Per-language rebalancing sample rollup — keep ~50% of 'en', all
+    of 'de', ~25% of the rest, report per-stratum size and smallest kept
+    id. Hash-verified via the md5 sampler (`deterministic_sample_md5`'s
+    technique: membership is a pure function of (key, stratum) that both
+    engines compute identically — stable across reruns, partitionings,
+    and cluster sizes). The seedable xxhash64 production sampler
+    (operators.sampling.stratified_sample) keeps its determinism + rate
+    properties pytest-pinned."""
+    from .operators.sampling import stratified_sample_md5
 
     docs = load(spark, sf_dir, "documents")
-    sampled = stratified_sample(
+    sampled = stratified_sample_md5(
         docs,
         strata_col="lang",
-        fractions={"en": 0.5, "de": 1.0},
+        cut_hex={"en": "80", "de": "g"},
         key="doc_id",
-        default_fraction=0.25,
+        default_cut_hex="40",
     )
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_sampled"),
