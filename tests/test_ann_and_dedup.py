@@ -687,3 +687,16 @@ def test_ivf_explicit_centroids_skip_training(emb):
         F.col("centroid_id").isin([0, 1])
     ).count()
     assert 0 < probed < emb.count()
+
+
+def test_keep_best_pairs_route_through_prefix_tier(docs, spark):
+    """The registry's near_dedup_keep_best candidate stage must read
+    prefix postings (PPJoin tier), not the full inverted index: the
+    lazy pair plan carries the __prefix explode."""
+    from vectorsearch_image_embeddings_databricks_spark.registry import _keep_best_pairs
+
+    pairs = _keep_best_pairs(
+        docs.select(F.col("doc_id"), F.col("text"))
+    )
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    assert "__prefix" in plan, plan

@@ -811,6 +811,12 @@ def segment_dedup(
     rather than the segment text; the string key is kept here so the
     DuckDB oracle can replay the grouping byte-for-byte.
 
+    Note on prefix filtering: PPJoin's Σ df_prefix² bound applies to
+    pairwise similarity candidate JOINS; this operator has no pair join
+    anywhere — segments join back to the vocabulary-sized frequency
+    table directly (cost Σ df(s), linear in postings, not Σ df²), so
+    there is no quadratic term for a prefix filter to cut.
+
     Returns one row per non-empty document:
     ``(doc id, n_segs, n_kept, clean_md5)`` where ``clean_md5`` is the
     md5 of the reassembled (space-joined) surviving text — a

@@ -2659,10 +2659,13 @@ def dup_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure whenever component diameter ≤ 4
     (pytest-pinned against near_dedup_minhash at fixture scale) — the
     declarative counterpart of the operator family's iterative label
-    propagation. Both engines run the same bounded recursion."""
+    propagation. Both engines run the same bounded recursion. The pair
+    stage routes through the PPJoin prefix tier (lossless — identical
+    edge set, Σ df_prefix² candidate cost)."""
     docs = load_docs(spark, sf_dir)
     pairs = dedup.near_dup_pairs_jaccard(
-        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+        prefix_filter=True,
     ).select("id_a", "id_b")
     view = "dup_pairs_recursive_src"
     pairs.createOrReplaceTempView(view)
@@ -7438,6 +7441,17 @@ _QUALITY_MICRO_SQL = """floor(least(1.0, greatest(0.0,
         / length(text)) * 0.1)) * 1000000)::BIGINT"""
 
 
+def _keep_best_pairs(docs: DataFrame) -> DataFrame:
+    """near_dedup_keep_best's candidate stage: exact trigram-Jaccard
+    pairs through the PPJoin prefix-filter tier (prefix postings only in
+    the candidate join — plan-pinned by
+    test_keep_best_pairs_route_through_prefix_tier)."""
+    return dedup.near_dup_pairs_jaccard(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+        prefix_filter=True,
+    ).select("id_a", "id_b")
+
+
 @register(
     "near_dedup_keep_best",
     oracle=f"""
@@ -7492,19 +7506,15 @@ def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole near-dedup family shares), then keep the HIGHEST-quality
     member of each multi-doc cluster (micro-int quality, min-id
     tie-break) — where min-id labeling keeps an arbitrary capture,
-    curation stacks keep the best one. Spark: inverted-index pair join →
-    size-gated connected components → one argmax aggregate per
-    component. Oracle: recursive-CTE closure + window argmax (exact
-    because the fixture's component diameter ≤ the recursion depth,
-    pinned by the dup_reach_recursive pytest)."""
+    curation stacks keep the best one. Spark: PPJoin prefix-filtered
+    pair join (the Σ df_prefix² candidate bound — lossless, so the pair
+    set is identical to the baseline tier) → size-gated connected
+    components → one argmax aggregate per component. Oracle:
+    recursive-CTE closure + window argmax (exact because the fixture's
+    component diameter ≤ the recursion depth, pinned by the
+    dup_reach_recursive pytest)."""
     docs = load_docs(spark, sf_dir)
-    pairs = (
-        dedup.near_dup_pairs_jaccard(
-            docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    pairs = _keep_best_pairs(docs).localCheckpoint(eager=True)
     labels = dedup.resolve_components(
         docs.select(F.col("doc_id").alias("id")), pairs
     )
