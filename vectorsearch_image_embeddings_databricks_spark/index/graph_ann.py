@@ -1,0 +1,206 @@
+"""Graph ANN tier: kNN-graph construction + batched beam search.
+
+The reference's managed service is an HNSW-class graph index
+(NMR:315-323, per public Databricks Vector Search docs); this repo's
+other ANN tiers are quantization-family (IVF / PQ-ADC / IVFADC / SQ8 /
+binary). ANN_FRONTIER.md measures what that family costs on
+structure-free data: IVF recall tracks the scanned corpus fraction
+almost linearly and does not reach 0.95 below ~half the corpus. Graph
+indexes close exactly that gap: per-query probe cost is
+``O(entries + hops · beam · degree)`` — independent of corpus size —
+because search walks a precomputed neighborhood graph instead of
+scanning cells.
+
+HNSW itself is pointer-chasing and sequential per query — the wrong
+shape for a DataFrame engine. What IS Spark-shaped is the flat
+NSW-style variant over a kNN graph, batched across a query table:
+
+- **Build** (`build_knn_graph`): each vector's ``degree`` nearest
+  neighbors by cosine (ties to the smaller id), as an edge table
+  ``(src, dst)``. Exact tier = one kNN self-join (the E2 machinery) —
+  quadratic candidate work, fine at fixture scale and SQL-replayable
+  (the hash-verified tier). Scale tier = ``strategy='ivf'``: candidates
+  come from a shared-quantizer cell equi-join (operators.bitext's
+  two-large-sides plan), bounding build cost at sum-of-cell-products —
+  the standard large-corpus kNN-graph recipe (NN-descent refinement
+  would slot in here; one cell pass already yields a usable graph).
+- **Search** (`beam_search`): classic best-first beam expansion,
+  vectorized across the whole query batch. State = the per-query
+  top-``beam`` scored set; one hop = frontier joins the edge table,
+  new neighbor ids join back to vectors and score against their query,
+  window keeps the beam. Each hop is two shuffle-keyed joins + one
+  partitioned window — every stage distributed, no per-row Python, no
+  driver loop over queries. ``hops`` is the unroll depth, so the whole
+  search is a finite DataFrame plan and (with deterministic seeds and
+  id tie-breaks) replays in unrolled SQL — the property the registry
+  oracle uses.
+
+At 100 TB: the edge table is |V|·degree rows partitioned by ``src``;
+search shuffles O(|queries|·beam·degree) rows per hop regardless of
+corpus size — the graph-index promise, now measurable against the IVF
+tiers in ANN_FRONTIER.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def build_knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    degree: int = 8,
+    strategy: str = "exact",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Edge table ``(src, dst)``: for every vector its ``degree``
+    most-cosine-similar OTHER vectors (ties to the smaller dst id).
+
+    ``strategy='exact'``: one kNN self-join — |V|² scored candidates,
+    the oracle-replayable tier for fixture-scale graphs.
+    ``strategy='ivf'``: candidates restricted to shared-quantizer cell
+    matches (nprobe query-side cells against replication-assigned
+    corpus cells) — the corpus-scale build, cost bounded by cell
+    products instead of |V|²; the resulting graph is approximate in
+    exactly the IVF-recall sense (edges it misses are cross-cell).
+    """
+    if strategy == "exact":
+        left = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__vs"))
+        right = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("__vd"))
+        scored = (
+            left.join(right, F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                cosine_similarity("__vs", "__vd").alias("__cos"),
+            )
+        )
+    elif strategy == "ivf":
+        from ..operators.bitext import _topk_ivf
+
+        side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        pairs = _topk_ivf(
+            side, side, "id", "v",
+            k=degree + 1,  # the cell join includes self-matches
+            nlist=nlist, nprobe=nprobe, seed=seed,
+        )
+        scored = pairs.filter(F.col("id_a") != F.col("id_b")).select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.col("cos").alias("__cos"),
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    w = Window.partitionBy("src").orderBy(
+        F.desc("__cos"), F.asc("dst")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= degree)
+        .select("src", "dst")
+    )
+
+
+def beam_search(
+    graph: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    beam: int = 12,
+    hops: int = 3,
+    entry_ids: list | None = None,
+    query_key: str = "query_id",
+    query_vector_col: str = "query_vec",
+    score_col: str = "score",
+    stats: list | None = None,
+) -> DataFrame:
+    """Batched NSW beam search over a kNN graph.
+
+    Every query starts from the same deterministic ``entry_ids``
+    (default: none given → caller must pass them; fixed entries are the
+    flat-graph analog of HNSW's single top-layer entry point). Per hop:
+    expand the current per-query beam through the edge table, score the
+    new candidates, keep the per-query top-``beam`` of old ∪ new.
+    Returns the per-query top-``k``: ``(query_key, id_col, score)``,
+    score = cosine, ordered within query by (score desc, id).
+
+    Determinism: fixed graph + fixed entries + (score desc, id)
+    tie-breaks make the whole walk a pure function of the tables — the
+    unrolled-SQL oracle replays it hop for hop.
+
+    ``stats``: pass a list to receive the number of candidate rows
+    actually SCORED per stage (entries first, then one entry per hop) —
+    the probe-cost metric ANN_FRONTIER.md records. Costs one extra
+    count action per hop; leave None on the hot path.
+    """
+    if not entry_ids:
+        raise ValueError("entry_ids must be a non-empty id list")
+    q = queries.select(
+        F.col(query_key).alias("__qid"),
+        F.col(query_vector_col).alias("__qv"),
+    )
+    vecs = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    entry = vecs.filter(F.col("__id").isin(list(entry_ids)))
+    state = (
+        q.crossJoin(F.broadcast(entry))
+        .select(
+            "__qid",
+            "__id",
+            cosine_similarity("__qv", "__v").alias("__s"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("__id"))
+
+    def top_beam(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= beam)
+            .drop("__rn")
+        )
+
+    if stats is not None:
+        stats.append(state.count())  # |queries| x |entries| (pre-beam)
+    state = top_beam(state).localCheckpoint(eager=True)
+    edges = graph.select(F.col("src").alias("__id"), F.col("dst"))
+    for _ in range(hops):
+        # neighbors of the current beam, minus already-scored nodes
+        neigh = (
+            state.join(edges, "__id")
+            .select("__qid", F.col("dst").alias("__id"))
+            .distinct()
+            .join(state.select("__qid", "__id"), ["__qid", "__id"], "left_anti")
+        )
+        scored = (
+            neigh.join(q, "__qid")
+            .join(vecs, "__id")
+            .select(
+                "__qid",
+                "__id",
+                cosine_similarity("__qv", "__v").alias("__s"),
+            )
+        )
+        if stats is not None:
+            scored = scored.localCheckpoint(eager=True)
+            stats.append(scored.count())
+        # one hop = one plan; checkpoint keeps lineage linear in hops
+        state = top_beam(state.unionByName(scored)).localCheckpoint(
+            eager=True
+        )
+    return (
+        state.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias(query_key),
+            F.col("__id").alias(id_col),
+            F.col("__s").alias(score_col),
+        )
+    )
