@@ -1,0 +1,930 @@
+# Auto-split from the former single-file registry (round 4): one
+# contiguous, order-preserving slice; every @register call still
+# runs in the original order via registry/__init__.py.
+from __future__ import annotations  # noqa: F401
+from ._core import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    VectorIndex,
+    dedup,
+    hybrid,
+    load,
+    load_docs,
+    load_embeddings,
+    load_events,
+    register,
+)
+from .knn_vector_dedup import (  # noqa: F401
+    COSINE_PAIR_THRESHOLD,
+    JACCARD_THRESHOLD,
+    KNN_K,
+    KNN_QUERY_ID,
+)
+
+# O20/E7/E8 — hybrid search: keyword + vector, RRF-fused
+# --------------------------------------------------------------------- #
+
+HYBRID_TERMS = ["table", "join", "merge"]
+HYBRID_TOPK = 10
+HYBRID_POOL = 20 * HYBRID_TOPK  # bounded candidate pool per ranking side
+
+
+@register(
+    "hybrid_rrf",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+    ),
+    kw AS (
+        SELECT doc_id AS id,
+               len(list_filter(list_distinct(list_filter(string_split(text,' '), t -> t <> '')),
+                               t -> t IN ('table','join','merge'))) AS kw_score
+        FROM documents
+    ),
+    kwr AS (
+        SELECT id, rank FROM (
+            SELECT id, row_number() OVER (ORDER BY kw_score DESC, id) AS rank
+            FROM kw WHERE kw_score > 0
+        ) WHERE rank <= {HYBRID_POOL}
+    ),
+    vs AS (
+        SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        FROM embeddings e, q
+    ),
+    vsr AS (
+        SELECT id, rank FROM (
+            SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank FROM vs
+        ) WHERE rank <= {HYBRID_POOL}
+    ),
+    f AS (
+        SELECT coalesce(a.id, b.id) AS id,
+               coalesce(1.0/(60 + a.rank), 0) + coalesce(1.0/(60 + b.rank), 0) AS rrf
+        FROM kwr a FULL OUTER JOIN vsr b ON a.id = b.id
+    )
+    SELECT id, CAST(floor(rrf * 1000000) AS BIGINT) AS rrf_micro
+    FROM f ORDER BY rrf DESC, id LIMIT {HYBRID_TOPK}
+    """,
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the reference's commented query_type='hybrid',
+    NMR:386–387): keyword rank (distinct-term overlap) ⊕ vector rank
+    (cosine), fused by Reciprocal Rank Fusion. Docs and embeddings join
+    positionally (doc_id ≡ vec_id in the fixtures).
+
+    Scale shape: BOTH rank pools are bounded to 20·k rows via
+    ``orderBy().limit(pool)`` — a distributed TakeOrderedAndProject —
+    *before* the unpartitioned rank window ever runs, so the single-task
+    window only sees ≤200 rows regardless of corpus size (no eager
+    count() job, no corpus-wide global sort; the oracle applies the same
+    bounded-pool semantics)."""
+    docs = load_docs(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == KNN_QUERY_ID).select("embedding").collect()[0][0]
+    )
+    kw = hybrid.term_overlap_scores(docs, "doc_id", "text", HYBRID_TERMS)
+    kw_pool = kw.orderBy(F.desc("kw_score"), F.asc("doc_id")).limit(HYBRID_POOL)
+    kw_ranked = hybrid.rank_by(kw_pool, "doc_id", "kw_score")
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding", dim=len(qvec))
+    vec_scored = idx.search(qvec, k=HYBRID_POOL)
+    vec_ranked = hybrid.rank_by(vec_scored, "vec_id", "score")
+    fused = hybrid.rrf_fuse(kw_ranked, vec_ranked)
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(HYBRID_TOPK)
+        .select(
+            "id",
+            F.floor(F.col("rrf_score") * F.lit(1e6)).cast("long").alias("rrf_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Rows-only queries (no SQL oracle — ANN/stateful/UDF ops; the driver
+# records a rows-only check, pytest pins their semantics: recall vs the
+# exact operators in tests/test_ann_and_dedup.py, equivalence in
+# tests/test_streaming_refresh.py).
+# --------------------------------------------------------------------- #
+
+@register(
+    "embed_documents_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 64 END AS INTEGER) AS dim,
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 1.0 END AS DOUBLE) AS norm
+    FROM documents
+    """,
+)
+def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11/O12/O18: distributed embedding via iterator pandas UDF with the
+    deterministic stub encoder (no model downloads). The vector values are
+    engine-specific (md5-seeded RNG — pytest checks them); what the oracle
+    CAN verify end-to-end is the UDF contract: every non-null input row
+    comes back with a dim-64, unit-L2-norm vector and null inputs propagate
+    to null embeddings (NMR:211–213 error semantics)."""
+    from ..embed import StubTextEncoder, embed_column
+    from ..functions.vector import l2_norm
+
+    # pandas-UDF stages want FEWER, FULLER partitions than the codegen'd
+    # HOF ops load_docs serves: each partition pays a python-worker +
+    # Arrow-channel setup, so 32 workers for 5k rows is spawn-dominated
+    # (measured ~2x slower and far noisier than 8). At corpus scale the
+    # source's own splits set the parallelism and no repartition runs.
+    docs = load(spark, sf_dir, "documents").repartition(8)
+    emb = embed_column(docs, "text", lambda: StubTextEncoder(dim=64))
+    return emb.select(
+        "doc_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(l2_norm("embedding"), 4).cast("double").alias("norm"),
+    )
+
+
+@register("ann_lsh_knn")
+def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O19 ANN path: MLlib BucketedRandomProjectionLSH top-k (recall
+    vs exact asserted ≥0.9 in pytest)."""
+    from ..index.ann import BRPLSHIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]["embedding"]
+    ann = BRPLSHIndex(emb, bucket_length=1.0, num_hash_tables=6)
+    return ann.search(q, k=KNN_K).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+ANN_IVF_NLIST = 8   # seeded cells: centroids = embeddings of vec_id < 8
+ANN_IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_knn",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {ANN_IVF_NLIST}
+    ),
+    q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = {KNN_QUERY_ID}
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cv)
+                            DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    probes AS (
+        SELECT cell FROM (
+            SELECT c.cell,
+                   row_number() OVER (
+                       ORDER BY list_inner_product(q.qv, c.cv) DESC,
+                                c.cell) AS rn
+            FROM cents c CROSS JOIN q
+        ) WHERE rn <= {ANN_IVF_NPROBE}
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS score
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+    JOIN probes p ON p.cell = a.cell
+    CROSS JOIN q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+             e.vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer + partition-pruned exact search
+    (the 100 TB scale path for repeated queries). Hash-verified via the
+    seeded-quantizer technique ``ivf_adc_topk`` established: the cell
+    centers are the embeddings of the ``nlist`` smallest vec_ids (one
+    bounded driver probe), so assignment (argmax inner product, ties to
+    the smaller cell), probe selection (top-nprobe cells by q·c), and
+    the exact cosine top-k inside the probed cells all replay in plain
+    SQL. The trained-KMeans production twin is IVFIndex's default path,
+    recall-pinned in pytest and audited by ``ann_recall_report``."""
+    from ..index.ann import IVFIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id") < ANN_IVF_NLIST)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    q = seed_rows[KNN_QUERY_ID]["embedding"]
+    ivf = IVFIndex(
+        emb, nlist=ANN_IVF_NLIST, replication=1, centroids=cents
+    )
+    return ivf.search(q, k=KNN_K, nprobe=ANN_IVF_NPROBE).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+GRAPH_DEGREE = 6
+GRAPH_BEAM = 8
+GRAPH_HOPS = 2
+GRAPH_ENTRIES = (0, 1, 2, 3)
+GRAPH_NQ = 6
+
+
+def _graph_hop_sql(i: int) -> str:
+    """One unrolled beam-search hop: neighbors of beam b{i} not already
+    in it, scored, unioned, re-beamed — the SQL mirror of
+    index.graph_ann.beam_search's loop body."""
+    return f"""
+    n{i + 1} AS (
+        SELECT DISTINCT b{i}.qid, g.dst AS id
+        FROM b{i} JOIN g ON g.src = b{i}.id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b{i} x WHERE x.qid = b{i}.qid AND x.id = g.dst
+        )
+    ),
+    s{i + 1} AS (
+        SELECT n{i + 1}.qid, n{i + 1}.id,
+               list_cosine_similarity(q.qv, v.vec) AS s
+        FROM n{i + 1}
+        JOIN q ON q.qid = n{i + 1}.qid
+        JOIN v ON v.id = n{i + 1}.id
+    ),
+    u{i + 1} AS (
+        SELECT qid, id, s FROM b{i}
+        UNION ALL SELECT qid, id, s FROM s{i + 1}
+    ),
+    b{i + 1} AS (
+        SELECT qid, id, s FROM (
+            SELECT u{i + 1}.*, row_number() OVER (
+                PARTITION BY qid ORDER BY s DESC, id) AS rn
+            FROM u{i + 1}
+        ) WHERE rn <= {GRAPH_BEAM}
+    )"""
+
+
+@register(
+    "knn_graph_beam",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    e0 AS (
+        SELECT a.id AS src, b.id AS dst,
+               row_number() OVER (
+                   PARTITION BY a.id
+                   ORDER BY list_cosine_similarity(a.vec, b.vec) DESC,
+                            b.id) AS rn
+        FROM v a JOIN v b ON a.id <> b.id
+    ),
+    g AS (SELECT src, dst FROM e0 WHERE rn <= {GRAPH_DEGREE}),
+    q AS (SELECT id AS qid, vec AS qv FROM v WHERE id < {GRAPH_NQ}),
+    s0 AS (
+        SELECT q.qid, v.id, list_cosine_similarity(q.qv, v.vec) AS s
+        FROM q JOIN v ON v.id IN {GRAPH_ENTRIES}
+    ),
+    b0 AS (
+        SELECT qid, id, s FROM (
+            SELECT s0.*, row_number() OVER (
+                PARTITION BY qid ORDER BY s DESC, id) AS rn
+            FROM s0
+        ) WHERE rn <= {GRAPH_BEAM}
+    ),
+    {",".join(_graph_hop_sql(i).lstrip() for i in range(GRAPH_HOPS))}
+    SELECT qid AS query_id, id AS vec_id, round(s, 6) AS score
+    FROM (
+        SELECT b{GRAPH_HOPS}.*, row_number() OVER (
+            PARTITION BY qid ORDER BY s DESC, id) AS rn
+        FROM b{GRAPH_HOPS}
+    ) WHERE rn <= {KNN_K}
+    """,
+)
+def knn_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN tier (the HNSW-class answer to ANN_FRONTIER.md's
+    finding that cell-pruning recall tracks scanned corpus fraction on
+    structure-free data): exact-built kNN graph (degree {6}) + batched
+    NSW beam search (beam {8}, {2} hops, fixed entry points) for a
+    6-query batch, top-{5} per query. Per-query probe cost is
+    entries + hops·beam·degree — INDEPENDENT of corpus size, the
+    property no quantization tier has. Fully deterministic (fixed
+    entries, (score desc, id) tie-breaks), so build + walk replay in
+    unrolled SQL hop for hop. Scale build is strategy='ivf'
+    (cell-join candidates — pytest-pinned); see index.graph_ann."""
+    from ..index.graph_ann import build_knn_graph, beam_search
+
+    emb = load_embeddings(spark, sf_dir)
+    graph = build_knn_graph(
+        emb, "vec_id", "embedding", degree=GRAPH_DEGREE
+    ).localCheckpoint(eager=True)  # read once per hop
+    queries = emb.filter(F.col("vec_id") < GRAPH_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = beam_search(
+        graph, emb, queries, "vec_id", "embedding",
+        k=KNN_K, beam=GRAPH_BEAM, hops=GRAPH_HOPS,
+        entry_ids=list(GRAPH_ENTRIES),
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+@register("ann_recall_report")
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality audit: per-query recall@5 of the IVF
+    tier (nprobe=2 of nlist=8 — probing a quarter of the cells) against
+    the exact kNN join, over 20 query vectors. Rows-only (the recall of
+    a pruned probe is the measured quantity, not SQL-derivable), but
+    fully DETERMINISTIC: seeded quantizer, deterministic tie-breaks —
+    so regressions show as changed rows, and pytest pins mean recall
+    ≥ 0.9 (BASELINE.md's ANN bar) at this pruning level. Both sides are distributed plans:
+    exact = broadcast-query kNN join, approx = shared-quantizer cell
+    equi-join (operators.bitext._topk_ivf — the same machinery bitext
+    mining uses, exercised here as a batch ANN join)."""
+    from ..operators.bitext import _topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    exact = idx.search_batch(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=KNN_K,
+    ).select("query_id", F.col("vec_id").alias("nb"))
+    approx = _topk_ivf(
+        queries, emb, "vec_id", "embedding", k=KNN_K, nlist=8, nprobe=4
+    ).select(F.col("id_a").alias("query_id"), F.col("id_b").alias("nb"))
+    return (
+        exact.join(approx, ["query_id", "nb"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.expr(f"(hits * 1000000) div {KNN_K}").alias("recall_micro"),
+        )
+    )
+
+
+BITEXT_K = 4
+BITEXT_MARGIN = 1.0
+
+
+@register(
+    "bitext_mine_margin",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE label = 0),
+    b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE label = 1),
+    ab AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(a.v, b.v) AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+                   AS rn
+        FROM a, b
+    ),
+    abk AS (SELECT * FROM ab WHERE rn <= {BITEXT_K}),
+    ba AS (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+               list_cosine_similarity(a.v, b.v) AS cos,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY list_cosine_similarity(a.v, b.v) DESC, a.vec_id)
+                   AS rn
+        FROM a, b
+    ),
+    bak AS (SELECT * FROM ba WHERE rn <= {BITEXT_K}),
+    ma AS (SELECT id_a, avg(cos) AS m FROM abk GROUP BY 1),
+    mb AS (SELECT id_b, avg(cos) AS m FROM bak GROUP BY 1),
+    mg AS (
+        SELECT k.id_a, k.id_b, k.cos / (0.5 * (ma.m + mb.m)) AS margin
+        FROM abk k JOIN ma USING (id_a) JOIN mb USING (id_b)
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY id_a
+                      ORDER BY margin DESC, id_b) AS rn
+        FROM mg
+    )
+    SELECT id_a, id_b, round(margin, 6) AS margin
+    FROM best WHERE rn = 1 AND margin > {BITEXT_MARGIN}
+    """,
+)
+def bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion parallel-pair mining (Artetxe & Schwenk; the
+    CCMatrix/LASER bitext recipe) between the label-0 and label-1
+    embedding sets: best hubness-normalized partner per query vector
+    above the margin threshold. Exact tier here (it is the oracle); at
+    corpus scale pass ``strategy='ivf'`` to route both directions
+    through the shared-quantizer cell equi-join (wired + pytest-pinned:
+    full-probe ivf ≡ exact, plan has no corpus broadcast). See
+    operators.bitext."""
+    from ..operators import bitext
+
+    emb = load_embeddings(spark, sf_dir)
+    a = emb.filter(F.col("label") == 0)
+    b = emb.filter(F.col("label") == 1)
+    res = bitext.mine_parallel_pairs(
+        a, b, "vec_id", "embedding", k=BITEXT_K,
+        margin_threshold=BITEXT_MARGIN,
+    )
+    return res.select("id_a", "id_b", F.round("margin", 6).alias("margin"))
+
+
+@register(
+    "ann_ivf_exhaustive",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings e, q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probed exhaustively (nprobe = nlist) must reproduce exact
+    top-k — the lossless-partitioning property of the inverted file:
+    every vector is reachable through its assigned cell(s) and the
+    boundary-replication dedup drops only true duplicates. This gives
+    the ANN machinery (quantizer → assignment → probe → dedup → top-k) a
+    hash-verified driver row, complementing the approximate nprobe<nlist
+    query whose output is recall-pinned in pytest instead."""
+    from ..index.ann import IVFIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]["embedding"]
+    ivf = IVFIndex(emb, nlist=8, max_iter=8)
+    return ivf.search(q, k=KNN_K, nprobe=8).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    """Restate CosineLSHIndex(num_bits=16, band_bits=4, seed=42) in SQL:
+    the SAME seeded gaussian hyperplanes (bitwise — repr round-trips the
+    float64s and both engines parse decimal literals to nearest double),
+    the same sign bits (sequential-fold dot on both sides), the same
+    integer band keys, band equi-join, exact cosine verify. Converts the
+    LSH tier from rows-only to a full hash row: a change to the planes,
+    banding, or verify logic flips the hash."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((16, 64))
+    bits = [
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) > 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+    bands = []
+    for b in range(4):
+        expr = bits[b * 4]
+        for bit in bits[b * 4 + 1 : b * 4 + 4]:
+            expr = f"(({expr}) * 2 + {bit})"
+        bands.append(expr)
+    band_list = "[" + ", ".join(bands) + "]"
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    banded AS (
+        SELECT vec_id, v, {band_list} AS bands FROM sig
+    ),
+    bexp AS (
+        SELECT vec_id, v, g.i AS band, bands[g.i + 1] AS bh
+        FROM banded, (SELECT unnest(range(4)) AS i) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.v AS va, b.v AS vb
+        FROM bexp a JOIN bexp b
+          ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(va, vb), 6) AS cos
+    FROM cand
+    WHERE list_cosine_similarity(va, vb) >= {COSINE_PAIR_THRESHOLD}
+    """
+
+
+@register("cosine_lsh_near_dup", oracle=_lsh_oracle_sql())
+def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: sign-LSH candidates + exact cosine verify (subset
+    of the exact pair operator by construction). Hash-verified: the
+    oracle replays the identical seeded hyperplanes, sign bits, band
+    keys and verify in SQL (see _lsh_oracle_sql)."""
+    from ..index.ann import CosineLSHIndex
+
+    emb = load_embeddings(spark, sf_dir)
+    lsh = CosineLSHIndex(emb, num_bits=16, band_bits=4)
+    res = lsh.similarity_self_join(COSINE_PAIR_THRESHOLD)
+    return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@register(
+    "minhash_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT e.u, reach.v FROM e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS id, min(v) AS rep_id
+    FROM reach GROUP BY u HAVING min(v) < u
+    """,
+)
+def minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: MinHash-LSH near-dedup with connected-component representatives
+    (pytest asserts it recovers exactly the exact-Jaccard pairs here).
+
+    Oracle: DuckDB recursive-CTE transitive closure over the exact
+    trigram-shingle Jaccard pair set (same shingle SQL as
+    near_dup_pairs_jaccard), rep = component min. LSH recall is 1.0 at
+    fixture scale with 32 hashes / 16 bands (pytest-pinned), so the
+    banded path must coincide with the exact closure — the driver now
+    hash-checks the full (id, rep_id) labeling."""
+    docs = load_docs(spark, sf_dir)
+    labels = dedup.near_dedup_minhash(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+        num_hashes=32, bands=16,
+    )
+    return labels.filter(F.col("id") != F.col("rep_id")).orderBy("id")
+
+
+RECURSIVE_REACH_DEPTH = 4
+
+
+@register(
+    "dup_reach_recursive",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(u, v, lvl) AS (
+        SELECT u, v, 1 FROM e
+        UNION ALL
+        SELECT e.u, reach.v, reach.lvl + 1
+        FROM e JOIN reach ON reach.u = e.v
+        WHERE reach.lvl < {RECURSIVE_REACH_DEPTH}
+    )
+    SELECT u AS id, min(v) AS rep_id
+    FROM (SELECT DISTINCT u, v FROM reach)
+    GROUP BY u HAVING min(v) < u
+    """,
+)
+def dup_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE over the exact-Jaccard dup graph:
+    depth-bounded reachability (UNION ALL + level guard — Spark's
+    recursive CTEs don't support the deduplicating UNION, so an
+    unbounded cyclic closure would not terminate) with a DISTINCT
+    collapse, rep = min reachable id. Equals the full connected-component
+    closure whenever component diameter ≤ 4
+    (pytest-pinned against near_dedup_minhash at fixture scale) — the
+    declarative counterpart of the operator family's iterative label
+    propagation. Both engines run the same bounded recursion. The pair
+    stage routes through the PPJoin prefix tier (lossless — identical
+    edge set, Σ df_prefix² candidate cost)."""
+    docs = load_docs(spark, sf_dir)
+    pairs = dedup.near_dup_pairs_jaccard(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+        prefix_filter=True,
+    ).select("id_a", "id_b")
+    view = "dup_pairs_recursive_src"
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(f"""
+    WITH RECURSIVE e AS (
+        SELECT id_a AS u, id_b AS v FROM {view}
+        UNION ALL SELECT id_b, id_a FROM {view}
+    ),
+    reach(u, v, lvl) AS (
+        SELECT u, v, 1 FROM e
+        UNION ALL
+        SELECT e.u, reach.v, reach.lvl + 1
+        FROM e JOIN reach ON reach.u = e.v
+        WHERE reach.lvl < {RECURSIVE_REACH_DEPTH}
+    )
+    SELECT u AS id, min(v) AS rep_id
+    FROM (SELECT DISTINCT u, v FROM reach)
+    GROUP BY u HAVING min(v) < u
+    """)
+
+
+@register("simhash_near_dup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole band joins."""
+    docs = load_docs(spark, sf_dir)
+    return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+
+
+SEMDEDUP_THRESHOLD = 0.95
+SEMDEDUP_REACH_DEPTH = 4
+
+
+def _semdedup_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup fixture: the embeddings table plus planted
+    duplicate-grade copies derived DETERMINISTICALLY from it (the raw
+    fixture has no pair above cos 0.52, so without planting the operator
+    would only ever prove the trivial all-self labeling). Every vec_id
+    divisible by 25 gains an exact copy at id+100000; every vec_id
+    divisible by 50 additionally gains a perturbed copy at id+200000
+    (first component +0.003 → cos ≈ 0.999996 to its original, far above
+    the 0.95 threshold, while the closest non-planted pair sits at 0.513
+    — no threshold-flip hazard). Both engines build the identical table:
+    float→double casts and the +0.003 are exact IEEE ops."""
+    emb = load_embeddings(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    c1 = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    c2 = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 200000).cast("long").alias("id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + F.lit(0.003)),
+            F.slice(F.col("embedding").cast("array<double>"), 2, 1 << 20),
+        ).alias("v"),
+    )
+    return base.unionByName(c1).unionByName(c2)
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE aug AS (
+        SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+        FROM embeddings
+        UNION ALL
+        SELECT CAST(vec_id + 100000 AS BIGINT), embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id % 25 = 0
+        UNION ALL
+        SELECT CAST(vec_id + 200000 AS BIGINT),
+               list_concat([embedding[1]::DOUBLE + 0.003],
+                           (embedding::DOUBLE[])[2:])
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    p AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM aug a JOIN aug b ON a.id < b.id
+        WHERE list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_THRESHOLD}
+    ),
+    e AS (SELECT id_a AS u, id_b AS w FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(u, w, lvl) AS (
+        SELECT u, w, 1 FROM e
+        UNION ALL
+        SELECT e.u, reach.w, reach.lvl + 1
+        FROM e JOIN reach ON reach.u = e.w
+        WHERE reach.lvl < {SEMDEDUP_REACH_DEPTH}
+    ),
+    lbl AS (SELECT u, min(w) AS mw FROM (SELECT DISTINCT u, w FROM reach)
+            GROUP BY u)
+    SELECT a.id, least(a.id, coalesce(l.mw, a.id)) AS rep_id
+    FROM aug a LEFT JOIN lbl l ON l.u = a.id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end with a HARD oracle:
+    IVF-cell-scoped candidate pairs → exact cosine verify → connected
+    components, on the planted-duplicate fixture (``_semdedup_aug``).
+    The oracle is the recursive-CTE component closure over the EXACT
+    cosine pair set — equal to the operator's output exactly when the
+    IVF candidate pass has recall 1.0 at the duplicate-grade threshold
+    (near-identical vectors share cells by construction; replication=2
+    covers cell-boundary stragglers — pytest asserts the recall
+    separately so a miss here is attributable)."""
+    aug = _semdedup_aug(spark, sf_dir)
+    return dedup.semantic_dedup(
+        aug, "id", "v",
+        threshold=SEMDEDUP_THRESHOLD, nlist=16, replication=2,
+    )
+
+
+@register(
+    "incremental_refresh",
+    oracle="""
+    SELECT vec_id, label FROM embeddings
+    """,
+)
+def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15/E10: TRIGGERED-style availableNow refresh over a two-slice
+    change log; returns the final index. The refreshed index's final
+    state must equal the source table itself (the reference's delta-sync
+    contract, NMR:278/318) — exactly SQL-expressible, so the driver now
+    hash-checks it instead of a rows-only count. Equivalence with full
+    rebuild is additionally asserted inside and in pytest."""
+    import tempfile
+
+    from ..streaming import IncrementalIndexer
+
+    emb = load(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/changelog"
+        indexer = IncrementalIndexer(
+            source_dir=src,
+            index_dir=f"{tmp}/index",
+            checkpoint_dir=f"{tmp}/ckpt",
+            key="vec_id",
+            schema=emb.schema,
+        )
+        emb.filter("vec_id < 250").coalesce(1).write.mode("append").parquet(src)
+        indexer.refresh(spark)
+        emb.filter("vec_id >= 250").coalesce(1).write.mode("append").parquet(src)
+        indexer.refresh(spark)
+        assert indexer.verify_equivalence(spark)
+        final = indexer.current(spark).select("vec_id", "label")
+        final.cache().count()  # materialize before the tmpdir vanishes
+        return final
+
+
+@register(
+    "continuous_rollup",
+    oracle="""
+    SELECT substr(CAST(ts AS VARCHAR), 1, 10) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per-day per-type event
+    counts/value-sums maintained incrementally (partials per batch,
+    merge-on-read, compaction) over a two-slice append log.
+
+    The maintained rollup's final state ≡ the one-shot daily aggregate —
+    the continuous-aggregate contract — and that final state IS
+    SQL-expressible, so the driver hash-checks it: decimal partial sums
+    are exact (associative), making incremental == one-shot bitwise, and
+    the day key is derived tz-free from the window start's raw epoch
+    (unix_micros — no session-timezone formatting step). Spark's time
+    windows align to the UTC epoch, so `substr(ts, 1, 10)` on the naive
+    stored timestamp is the same bucketing."""
+    import tempfile
+
+    from ..streaming import ContinuousRollup
+    from ..streaming.windows import with_event_time
+
+    ev = with_event_time(load_events(spark, sf_dir)).select(
+        "event_time", "event_type", "value"
+    )
+    mid = ev.select(
+        F.expr("percentile(CAST(event_time AS DOUBLE), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/changelog"
+        rollup = ContinuousRollup(
+            source_dir=src,
+            rollup_dir=f"{tmp}/rollup",
+            checkpoint_dir=f"{tmp}/ckpt",
+            schema=ev.schema,
+        )
+        ev.filter(F.col("event_time").cast("double") < mid).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        rollup.refresh(spark)
+        ev.filter(F.col("event_time").cast("double") >= mid).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        rollup.refresh(spark)
+        rollup.compact(spark)
+        assert rollup.verify_equivalence(spark)
+        day = F.date_from_unix_date(
+            F.expr("unix_micros(window_start) div 86400000000").cast("int")
+        ).cast("string")
+        final = rollup.current(spark).select(
+            day.alias("day"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        ).withColumn("sum_value", F.round("sum_value", 4))
+        final.cache().count()  # materialize before the tmpdir vanishes
+        return final
+
+
+@register(
+    "image_pipeline",
+    oracle="""
+    WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    f AS (
+        SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.jpg'
+                   AS filename,
+               4 + octet_length(encode(text)) AS n_bytes
+        FROM sel
+    )
+    SELECT CAST(row_number() OVER (ORDER BY filename) - 1 AS INTEGER)
+               AS image_id,
+           filename,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(32 AS INTEGER) AS dim,
+           CAST(1.0 AS DOUBLE) AS norm
+    FROM f
+    """,
+)
+def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5–O12 end to end: binary ingest (glob-pruned scan, path cleanup) →
+    distributed stub embedding → index → self-query. The fixture dir is
+    derived deterministically from the documents table.
+
+    Everything deterministic about the pipeline is oracle-checked: ids
+    (path-ordered row_number), filenames, payload byte counts from the
+    binaryFile scan, embedding dim, and unit L2 norm (NMR:209 semantics).
+    The self-query step runs inside and asserts the exact-search identity
+    property (querying with image 0's own vector returns image 0 at
+    rank 1, cos=1) — its scores are stub-specific, so they stay out of
+    the oracle-compared output."""
+    import os
+    import tempfile
+
+    from ..embed import StubImageEncoder, embed_column
+    from ..embed.udf import assign_ids
+    from ..functions.vector import l2_norm
+    from ..sources import ingest_binary_dir
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    payloads = [
+        (r["doc_id"], b"\xff\xd8\xff\xe0" + r["text"].encode("utf-8"))
+        for r in docs.collect()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, payload in payloads:
+            with open(os.path.join(tmp, f"img_{i:04d}.jpg"), "wb") as f:
+                f.write(payload)
+        images = ingest_binary_dir(spark, tmp, glob="*.jpg")
+        emb = embed_column(
+            images, "content", lambda: StubImageEncoder(dim=32), drop_failed=True
+        )
+        emb = assign_ids(emb, "image_id", order_by="path").select(
+            "image_id",
+            F.element_at(F.split("path", "/"), -1).alias("filename"),
+            F.col("length").alias("n_bytes"),
+            "embedding",
+        )
+        idx = VectorIndex(emb, key="image_id", vector_col="embedding", dim=32)
+        target = emb.filter(F.col("image_id") == 0).collect()[0]["embedding"]
+        top = idx.search(target, k=1).collect()[0]
+        assert top["image_id"] == 0 and round(top["score"], 6) == 1.0
+        res = emb.select(
+            "image_id",
+            "filename",
+            "n_bytes",
+            F.size("embedding").alias("dim"),
+            F.round(l2_norm("embedding"), 4).cast("double").alias("norm"),
+        )
+        res.cache().count()
+        return res
+
+
+# --------------------------------------------------------------------- #
