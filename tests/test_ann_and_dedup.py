@@ -700,3 +700,54 @@ def test_keep_best_pairs_route_through_prefix_tier(docs, spark):
     )
     plan = pairs._jdf.queryExecution().analyzed().toString()
     assert "__prefix" in plan, plan
+
+
+def test_simhash_md5_twin_matches_python_reference(spark):
+    """The md5 bit-source tier (what makes simhash_near_dup
+    hash-verifiable): Spark's signature must equal a from-scratch
+    Python md5 SimHash, including the signed bit-63 packing and the
+    empty-doc zero signature; exact duplicates land at hamming 0 in
+    both hash tiers."""
+    import hashlib
+
+    texts = [
+        (1, "hello world foo"),
+        (2, "hello world foo"),
+        (3, "utterly different text entirely"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    got = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", dedup.simhash_packed("text", hash_fn="md5").alias("sig")
+        ).collect()
+    }
+
+    def ref(text):
+        votes = [0] * 64
+        for w in [t for t in text.split(" ") if t]:
+            h = hashlib.md5(w.encode()).hexdigest()[:16]
+            for b in range(64):
+                d = int(h[b // 4], 16)
+                votes[b] += 1 if (d >> (b % 4)) & 1 else -1
+        s = sum(
+            (-(1 << 63) if b == 63 else (1 << b))
+            for b in range(64)
+            if votes[b] > 0
+        )
+        return s - (1 << 64) if s >= (1 << 63) else s
+
+    for i, t in texts:
+        assert got[i] == ref(t), (i, got[i], ref(t))
+    for hf in ("md5", "xxhash64"):
+        pairs = dedup.near_dup_pairs_simhash(
+            df, "id", "text", max_hamming=0, hash_fn=hf
+        ).collect()
+        assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [
+            (1, 2, 0)
+        ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        df.select(dedup.simhash_packed("text", hash_fn="sha1"))

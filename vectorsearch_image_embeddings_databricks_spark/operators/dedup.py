@@ -556,34 +556,79 @@ def resolve_components(
 _BIT_WEIGHTS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
 
-def simhash_packed(text_col: Column | str, token_fn=None) -> Column:
+def simhash_packed(
+    text_col: Column | str, token_fn=None, hash_fn: str = "xxhash64"
+) -> Column:
     """64-bit SimHash of a document as ONE BIGINT.
 
-    Classic Charikar construction: each token votes ±1 on each bit of its
-    xxhash64; the signature bit is the vote sign (bit b of the long = 1 iff
-    votes[b] > 0). A single ``aggregate`` fold over the pre-hashed token
-    array — columnar, no explode, no shuffle, no UDF — and the packed
-    representation makes downstream Hamming math `bit_count(a XOR b)`.
+    Classic Charikar construction: each token votes ±1 on each bit of
+    its 64-bit hash; the signature bit is the vote sign (bit b of the
+    long = 1 iff votes[b] > 0). A single ``aggregate`` fold over the
+    pre-hashed token array — columnar, no explode, no shuffle, no UDF —
+    and the packed representation makes downstream Hamming math
+    `bit_count(a XOR b)`.
+
+    ``hash_fn``: ``'xxhash64'`` (default — fastest, JVM-internal, the
+    production tier) or ``'md5'`` — token bits come from the first 16
+    hex digits of ``md5(token)`` (bit b = bit b%4 of digit b//4), a
+    hash every engine computes identically, which makes the WHOLE
+    simhash→Hamming pipeline replayable in a SQL oracle (the same
+    auditable-twin pattern as ``deterministic_sample_md5`` vs the
+    xxhash64 sampler).
     """
     from ..functions.text import tokenize
 
     toks = (token_fn or tokenize)(text_col)
-    # hash each token ONCE up front: with xxhash64(w) inside the per-bit
-    # lambda the interpreted HOF evaluator recomputes it 64x per token
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
     zeros = F.array_repeat(F.lit(0), 64)
-    votes = F.aggregate(
-        hashes,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+    if hash_fn == "xxhash64":
+        # hash each token ONCE up front: with xxhash64(w) inside the
+        # per-bit lambda the interpreted HOF evaluator recomputes it
+        # 64x per token
+        hashes = F.transform(toks, lambda w: F.xxhash64(w))
+        votes = F.aggregate(
+            hashes,
+            zeros,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+                ),
+                lambda x, y: x + y,
             ),
-            lambda x, y: x + y,
-        ),
-    )
+        )
+    elif hash_fn == "md5":
+        # per-token 64-bit array, LSB-first: 16 hex digits -> 4 bits
+        # each (digit value via conv here, instr('0123..f') in the SQL
+        # oracle — identical small ints either way)
+        def bits64(w: Column) -> Column:
+            digits = F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.conv(F.substring(F.md5(w), i, 1), 16, 10)
+                .cast("int"),
+            )
+            return F.flatten(
+                F.transform(
+                    digits,
+                    lambda d: F.array(
+                        *[
+                            F.when(
+                                d.bitwiseAND(F.lit(1 << k)) > 0, 1
+                            ).otherwise(-1)
+                            for k in range(4)
+                        ]
+                    ),
+                )
+            )
+
+        tokbits = F.transform(toks, bits64)
+        votes = F.aggregate(
+            tokbits,
+            zeros,
+            lambda acc, bits: F.zip_with(acc, bits, lambda x, y: x + y),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     weights = F.array(*[F.lit(w).cast("long") for w in _BIT_WEIGHTS])
     return F.aggregate(
         F.zip_with(
@@ -616,6 +661,7 @@ def near_dup_pairs_simhash(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming) via the pigeonhole band trick:
     split the 64-bit signature into max_hamming+1 bit blocks; any pair
@@ -625,7 +671,8 @@ def near_dup_pairs_simhash(
     blocks = max_hamming + 1
     width = 64 // blocks
     sigs = df.select(
-        F.col(id_col).alias("id"), simhash_packed(text_col).alias("sig")
+        F.col(id_col).alias("id"),
+        simhash_packed(text_col, hash_fn=hash_fn).alias("sig"),
     ).localCheckpoint(eager=True)  # both self-join sides read it
     def block_bits(i: int) -> Column:
         w = width if i < blocks - 1 else 64 - i * width

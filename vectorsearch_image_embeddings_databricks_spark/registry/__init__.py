@@ -50,13 +50,15 @@ DRIVER_PRIORITY: list[str] = [
     # on (a) the 7 queries whose implementation or oracle changed this
     # round, then (b) 43 of the 58 queries that have NEVER had a driver
     # CORRECTNESS row (all judge-replay-green at r3; driver-green is the
-    # hard signal). The 13 left for r5 are plain TPC-H analogs pinned by
+    # hard signal). The 14 left for r5 are replay-pinned analogs pinned by
     # tools/replay.py in CI and the robustness matrix — lowest
     # re-verification value: above_avg_balance_no_orders,
     # bolt_stock_suppliers, brand_bracket_revenue,
     # cheapest_supplier_per_part, customers_without_orders,
     # large_volume_customers, late_order_priority,
     # linestatus_priority_counts, market_share, promo_revenue,
+    # bigram_top (simple explode/count, replay-pinned — displaced by the
+    # simhash oracle conversion),
     # small_qty_revenue, top_supplier_revenue, volume_shipping.
     # --- (a) changed or added this round: re-verify first ---
     "knn_graph_beam",              # NEW: graph ANN tier (unrolled-SQL oracle)
@@ -66,6 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     "near_dedup_keep_best",        # pair stage now PPJoin prefix tier
     "dup_reach_recursive",         # pair stage now PPJoin prefix tier
     "triangle_count_parts",        # single-pass wedge-join rewrite
+    "simhash_near_dup",            # converted rows-only -> hash row (md5 twin)
     # --- (b) never driver-verified, heaviest machinery first (the ten
     #     the r3 verdict called out by name) ---
     "streaming_sessions_state", "streaming_interval_join_state",
@@ -73,7 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "pq_encode_stats", "pq_adc_recall", "dpp_returnflag_revenue",
     "matryoshka_recall", "hard_negative_triplets",
     # --- (b) never driver-verified, remainder ---
-    "ann_recall_report", "approx_sketch_stats", "bigram_top",
+    "ann_recall_report", "approx_sketch_stats",
     "chunk_documents", "customer_order_distribution",
     "customer_order_gaps", "customer_spend_rank",
     "deterministic_sample_md5", "doc_length_histogram",

@@ -657,11 +657,52 @@ def dup_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@register("simhash_near_dup")
+@register(
+    "simhash_near_dup",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+    bits AS (
+        SELECT doc_id, b.b,
+               CASE WHEN (instr('0123456789abcdef',
+                                substr(md5(t), b.b // 4 + 1, 1)) - 1)
+                         & (1 << (b.b % 4)) > 0
+                    THEN 1 ELSE -1 END AS vote
+        FROM tok, (SELECT unnest(range(64)) AS b) b
+    ),
+    votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2),
+    sig AS (
+        SELECT w.doc_id,
+               CAST(coalesce(sum(CASE WHEN v > 0 THEN
+                   CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                        ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+                   ELSE 0 END), 0) AS BIGINT) AS sig
+        FROM w LEFT JOIN votes ON votes.doc_id = w.doc_id
+        GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole band joins."""
+    """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole band joins
+    (any pair within distance τ agrees exactly on one of τ+1 bit
+    blocks, so candidates come from equi-joins — never a cross join;
+    the band trick is LOSSLESS, which is why the oracle may check all
+    pairs directly). Hash-verified through the md5 bit-source twin
+    (bit b of a token = bit b%4 of hex digit b//4 of md5(token) —
+    engine-identical, python-reference-pinned in pytest); the xxhash64
+    production tier shares every stage but the token hash."""
     docs = load_docs(spark, sf_dir)
-    return dedup.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+    return dedup.near_dup_pairs_simhash(
+        docs, "doc_id", "text", max_hamming=3, hash_fn="md5"
+    )
 
 
 SEMDEDUP_THRESHOLD = 0.95
