@@ -751,3 +751,52 @@ def test_simhash_md5_twin_matches_python_reference(spark):
 
     with _pytest.raises(ValueError, match="hash_fn"):
         df.select(dedup.simhash_packed("text", hash_fn="sha1"))
+
+
+def test_semantic_dedup_prefilter_equals_exhaustive_verify(emb, spark):
+    """The sign-word Hamming gate is a probabilistic SUPERSET filter at
+    duplicate-grade thresholds: labels with the gate on must equal the
+    exhaustive-verify labels on the planted-duplicate geometry."""
+    rows = [(i, [1.0 if j == i % 8 else 0.001 * (i % 3) for j in range(16)])
+            for i in range(60)]
+    rows += [(100 + i, rows[i][1]) for i in range(0, 60, 5)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        r["id"]: r["rep_id"]
+        for r in dedup.semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.95, nlist=4,
+            hamming_prefilter=True,
+        ).collect()
+    }
+    b = {
+        r["id"]: r["rep_id"]
+        for r in dedup.semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.95, nlist=4,
+            hamming_prefilter=False,
+        ).collect()
+    }
+    assert a == b
+    assert a[100] == a[0]  # planted dup collapsed
+
+
+def test_cosine_lsh_auto_sizing_scales_with_corpus(spark):
+    """Auto banding: ~64-row target buckets (band_bits grows with
+    log2 n) and bands = band_bits, so candidate cost stays ~linear."""
+    import math
+
+    small = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(128)],
+        "vec_id long, embedding array<double>",
+    )
+    big = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(4096)],
+        "vec_id long, embedding array<double>",
+    )
+    s = CosineLSHIndex(small)
+    b = CosineLSHIndex(big)
+    assert s.band_bits == 4 and s.num_bits == 16
+    assert b.band_bits == math.ceil(math.log2(4096 / 64)) == 6
+    assert b.num_bits == 36
+    # explicit params still honored verbatim (oracle replay contract)
+    e = CosineLSHIndex(small, num_bits=16, band_bits=4)
+    assert (e.num_bits, e.band_bits) == (16, 4)

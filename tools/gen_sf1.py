@@ -12,10 +12,15 @@ schema identity and realistic key relationships:
   the same fan-out per key as sf0.1 (selectivities preserved, data 10x)
 - dates/timestamps keep their range (copies overlay in time — the
   temporal windows see 10x density, which is the stressful direction)
-- documents get a per-copy suffix token so exact-dedup families keep
-  the same duplicate-rate SHAPE within a copy but don't collapse the
-  10 copies into one giant duplicate class; embeddings perturb one
-  coordinate per copy (deterministic arithmetic) for the same reason
+- documents PREFIX EVERY TOKEN with a per-copy marker: real 10x data
+  brings new content, so per-shingle document frequency must stay
+  ~constant while the corpus grows 10x (a suffix-only copy would
+  multiply every df by 10 and make candidate joins artificially
+  quadratic — a data artifact, not a plan property); within-copy
+  duplicate structure is preserved, so dedup rates keep their shape
+- embeddings circular-shift by the copy index (distinct directions,
+  norm preserved) for the same reason: copies must not be near-dups
+  of each other
 - region/nation stay fixed (dimension tables of fixed cardinality)
 
 Output: .scaledata/sf1/*.parquet under the repo root (gitignored).
@@ -87,19 +92,23 @@ def main() -> None:
                event_type, value, props
         FROM {src('events')}, c""")
     write("documents", f"""
-        SELECT doc_id + i * 10000 AS doc_id,
-               CASE WHEN i = 0 THEN text
-                    ELSE text || ' copyt' || CAST(i AS VARCHAR) END AS text,
-               lang, source,
-               n_chars + CASE WHEN i = 0 THEN 0
-                              ELSE 7 + len(CAST(i AS VARCHAR)) END AS n_chars
-        FROM {src('documents')}, c""")
+        WITH t AS (
+            SELECT doc_id, i,
+                   CASE WHEN i = 0 THEN text
+                        ELSE 'z' || CAST(i AS VARCHAR) ||
+                            replace(text, ' ', ' z' || CAST(i AS VARCHAR))
+                   END AS text,
+                   lang, source
+            FROM {src('documents')}, c
+        )
+        SELECT doc_id + i * 10000 AS doc_id, text, lang, source,
+               CAST(len(text) AS BIGINT) AS n_chars
+        FROM t""")
     write("embeddings", f"""
         SELECT vec_id + i * 10000 AS vec_id,
                CASE WHEN i = 0 THEN embedding
-                    ELSE list_transform(
-                        embedding,
-                        x -> CAST(x + 0.001 * i AS FLOAT))
+                    ELSE list_concat(embedding[i + 1:64],
+                                     embedding[1:i])
                END AS embedding,
                label
         FROM {src('embeddings')}, c""")

@@ -1,0 +1,91 @@
+"""Graph-ANN tier at sf1 (20k vectors): the corpus-scale build path.
+
+knn_graph_beam's registry row uses the EXACT graph build — the
+SQL-replayable oracle tier, quadratic by design (the correctness gate
+runs it at sf0.01/500 rows; at 20k vectors it would score 400M pairs).
+The scale path is ``strategy='ivf'``: edge candidates from a
+shared-quantizer cell join, bounded by cell products. This script
+measures that tier one decade past the bench scale — build time, search
+time, recall@5 vs exact, and rows scored per query — and appends the
+numbers to SCALE_SF1.md's graph section.
+
+Run: python tools/graph_sf1.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SF = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scaledata", "sf1",
+)
+
+
+def main() -> None:
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+        beam_search,
+        build_knn_graph,
+    )
+    from vectorsearch_image_embeddings_databricks_spark.index.vector_index import (
+        VectorIndex,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    t0 = time.time()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in VectorIndex(emb, key="vec_id", vector_col="embedding")
+        .search_batch(queries, k=5)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    graph = build_knn_graph(
+        emb, "vec_id", "embedding", degree=12,
+        strategy="ivf", nlist=64, nprobe=8,
+    ).localCheckpoint(eager=True)
+    n_edges = graph.count()
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    stats: list[int] = []
+    res = beam_search(
+        graph, emb, queries, "vec_id", "embedding",
+        k=5, beam=16, hops=4,
+        entry_ids=[0, 1, 2, 3, 4, 5, 6, 7], stats=stats,
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+    t_search = time.time() - t0
+    recall = len(exact & got) / len(exact)
+    print(
+        f"corpus={n}  edges={n_edges}  build(ivf nlist=64 nprobe=8)="
+        f"{t_build:.1f}s  exact_batch={t_exact:.1f}s  "
+        f"search(b16 h4)={t_search:.1f}s  recall@5={recall:.4f}  "
+        f"rows_scored={sum(stats)} "
+        f"({sum(stats) / (32 * n):.4%} of 32x corpus)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,29 @@ class CosineLSHIndex:
     hyperplanes (driver-generated, embedded as literals — tiny). Bands of
     ``band_bits`` bits become integer keys; near vectors collide in ≥1
     band with high probability. All JVM expressions: xxhash-free, UDF-free.
+
+    Sizing: the self-join candidate cost is Σ|bucket|² per band, and a
+    band has only 2^band_bits buckets — FIXED banding therefore goes
+    quadratic in the corpus (the round-4 sf1 smoke measured the pinned
+    16/4 configuration at ~190x the 10x-smaller corpus's time). When
+    ``num_bits``/``band_bits`` are left None they are derived from the
+    corpus count:
+
+    - ``band_bits = clamp(ceil(log2(n / 64)), 4, 20)`` — a ~64-row
+      target bucket keeps Σ|bucket|² per band ≈ 64·n (linear);
+    - ``bands = band_bits`` (so ``num_bits = band_bits²``) — longer
+      band keys lower per-band collision odds, so the band COUNT must
+      grow with them to hold recall: at cos 0.95 the per-bit sign-
+      agreement probability is ~0.90, giving ≥1-band collision
+      probability ≳ 0.98 across the ladder (e.g. 5 bands x 5 bits at
+      2k rows, 9 x 9 at 20k). Total candidate cost ≈ log(n)·64·n.
+
+    Auto-sizing targets duplicate-grade pairs (cos ≳ 0.9). LOW
+    thresholds (the registry row's 0.4 is a similarity-JOIN regime, not
+    dedup) need either explicit wide-recall banding or the kNN-join /
+    IVF cell-join machinery — sign-LSH recall at cos 0.4 is poor at any
+    scalable banding (p_bit ≈ 0.63). Pass explicit values for oracle
+    replay (the registry row pins 16/4).
     """
 
     def __init__(
@@ -166,12 +189,22 @@ class CosineLSHIndex:
         key: str = "vec_id",
         vector_col: str = "embedding",
         dim: int | None = None,
-        num_bits: int = 16,
-        band_bits: int = 4,
+        num_bits: int | None = None,
+        band_bits: int | None = None,
         seed: int = 42,
     ) -> None:
         self.key = key
         self.vector_col = vector_col
+        if band_bits is None:
+            if num_bits is not None:
+                band_bits = 4  # legacy shape: 4-bit bands of num_bits
+            else:
+                import math
+
+                n = df.count()
+                band_bits = min(20, max(4, math.ceil(math.log2(max(n, 2) / 64))))
+        if num_bits is None:
+            num_bits = band_bits * band_bits  # bands = band_bits
         self.num_bits = num_bits
         self.band_bits = band_bits
         if dim is None:
@@ -201,15 +234,18 @@ class CosineLSHIndex:
         return F.array(*band_keys)
 
     def candidate_pairs(self) -> DataFrame:
-        """(id_a, id_b) sharing ≥1 band — the scale path feeding
-        operators.dedup.near_dup_pairs_cosine's exact verify."""
+        """(id_a, id_b, vec_a, vec_b) sharing ≥1 band — candidates for an
+        exact verify. The band self-join carries BARE IDS (plus the band
+        key): candidate volume is the expensive part of an LSH join, and
+        shuffling two float vectors per candidate multiplies it ~20x
+        (measured at the round-4 sf1 smoke); the deduped survivor set
+        fetches its vectors back by id instead."""
         banded = self.signed.select(
             F.col(self.key).alias("id"),
-            F.col(self.vector_col).alias("vec"),
             F.explode("__bands").alias("bk"),
-        ).select("id", "vec", "bk.band", "bk.bh")
+        ).select("id", "bk.band", "bk.bh")
         a, b = banded.alias("a"), banded.alias("b")
-        return (
+        ids = (
             a.join(
                 b,
                 (F.col("a.band") == F.col("b.band"))
@@ -219,11 +255,18 @@ class CosineLSHIndex:
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.col("a.vec").alias("vec_a"),
-                F.col("b.vec").alias("vec_b"),
             )
             .distinct()
         )
+        fa = self.signed.select(
+            F.col(self.key).alias("id_a"),
+            F.col(self.vector_col).alias("vec_a"),
+        )
+        fb = self.signed.select(
+            F.col(self.key).alias("id_b"),
+            F.col(self.vector_col).alias("vec_b"),
+        )
+        return ids.join(fa, "id_a").join(fb, "id_b")
 
     def similarity_self_join(self, threshold: float) -> DataFrame:
         """Near-dup pairs with cos ≥ threshold: LSH candidates → exact

@@ -29,6 +29,10 @@ Five families, each scale-designed:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -770,10 +774,11 @@ def semantic_dedup(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    nlist: int = 16,
+    nlist: int | None = None,
     replication: int = 2,
     driver_cc_max_edges: int = 5_000_000,
     seed: int = 42,
+    hamming_prefilter: bool | str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop semantic duplicates — documents
     whose EMBEDDINGS are near-identical even when their text is not —
@@ -789,12 +794,23 @@ def semantic_dedup(
     ``replication`` > 1 stores boundary vectors in their runner-up cells
     too, so high-cosine pairs (which sit close on the sphere and thus
     share cells with high probability at a duplicate-grade threshold)
-    are not lost to a cell boundary. Exact cosine verifies every
+    are not lost to a cell boundary. ``nlist=None`` (default) scales the
+    cell count with the corpus (n/256, floor 16) so cells — and with
+    them the Σ|cell|² pair bound per row — stay constant-sized as data
+    grows. Exact cosine verifies every
     candidate; components resolve via the shared size-gated machinery
     (``resolve_components``).
     """
     from ..index.ann import IVFIndex
 
+    if nlist is None:
+        # Σ|cell|² is the pair bound, so nlist must GROW with the corpus
+        # to keep cells constant-sized (~256 rows ⇒ pair work ≈ 256·n,
+        # linear) — a fixed nlist goes quadratic (the round-4 sf1 smoke
+        # measured the pinned 16-cell configuration at ~77x the
+        # 10x-smaller corpus's time). Explicit nlist remains for oracle
+        # replay and tests.
+        nlist = max(16, df.count() // 256)
     ivf = IVFIndex(
         df,
         key=id_col,
@@ -809,15 +825,126 @@ def semantic_dedup(
     b = ivf.assigned.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "centroid_id"
     )
-    verified = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
-        .distinct()  # replicated vectors can meet in two cells
-        .filter(cosine_similarity("__va", "__vb") >= threshold)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # The expensive stage is the per-CANDIDATE exact cosine: array HOFs
+    # evaluate at ~30 us/pair (measured — zip_with/aggregate do not
+    # whole-stage-codegen, and a fully unrolled element_at sum is no
+    # better), so Σ|cell|² candidates at 20k vectors already cost ~5
+    # minutes. The scale shape is therefore: never run the float verify
+    # on the raw candidate volume. Each row packs its sign bits ONCE
+    # map-side (E72's sign_words_expr — |rows| HOF evaluations, not
+    # |pairs|); the candidate join carries (id, cell, 2 ints) instead of
+    # (id, cell, vector); the per-pair test is an unrolled
+    # bit_count(XOR) — pure codegen integer ops — and only the tiny
+    # survivor set fetches vectors back by id for the exact cosine.
+    #
+    # The Hamming gate is a PROBABILISTIC superset filter over RANDOM
+    # PROJECTION signs: for a seeded gaussian plane r, P[sign(r·a) ≠
+    # sign(r·b)] = θ/π exactly, for ANY pair — the sign-LSH guarantee.
+    # (Raw COORDINATE signs would not do: a coordinate sitting at 0.0
+    # in one near-duplicate and 0.001 in the other flips its bit while
+    # contributing nothing to the angle, so adversarially sparse
+    # vectors could exceed any radius — pytest pins exactly that
+    # geometry.) With 64 planes, flips ~ Binomial(64, θ/π); τ = 2.5x
+    # the mean + 8 puts the miss probability per true pair below
+    # ~1e-10 at duplicate-grade thresholds, while a random non-pair
+    # (mean 32 flips) passes with ~1e-2 odds — the gate prunes ~99% of
+    # false candidates for free. hamming_prefilter=False restores the
+    # exhaustive verify; the final cosine filter is exact either way,
+    # so false candidates never pass.
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(row[0]["d"]) if row else 1
+    if hamming_prefilter == "auto":
+        # size-gated hybrid (the resolve_components convention): below
+        # the gate the exhaustive verify is cheaper than the gate's
+        # fixed costs (python-worker spawn + two fetch joins); above it
+        # the candidate volume dominates everything and the gate wins
+        # by orders of magnitude (25s vs 327s at 20k vectors).
+        hamming_prefilter = df.count() > 10_000
+    if hamming_prefilter:
+        import math
+
+        import numpy as np
+
+        n_planes = 64
+        theta = math.acos(min(1.0, max(-1.0, threshold)))
+        tau = min(
+            n_planes,
+            int(math.ceil(n_planes * theta / math.pi * 2.5)) + 8,
+        )
+        n_words = (n_planes + 31) // 32
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_planes, dim)
+        )
+
+        # The projection-sign packing is a map-only per-ROW stage (it
+        # runs |rows| times, never |pairs|), and expressing 64 plane
+        # dots as column expressions costs more in plan compilation
+        # (a ~4k-literal tree) than the data itself — the measured
+        # fixture overhead was ~4 s of driver/interpreter time. An
+        # Arrow-batched pandas UDF does the whole batch as one numpy
+        # matmul; the words never face an oracle (gate only — the
+        # final cosine filter is exact), so numpy's summation order is
+        # immaterial.
+        from pyspark.sql.functions import pandas_udf
+
+        planes_t = planes.T  # (dim, n_planes)
+
+        @pandas_udf("array<long>")
+        def _proj_words(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for series in it:
+                X = np.stack(series.to_numpy())  # (batch, dim)
+                bits = (X @ planes_t) > 0  # (batch, n_planes)
+                words = np.zeros((len(X), n_words), dtype=np.int64)
+                for k in range(n_planes):
+                    words[:, k // 32] |= bits[:, k].astype(np.int64) << (
+                        k % 32
+                    )
+                yield pd.Series(list(words))
+
+        light = ivf.assigned.select(
+            F.col(id_col).alias("id"),
+            "centroid_id",
+            _proj_words(F.col(vec_col)).alias("__w"),
+        )
+        la = light.select(
+            F.col("id").alias("id_a"), "centroid_id",
+            F.col("__w").alias("__wa"),
+        )
+        lb = light.select(
+            F.col("id").alias("id_b"), "centroid_id",
+            F.col("__w").alias("__wb"),
+        )
+        ham = None
+        for j in range(1, n_words + 1):
+            term = F.bit_count(
+                F.element_at("__wa", j).bitwiseXOR(F.element_at("__wb", j))
+            )
+            ham = term if ham is None else ham + term
+        cand = (
+            la.join(lb, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(ham <= F.lit(tau))
+            .select("id_a", "id_b")
+            .distinct()  # replicated vectors can meet in two cells
+        )
+        fa = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        fb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        verified = (
+            cand.join(fa, "id_a")
+            .join(fb, "id_b")
+            .filter(cosine_similarity("__va", "__vb") >= threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        verified = (
+            a.join(b, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine_similarity("__va", "__vb") >= threshold)
+            .select("id_a", "id_b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     ids = df.select(F.col(id_col).alias("id"))
     return resolve_components(
         ids, verified, driver_cc_max_edges=driver_cc_max_edges
