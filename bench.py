@@ -145,6 +145,13 @@ NEW_OPS = [
     "per_lang_ols_trend",
     "ema_user_value",
     "linear_touch_attribution",
+    # round 4 additions. knn_graph_beam's wall time is dominated by the
+    # EXACT kNN-graph build (the SQL-replayable oracle tier — 4M scored
+    # pairs at this sf's 2000 vectors, quadratic by definition); the
+    # corpus-scale build is strategy='ivf' (blocked matmul), measured
+    # in SCALE_SF1.md rather than here.
+    "knn_graph_beam",
+    "stratified_sample_docs",
 ]
 
 

@@ -67,23 +67,27 @@ def main() -> None:
     n_edges = graph.count()
     t_build = time.time() - t0
 
-    t0 = time.time()
-    stats: list[int] = []
-    res = beam_search(
-        graph, emb, queries, "vec_id", "embedding",
-        k=5, beam=16, hops=4,
-        entry_ids=[0, 1, 2, 3, 4, 5, 6, 7], stats=stats,
-    )
-    got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
-    t_search = time.time() - t0
-    recall = len(exact & got) / len(exact)
     print(
-        f"corpus={n}  edges={n_edges}  build(ivf nlist=64 nprobe=8)="
-        f"{t_build:.1f}s  exact_batch={t_exact:.1f}s  "
-        f"search(b16 h4)={t_search:.1f}s  recall@5={recall:.4f}  "
-        f"rows_scored={sum(stats)} "
-        f"({sum(stats) / (32 * n):.4%} of 32x corpus)"
+        f"corpus={n}  edges={n_edges}  "
+        f"build(ivf nlist=64 nprobe=8)={t_build:.1f}s  "
+        f"exact_batch={t_exact:.1f}s"
     )
+    for beam, hops in ((16, 4), (32, 5), (48, 6)):
+        t0 = time.time()
+        stats: list[int] = []
+        res = beam_search(
+            graph, emb, queries, "vec_id", "embedding",
+            k=5, beam=beam, hops=hops,
+            entry_ids=[0, 1, 2, 3, 4, 5, 6, 7], stats=stats,
+        )
+        got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+        t_search = time.time() - t0
+        recall = len(exact & got) / len(exact)
+        print(
+            f"search(b{beam} h{hops})={t_search:.1f}s  "
+            f"recall@5={recall:.4f}  rows_scored={sum(stats)} "
+            f"({sum(stats) / (32 * n):.4%} of 32x corpus)"
+        )
     spark.stop()
 
 

@@ -31,6 +31,7 @@ FLAGSHIPS = [
     "events_ohlc_hourly",
     "segment_dedup_docs",
     "cms_heavy_hitters",
+    "knn_graph_beam",
     "sq8_quant_topk",
     "window_funnel_steps",
     "cdc_apply_orders",

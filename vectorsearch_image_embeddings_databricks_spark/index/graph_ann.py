@@ -81,18 +81,68 @@ def build_knn_graph(
             )
         )
     elif strategy == "ivf":
-        from ..operators.bitext import _topk_ivf
+        # Blocked-matmul build: assign rows to IVF cells (boundary
+        # replication = nprobe so near-boundary neighborhoods overlap),
+        # then compute each cell's FULL similarity matrix with one
+        # numpy matmul inside applyInPandas and emit only per-row
+        # top-degree candidates. Candidate PAIRS never materialize as
+        # Spark rows (the equi-join formulation evaluates an array-HOF
+        # cosine per candidate at ~30us/pair — measured 50+ minutes at
+        # 20k vectors; the matmul does the same arithmetic at numpy
+        # speed in seconds). Shuffle volume is |rows|·replication for
+        # the grouping plus |rows|·replication·degree candidate edges.
+        from ..index.ann import IVFIndex
 
-        side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        pairs = _topk_ivf(
-            side, side, "id", "v",
-            k=degree + 1,  # the cell join includes self-matches
-            nlist=nlist, nprobe=nprobe, seed=seed,
+        ivf = IVFIndex(
+            df, key=id_col, vector_col=vec_col,
+            nlist=nlist, replication=max(2, nprobe), seed=seed,
         )
-        scored = pairs.filter(F.col("id_a") != F.col("id_b")).select(
-            F.col("id_a").alias("src"),
-            F.col("id_b").alias("dst"),
-            F.col("cos").alias("__cos"),
+        assigned = ivf.assigned.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            "centroid_id",
+        )
+        import numpy as np
+        import pandas as pd
+
+        deg = degree
+
+        def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame(
+                    {"src": [], "dst": [], "cos": []}
+                ).astype({"src": "int64", "dst": "int64", "cos": "float64"})
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            Xn = X / norms[:, None]
+            S = Xn @ Xn.T
+            np.fill_diagonal(S, -np.inf)
+            ids = pdf["id"].to_numpy()
+            k = min(deg, m - 1)
+            # top-k per row: argpartition then exact (cos desc, id asc)
+            part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            src_out, dst_out, cos_out = [], [], []
+            for r in range(m):
+                cols = part[r]
+                order = sorted(
+                    cols, key=lambda c: (-S[r, c], ids[c])
+                )
+                src_out.extend([ids[r]] * len(order))
+                dst_out.extend(ids[c] for c in order)
+                cos_out.extend(S[r, c] for c in order)
+            return pd.DataFrame(
+                {"src": src_out, "dst": dst_out, "cos": cos_out}
+            )
+
+        scored = (
+            assigned.groupBy("centroid_id")
+            .applyInPandas(per_cell, "src long, dst long, cos double")
+            # replication puts a row in several cells: keep one copy of
+            # each candidate edge (same cos in every copy)
+            .groupBy("src", "dst")
+            .agg(F.max("cos").alias("__cos"))
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
