@@ -633,10 +633,18 @@ def dup_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage routes through the PPJoin prefix tier (lossless — identical
     edge set, Σ df_prefix² candidate cost)."""
     docs = load_docs(spark, sf_dir)
-    pairs = dedup.near_dup_pairs_jaccard(
-        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
-        prefix_filter=True,
-    ).select("id_a", "id_b")
+    # materialize-once: the recursive CTE references this view once per
+    # recursion level on BOTH union branches, and a lazy view would
+    # re-run the whole candidate join each time (measured: minutes at
+    # sf0.1 — the smoke's worst re-evaluation multiplier)
+    pairs = (
+        dedup.near_dup_pairs_jaccard(
+            docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+            prefix_filter=True,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     view = "dup_pairs_recursive_src"
     pairs.createOrReplaceTempView(view)
     return spark.sql(f"""
