@@ -800,3 +800,48 @@ def test_cosine_lsh_auto_sizing_scales_with_corpus(spark):
     # explicit params still honored verbatim (oracle replay contract)
     e = CosineLSHIndex(small, num_bits=16, band_bits=4)
     assert (e.num_bits, e.band_bits) == (16, 4)
+
+
+def test_cosine_lsh_oracle_ladder_matches_auto_sizing():
+    """The cosine_lsh_near_dup oracle replays auto-sizing in SQL with a
+    12-bit ladder cap (the operator clamps at 20). Pin the two contracts
+    the oracle's correctness rests on:
+
+    1. the SQL formula least(12, greatest(4, ceil(log2(n/64)))) equals
+       the operator's band_bits for every corpus up to 64 * 2**12 rows
+       (past that the committed row would need a wider ladder);
+    2. numpy fills standard_normal((n, d)) row-major from one PCG64
+       stream, so the first bb**2 rows of the oracle's 144-plane draw
+       ARE the (bb**2, 64) planes the operator generates.
+    """
+    import math
+
+    import numpy as np
+
+    from vectorsearch_image_embeddings_databricks_spark.registry.hybrid_ann_streaming import (
+        _LSH_MAX_BAND_BITS,
+    )
+
+    def py_auto(n: int) -> int:
+        return min(20, max(4, math.ceil(math.log2(max(n, 2) / 64))))
+
+    def sql_ladder(n: int) -> int:
+        return min(
+            _LSH_MAX_BAND_BITS,
+            max(4, math.ceil(math.log2(max(n, 2) / 64))),
+        )
+
+    # every corpus size the ladder claims to cover, including the exact
+    # power-of-two boundaries where ceil(log2) steps
+    sizes = [1, 2, 100, 550, 2200, 22000, 65536, 65537, 262143, 262144]
+    sizes += [64 * 2**k for k in range(1, 13)] + [64 * 2**k + 1 for k in range(1, 12)]
+    for n in sizes:
+        if n <= 64 * 2**_LSH_MAX_BAND_BITS:
+            assert py_auto(n) == sql_ladder(n), n
+
+    full = np.random.default_rng(42).standard_normal(
+        (_LSH_MAX_BAND_BITS**2, 64)
+    )
+    for bb in (4, 6, 9, 12):
+        sliced = np.random.default_rng(42).standard_normal((bb * bb, 64))
+        assert np.array_equal(full[: bb * bb], sliced)

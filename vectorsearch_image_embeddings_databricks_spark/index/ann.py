@@ -176,11 +176,13 @@ class CosineLSHIndex:
       2k rows, 9 x 9 at 20k). Total candidate cost ≈ log(n)·64·n.
 
     Auto-sizing targets duplicate-grade pairs (cos ≳ 0.9). LOW
-    thresholds (the registry row's 0.4 is a similarity-JOIN regime, not
-    dedup) need either explicit wide-recall banding or the kNN-join /
-    IVF cell-join machinery — sign-LSH recall at cos 0.4 is poor at any
-    scalable banding (p_bit ≈ 0.63). Pass explicit values for oracle
-    replay (the registry row pins 16/4).
+    thresholds need either explicit wide-recall banding or the
+    kNN-join / IVF cell-join machinery — sign-LSH recall at cos 0.4 is
+    poor at any scalable banding (p_bit ≈ 0.63). The registry row
+    (cosine_lsh_near_dup) commits the AUTO path at a dup-grade
+    threshold: because band_bits is a deterministic function of
+    count(*), its DuckDB oracle re-derives the banding the same way —
+    explicit params remain available for fixed-fixture replay.
     """
 
     def __init__(

@@ -466,65 +466,140 @@ def ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dup-grade threshold for the LSH row: sign-LSH precision is usable in
+# the near-duplicate regime (cos >= 0.8), not the similarity-JOIN regime
+# (the exact pair row's 0.4) — the round-4 sf1 smoke measured ~25M
+# candidates for ~50k true pairs at 0.4. The fixture corpus has no
+# natural pairs above 0.8, so the row plants deterministic near-dup
+# twins: for every vec_id % 10 == 0 (with a successor row), a twin at
+# id+1_000_000 whose vector is 0.9*v + 0.1*v_next — pure double
+# arithmetic both engines compute bitwise-identically from the parquet
+# values, giving cos(twin, original) ≈ 0.99. Twin count scales with the
+# corpus, so the row stays meaningful at every sf.
+LSH_DUP_THRESHOLD = 0.8
+_LSH_TWIN_OFFSET = 1_000_000
+_LSH_MAX_BAND_BITS = 12  # SQL ladder cap: matches the operator's
+# auto-derived band_bits for every corpus up to 64 * 2**12 = 262,144
+# rows (the operator clamps at 20; tests pin formula equality below
+# the ladder cap). 144 = 12**2 hyperplanes cover every num_bits the
+# ladder can request, and because numpy fills standard_normal((n, d))
+# row-major from one PCG64 stream, the first k**2 rows of the 144-row
+# draw ARE the (k**2, d) draw the operator generates (pytest-pinned).
+
+
 def _lsh_oracle_sql() -> str:
-    """Restate CosineLSHIndex(num_bits=16, band_bits=4, seed=42) in SQL:
-    the SAME seeded gaussian hyperplanes (bitwise — repr round-trips the
-    float64s and both engines parse decimal literals to nearest double),
-    the same sign bits (sequential-fold dot on both sides), the same
-    integer band keys, band equi-join, exact cosine verify. Converts the
-    LSH tier from rows-only to a full hash row: a change to the planes,
-    banding, or verify logic flips the hash."""
+    """Restate the AUTO-SIZED CosineLSHIndex (num_bits/band_bits=None,
+    seed=42) in SQL, including the sizing rule itself:
+
+    - ``band_bits = least(12, greatest(4, ceil(log2(n / 64))))`` derived
+      from ``count(*)`` of the twin-augmented corpus — the same ~64-row
+      target-bucket rule as ``CosineLSHIndex.__init__`` (index/ann.py),
+      so the committed registry row inherits the operator's linear
+      candidate cost instead of a fixed banding that goes quadratic
+      (the round-4 sf1 smoke measured pinned 16/4 at 31.6x for 10x data).
+    - ``bands = band_bits``; bit i = sign(v · plane_i) with the SAME
+      seeded gaussian hyperplanes (repr round-trips the float64s; both
+      engines parse decimal literals to nearest double). All 144 ladder
+      bits are computed and band b slices bits[b*bb+1 .. b*bb+bb] — the
+      slice of the 144-row plane matrix equals the operator's own
+      (bb², dim) draw because numpy fills the matrix from one stream.
+    - Band keys here are the sliced bit LISTS (DuckDB joins on list
+      equality); the operator folds the same bits into integers — the
+      fold is injective, so bucket membership (hence the candidate set)
+      is identical.
+    - Candidates carry bare ids; vectors are fetched back for the
+      survivor verify only (the same round-4 slimming the operator got).
+    """
     import numpy as np
 
-    planes = np.random.default_rng(42).standard_normal((16, 64))
-    bits = [
+    nb = _LSH_MAX_BAND_BITS * _LSH_MAX_BAND_BITS
+    planes = np.random.default_rng(42).standard_normal((nb, 64))
+    bits = ",\n            ".join(
         "(CASE WHEN list_dot_product(v, ["
         + ", ".join(repr(float(x)) for x in p)
         + "]) > 0 THEN 1 ELSE 0 END)"
         for p in planes
-    ]
-    bands = []
-    for b in range(4):
-        expr = bits[b * 4]
-        for bit in bits[b * 4 + 1 : b * 4 + 4]:
-            expr = f"(({expr}) * 2 + {bit})"
-        bands.append(expr)
-    band_list = "[" + ", ".join(bands) + "]"
+    )
     return f"""
-    WITH sig AS (
+    WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    banded AS (
-        SELECT vec_id, v, {band_list} AS bands FROM sig
+    twin AS (
+        SELECT a.vec_id + {_LSH_TWIN_OFFSET} AS vec_id,
+               list_transform(range(1, 65), i -> 0.9*a.v[i] + 0.1*b.v[i]) AS v
+        FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 10 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+    params AS (
+        SELECT least({_LSH_MAX_BAND_BITS}, greatest(4,
+                   CAST(ceil(log2(greatest(count(*), 2) / 64.0)) AS INT)))
+               AS bb
+        FROM corpus
+    ),
+    bitted AS (
+        SELECT vec_id, [
+            {bits}
+        ] AS bits FROM corpus
     ),
     bexp AS (
-        SELECT vec_id, v, g.i AS band, bands[g.i + 1] AS bh
-        FROM banded, (SELECT unnest(range(4)) AS i) g
+        SELECT vec_id, g.i AS band,
+               list_slice(bits, g.i * bb + 1, g.i * bb + bb) AS bh
+        FROM bitted, params,
+             (SELECT unnest(range({_LSH_MAX_BAND_BITS})) AS i) g
+        WHERE g.i < bb
     ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-               a.v AS va, b.v AS vb
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bexp a JOIN bexp b
           ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b,
-           round(list_cosine_similarity(va, vb), 6) AS cos
-    FROM cand
-    WHERE list_cosine_similarity(va, vb) >= {COSINE_PAIR_THRESHOLD}
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(fa.v, fb.v), 6) AS cos
+    FROM cand c
+    JOIN corpus fa ON fa.vec_id = c.id_a
+    JOIN corpus fb ON fb.vec_id = c.id_b
+    WHERE list_cosine_similarity(fa.v, fb.v) >= {LSH_DUP_THRESHOLD}
     """
 
 
 @register("cosine_lsh_near_dup", oracle=_lsh_oracle_sql())
 def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 scale path: sign-LSH candidates + exact cosine verify (subset
-    of the exact pair operator by construction). Hash-verified: the
-    oracle replays the identical seeded hyperplanes, sign bits, band
-    keys and verify in SQL (see _lsh_oracle_sql)."""
+    of the exact pair operator by construction), committed at the
+    operator's AUTO-SIZED banding — the sizing rule (~64-row target
+    buckets, bands = band_bits) is a deterministic function of the
+    corpus count, so the oracle replays it from ``count(*)`` and the
+    committed configuration is the one that survives 10x data (the
+    round-4 pinned 16/4 banding measured 31.6x time at 10x; auto-sizing
+    measured ~linear). Dup-grade threshold + planted twin pairs: see
+    LSH_DUP_THRESHOLD above. Hash-verified end to end: planes, sizing,
+    banding, candidate set and verify all replay in SQL."""
     from ..index.ann import CosineLSHIndex
 
     emb = load_embeddings(spark, sf_dir)
-    lsh = CosineLSHIndex(emb, num_bits=16, band_bits=4)
-    res = lsh.similarity_self_join(COSINE_PAIR_THRESHOLD)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    nxt = base.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("__next"),
+    )
+    twins = (
+        base.join(nxt, "vec_id")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + F.lit(_LSH_TWIN_OFFSET)).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                "__next",
+                lambda x, y: F.lit(0.9) * x + F.lit(0.1) * y,
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionByName(twins)
+    lsh = CosineLSHIndex(corpus, key="vec_id", vector_col="embedding")
+    res = lsh.similarity_self_join(LSH_DUP_THRESHOLD)
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
