@@ -7,10 +7,14 @@ from pyspark.sql import functions as F
 from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
     beam_search,
     build_knn_graph,
+    ivf_entry_points,
+    refine_knn_graph,
 )
 from vectorsearch_image_embeddings_databricks_spark.index.vector_index import VectorIndex
 
-from .conftest import SF_SMALL
+from .conftest import SF_SMALL, TESTDATA
+
+SF_BENCH = f"{TESTDATA}/sf0.1"
 
 
 @pytest.fixture(scope="module")
@@ -123,6 +127,136 @@ def test_ivf_build_strategy_approximates_exact_graph(emb):
     assert overlap / n_exact >= 0.5, overlap / n_exact
 
 
+def test_ivf_build_blocked_matmul_survives_skewed_cell(emb, monkeypatch):
+    """Adversarial skew: force EVERY row into one cell (nlist=1 — the
+    worst case a bad quantizer draw can produce) and shrink the block
+    budget so the guard must split the cell's similarity matrix into
+    many row blocks. The guard is allocation-shape only: with a single
+    cell covering the whole corpus the ivf build must emit exactly the
+    exact-strategy graph, block boundaries notwithstanding."""
+    from vectorsearch_image_embeddings_databricks_spark.index import graph_ann
+
+    n = emb.count()
+    monkeypatch.setattr(graph_ann, "GRAPH_BUILD_BLOCK_BUDGET", 4096)
+    # budget // n < 128 -> block=128 -> ceil(500/128)=4 blocks in one cell
+    assert max(128, 4096 // n) == 128 < n
+    ivf_g = build_knn_graph(
+        emb, "vec_id", "embedding", degree=6,
+        strategy="ivf", nlist=1, nprobe=1,
+    )
+    exact_g = build_knn_graph(emb, "vec_id", "embedding", degree=6)
+    got = {(r["src"], r["dst"]) for r in ivf_g.collect()}
+    want = {(r["src"], r["dst"]) for r in exact_g.collect()}
+    assert got == want
+
+
 def test_build_rejects_unknown_strategy(emb):
     with pytest.raises(ValueError, match="strategy"):
         build_knn_graph(emb, "vec_id", "embedding", strategy="hnsw")
+
+
+def test_ivf_built_graph_beam_recall_at_bench_scale(spark):
+    """End-to-end production-tier bar at the bench scale (sf0.1, 2000
+    vectors): beam search over the IVF-BUILT graph (not the exact
+    oracle-tier build) must hold recall@5 >= 0.9 — the r4 edge-overlap
+    bar (>= 0.5) was too weak for a build regression to trip; this pins
+    what users actually get. Adaptive (centroid-routed) entries must do
+    at least as well as the fixed entry list at the same beam/hops
+    while scoring no more rows."""
+    from vectorsearch_image_embeddings_databricks_spark.index.ann import IVFIndex
+
+    emb = spark.read.parquet(f"{SF_BENCH}/embeddings.parquet").cache()
+    queries = _queries(emb, n=16)
+    exact = _exact(emb, queries)
+    ivf = IVFIndex(
+        emb, key="vec_id", vector_col="embedding",
+        nlist=32, replication=2, seed=42,
+    )
+    graph = build_knn_graph(
+        emb, "vec_id", "embedding", degree=12,
+        strategy="ivf", nlist=32, nprobe=8,
+    ).localCheckpoint(eager=True)
+
+    fixed_stats: list[int] = []
+    fixed = beam_search(
+        graph, emb, queries, "vec_id", "embedding",
+        k=5, beam=32, hops=5, entry_ids=[0, 1, 2, 3, 4, 5, 6, 7],
+        stats=fixed_stats,
+    )
+    got_fixed = {(r["query_id"], r["vec_id"]) for r in fixed.collect()}
+    recall_fixed = len(exact & got_fixed) / len(exact)
+    assert recall_fixed >= 0.9, recall_fixed
+
+    entries = ivf_entry_points(
+        ivf, queries, "vec_id", nprobe=8, per_cell=1
+    ).localCheckpoint(eager=True)
+    ad_stats: list[int] = []
+    adaptive = beam_search(
+        graph, emb, queries, "vec_id", "embedding",
+        k=5, beam=32, hops=5, entries=entries, stats=ad_stats,
+    )
+    got_ad = {(r["query_id"], r["vec_id"]) for r in adaptive.collect()}
+    recall_ad = len(exact & got_ad) / len(exact)
+    assert recall_ad >= recall_fixed - 1e-9, (recall_ad, recall_fixed)
+    assert sum(ad_stats) <= sum(fixed_stats), (ad_stats, fixed_stats)
+
+
+def test_adaptive_entries_shape_and_beam_compat(emb):
+    """ivf_entry_points: per-query entries are bounded by
+    nprobe*per_cell, every id exists in the corpus, and the result is
+    partition-invariant; beam_search accepts the DataFrame form and
+    rejects ambiguous entry specs."""
+    from vectorsearch_image_embeddings_databricks_spark.index.ann import IVFIndex
+
+    ivf = IVFIndex(
+        emb, key="vec_id", vector_col="embedding",
+        nlist=8, replication=2, seed=42,
+    )
+    queries = _queries(emb, n=6)
+    ent = ivf_entry_points(ivf, queries, "vec_id", nprobe=3, per_cell=2)
+    rows = ent.collect()
+    per_q = {}
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for r in rows:
+        per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert r["vec_id"] in ids
+    assert set(per_q) == set(range(6))
+    assert all(1 <= len(v) <= 6 for v in per_q.values())
+    again = ivf_entry_points(
+        ivf, queries.repartition(5), "vec_id", nprobe=3, per_cell=2
+    )
+    assert {(r["query_id"], r["vec_id"]) for r in again.collect()} == {
+        (r["query_id"], r["vec_id"]) for r in rows
+    }
+    res = beam_search(
+        build_knn_graph(emb, "vec_id", "embedding", degree=6),
+        emb, queries, "vec_id", "embedding", k=5, beam=8, hops=2,
+        entries=ent,
+    )
+    assert res.groupBy("query_id").count().filter("count > 5").count() == 0
+    with pytest.raises(ValueError, match="entry_ids"):
+        beam_search(
+            build_knn_graph(emb, "vec_id", "embedding", degree=6),
+            emb, queries, "vec_id", "embedding",
+            entry_ids=[0, 1], entries=ent,
+        )
+
+
+def test_nn_descent_refinement_improves_ivf_graph(emb):
+    """One NN-descent round over a deliberately coarse ivf-built graph
+    (few probed cells -> many missed cross-cell edges) must strictly
+    increase exact-edge overlap while keeping the degree bound."""
+    exact_g = build_knn_graph(emb, "vec_id", "embedding", degree=6)
+    coarse = build_knn_graph(
+        emb, "vec_id", "embedding", degree=6,
+        strategy="ivf", nlist=16, nprobe=2,
+    ).localCheckpoint(eager=True)
+    refined = refine_knn_graph(
+        coarse, emb, "vec_id", "embedding", degree=6, rounds=1
+    )
+    n_exact = exact_g.count()
+    before = coarse.join(exact_g, ["src", "dst"]).count() / n_exact
+    after = refined.join(exact_g, ["src", "dst"]).count() / n_exact
+    assert after > before, (before, after)
+    per_src = refined.groupBy("src").agg(F.count("*").alias("d"))
+    assert per_src.filter(F.col("d") > 6).count() == 0

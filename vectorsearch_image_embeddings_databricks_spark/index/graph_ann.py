@@ -47,6 +47,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vector import cosine_similarity
 
+#: Cell-size guard for the ivf build: float64 elements per similarity
+#: block (~128 MB). A task's largest allocation is block_rows x m where
+#: block_rows = max(128, budget // m) — bounded regardless of how many
+#: rows a skewed corpus or bad quantizer draw concentrates in one cell.
+#: Module-level so the skew pytest can shrink it to force multi-block
+#: execution on fixture-sized cells.
+GRAPH_BUILD_BLOCK_BUDGET = 1 << 24
+
 
 def build_knn_graph(
     df: DataFrame,
@@ -107,6 +115,18 @@ def build_knn_graph(
 
         deg = degree
 
+        # Cell-size guard: the similarity matrix is computed in ROW
+        # BLOCKS of at most ceil(budget / m) rows, so one task's largest
+        # allocation is block_rows x m float64 <= ~128 MB no matter how
+        # hot a cell gets (cell population is data-dependent — a skewed
+        # corpus or a bad quantizer draw can concentrate rows, and an
+        # unguarded m x m at m=50k would be a 20 GB single-task numpy
+        # allocation). Blocking changes the allocation shape only: every
+        # row still scores against the WHOLE cell, so the emitted edges
+        # are bitwise-identical to the full-matmul formulation
+        # (pytest-pinned on an adversarially skewed corpus).
+        _BLOCK_BUDGET = GRAPH_BUILD_BLOCK_BUDGET
+
         def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
             m = len(pdf)
             if m < 2:
@@ -117,21 +137,25 @@ def build_knn_graph(
             norms = np.linalg.norm(X, axis=1)
             norms[norms == 0] = 1.0
             Xn = X / norms[:, None]
-            S = Xn @ Xn.T
-            np.fill_diagonal(S, -np.inf)
             ids = pdf["id"].to_numpy()
             k = min(deg, m - 1)
-            # top-k per row: argpartition then exact (cos desc, id asc)
-            part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            block = min(m, max(128, _BLOCK_BUDGET // m))
             src_out, dst_out, cos_out = [], [], []
-            for r in range(m):
-                cols = part[r]
-                order = sorted(
-                    cols, key=lambda c: (-S[r, c], ids[c])
-                )
-                src_out.extend([ids[r]] * len(order))
-                dst_out.extend(ids[c] for c in order)
-                cos_out.extend(S[r, c] for c in order)
+            for b0 in range(0, m, block):
+                b1 = min(b0 + block, m)
+                S = Xn[b0:b1] @ Xn.T  # (b1-b0) x m
+                # self-similarity off the candidate list, block-relative
+                S[np.arange(b1 - b0), np.arange(b0, b1)] = -np.inf
+                # top-k per row: argpartition then exact (cos desc, id asc)
+                part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+                for r in range(b1 - b0):
+                    cols = part[r]
+                    order = sorted(
+                        cols, key=lambda c: (-S[r, c], ids[c])
+                    )
+                    src_out.extend([ids[b0 + r]] * len(order))
+                    dst_out.extend(ids[c] for c in order)
+                    cos_out.extend(S[r, c] for c in order)
             return pd.DataFrame(
                 {"src": src_out, "dst": dst_out, "cos": cos_out}
             )
@@ -156,6 +180,137 @@ def build_knn_graph(
     )
 
 
+def refine_knn_graph(
+    graph: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    degree: int = 8,
+    rounds: int = 1,
+) -> DataFrame:
+    """NN-descent refinement of an approximate kNN graph (Dong et al.,
+    WWW'11): a node's true neighbors are overwhelmingly neighbors of its
+    current approximate neighbors, so each round scores the 2-hop
+    closure and keeps the per-node top-``degree`` — recovering exactly
+    the cross-cell edges an ivf-built graph misses, without another
+    pass over the quantizer.
+
+    Candidate set per round, as plain DataFrame joins (no Python in the
+    loop): current out-edges ∪ reversed edges ∪ out∘out 2-hop — at most
+    ``2d + d²`` candidates per node, one equi-join on the shared
+    endpoint, so a round costs O(|V|·d²) scored pairs regardless of
+    corpus size (the classic full local-join without NN-descent's
+    sampling ρ, which matters only at degrees far above these).
+    Scoring is the codegen'd HOF cosine; per-round ``localCheckpoint``
+    keeps lineage linear in ``rounds``. Deterministic: (cos desc, id)
+    tie-breaks, no sampling.
+
+    Measured (tools/graph_sf1.py, 20k vectors): one round lifts the
+    ivf-built graph's exact-edge overlap and the downstream beam recall
+    at equal degree — see SCALE_SF1.md.
+    """
+    vecs_s = vectors.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("__vs")
+    )
+    vecs_d = vectors.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("__vd")
+    )
+    edges = graph.select("src", "dst")
+    w = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
+    for _ in range(rounds):
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        hop2 = (
+            edges.alias("a")
+            .join(
+                edges.alias("b"),
+                F.col("a.dst") == F.col("b.src"),
+            )
+            .select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+        )
+        cand = (
+            edges.unionByName(rev)
+            .unionByName(hop2)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        edges = (
+            cand.join(vecs_s, "src")
+            .join(vecs_d, "dst")
+            .select(
+                "src",
+                "dst",
+                cosine_similarity("__vs", "__vd").alias("__cos"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= degree)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return edges
+
+
+def ivf_entry_points(
+    ivf,
+    queries: DataFrame,
+    id_col: str,
+    query_key: str = "query_id",
+    query_vector_col: str = "query_vec",
+    nprobe: int = 4,
+    per_cell: int = 1,
+) -> DataFrame:
+    """Query-adaptive beam entries from an IVF coarse quantizer: each
+    query's ``nprobe`` most-aligned cells contribute their ``per_cell``
+    most-central members (max cosine to the cell centroid, id
+    tie-break) — the flat-graph analog of HNSW's coarse routing layer,
+    built from machinery the index already has. A fixed global entry
+    list starts every walk from the same corner of the graph and pays
+    hops crossing to the query's neighborhood; centroid-routed entries
+    start the walk inside it (measured in ANN_FRONTIER.md: >= recall at
+    fewer scored rows for equal beam/hops).
+
+    Returns ``(query_key, id_col)`` — the ``entries`` argument of
+    :func:`beam_search`. Everything is DataFrame ops: cell
+    representatives are one window over the assigned corpus (computed
+    once per index, |cells|·per_cell rows), the query side is the same
+    codegen'd top-nprobe cell assignment ``IVFIndex.assign_cells`` uses,
+    and the join is on the cell id.
+    """
+    from .vector_index import _query_literal
+
+    cents = F.array(*[_query_literal(c) for c in ivf.centroids])
+    member_score = cosine_similarity(
+        F.col("__v"), F.element_at(cents, F.col("centroid_id") + 1)
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("__cs"), F.asc("__id")
+    )
+    reps = (
+        ivf.assigned.select(
+            F.col(ivf.key).alias("__id"),
+            F.col(ivf.vector_col).alias("__v"),
+            "centroid_id",
+        )
+        .withColumn("__cs", member_score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_cell)
+        .select("centroid_id", "__id")
+    )
+    qcells = ivf.assign_cells(
+        queries.select(query_key, query_vector_col),
+        query_vector_col,
+        nprobe,
+    ).select(query_key, "centroid_id")
+    return (
+        qcells.join(F.broadcast(reps), "centroid_id")
+        .select(query_key, F.col("__id").alias(id_col))
+        .distinct()
+    )
+
+
 def beam_search(
     graph: DataFrame,
     vectors: DataFrame,
@@ -170,18 +325,26 @@ def beam_search(
     query_vector_col: str = "query_vec",
     score_col: str = "score",
     stats: list | None = None,
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Batched NSW beam search over a kNN graph.
 
-    Every query starts from the same deterministic ``entry_ids``
-    (default: none given → caller must pass them; fixed entries are the
-    flat-graph analog of HNSW's single top-layer entry point). Per hop:
-    expand the current per-query beam through the edge table, score the
-    new candidates, keep the per-query top-``beam`` of old ∪ new.
-    Returns the per-query top-``k``: ``(query_key, id_col, score)``,
-    score = cosine, ordered within query by (score desc, id).
+    Entry points come from exactly one of two sources:
 
-    Determinism: fixed graph + fixed entries + (score desc, id)
+    - ``entry_ids``: a fixed id list shared by every query — the
+      flat-graph analog of HNSW's single top-layer entry point, and the
+      deterministic fixture the registry oracle replays;
+    - ``entries``: a ``(query_key, id_col)`` DataFrame of per-query
+      entry points — the query-adaptive tier (see
+      :func:`ivf_entry_points`), which starts each walk inside the
+      query's own neighborhood.
+
+    Per hop: expand the current per-query beam through the edge table,
+    score the new candidates, keep the per-query top-``beam`` of old ∪
+    new. Returns the per-query top-``k``: ``(query_key, id_col,
+    score)``, score = cosine, ordered within query by (score desc, id).
+
+    Determinism: fixed graph + deterministic entries + (score desc, id)
     tie-breaks make the whole walk a pure function of the tables — the
     unrolled-SQL oracle replays it hop for hop.
 
@@ -190,8 +353,11 @@ def beam_search(
     the probe-cost metric ANN_FRONTIER.md records. Costs one extra
     count action per hop; leave None on the hot path.
     """
-    if not entry_ids:
-        raise ValueError("entry_ids must be a non-empty id list")
+    if (entries is None) == (not entry_ids):
+        raise ValueError(
+            "exactly one of entry_ids (non-empty id list) or entries "
+            "(per-query DataFrame) is required"
+        )
     q = queries.select(
         F.col(query_key).alias("__qid"),
         F.col(query_vector_col).alias("__qv"),
@@ -199,14 +365,19 @@ def beam_search(
     vecs = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
-    entry = vecs.filter(F.col("__id").isin(list(entry_ids)))
-    state = (
-        q.crossJoin(F.broadcast(entry))
-        .select(
-            "__qid",
-            "__id",
-            cosine_similarity("__qv", "__v").alias("__s"),
+    if entries is not None:
+        seed = entries.select(
+            F.col(query_key).alias("__qid"),
+            F.col(id_col).alias("__id"),
         )
+        state = seed.join(q, "__qid").join(vecs, "__id")
+    else:
+        entry = vecs.filter(F.col("__id").isin(list(entry_ids)))
+        state = q.crossJoin(F.broadcast(entry))
+    state = state.select(
+        "__qid",
+        "__id",
+        cosine_similarity("__qv", "__v").alias("__s"),
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("__id"))
 
