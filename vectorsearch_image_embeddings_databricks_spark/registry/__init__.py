@@ -46,50 +46,41 @@ del _m, _k, _v
 #: behavior, not a guarantee; nothing here may hard-depend on it (the
 #: parity test bounds the list at ≤50 instead of pinning ==50).
 DRIVER_PRIORITY: list[str] = [
-    # ROUND-4 ROTATION (r3 verdict "Next round" #1): the window is spent
-    # on (a) the 7 queries whose implementation or oracle changed this
-    # round, then (b) 43 of the 58 queries that have NEVER had a driver
-    # CORRECTNESS row (all judge-replay-green at r3; driver-green is the
-    # hard signal). The 14 left for r5 are replay-pinned analogs pinned by
-    # tools/replay.py in CI and the robustness matrix — lowest
-    # re-verification value: above_avg_balance_no_orders,
-    # bolt_stock_suppliers, brand_bracket_revenue,
-    # cheapest_supplier_per_part, customers_without_orders,
-    # large_volume_customers, late_order_priority,
-    # linestatus_priority_counts, market_share, promo_revenue,
-    # bigram_top (simple explode/count, replay-pinned — displaced by the
-    # simhash oracle conversion),
-    # small_qty_revenue, top_supplier_revenue, volume_shipping.
-    # --- (a) changed or added this round: re-verify first ---
-    "knn_graph_beam",              # NEW: graph ANN tier (unrolled-SQL oracle)
-    "temperature_mixture_quotas",  # decimal + largest-remainder rewrite
-    "ann_ivf_knn",                 # converted rows-only -> hash row
-    "stratified_sample_docs",      # converted rows-only -> hash row
-    "near_dedup_keep_best",        # pair stage now PPJoin prefix tier
-    "dup_reach_recursive",         # pair stage now PPJoin prefix tier
-    "triangle_count_parts",        # single-pass wedge-join rewrite
-    "simhash_near_dup",            # converted rows-only -> hash row (md5 twin)
-    # --- (b) never driver-verified, heaviest machinery first (the ten
-    #     the r3 verdict called out by name) ---
-    "streaming_sessions_state", "streaming_interval_join_state",
-    "events_gapfill_hourly", "winsorized_value_stats", "kmeans_assign",
-    "pq_encode_stats", "pq_adc_recall", "dpp_returnflag_revenue",
-    "matryoshka_recall", "hard_negative_triplets",
-    # --- (b) never driver-verified, remainder ---
-    "ann_recall_report", "approx_sketch_stats",
-    "chunk_documents", "customer_order_distribution",
-    "customer_order_gaps", "customer_spend_rank",
-    "deterministic_sample_md5", "doc_length_histogram",
-    "edit_distance_pairs", "embedding_centroids",
-    "embedding_quantization", "events_ohlc_hourly", "file_provenance",
-    "formats_roundtrip_stats", "funnel_view_click",
-    "grouping_sets_revenue", "important_part_values",
-    "k_anonymity_audit", "knn_l2", "lateral_latest_order",
-    "monthly_revenue_trend", "order_priority_pivot",
-    "parts_supplier_counts", "profit_by_nation_year",
-    "repetition_summary", "rerank_token_overlap", "retention_cohorts",
-    "returned_item_losses", "source_regexp_stats", "waiting_suppliers",
-    "vocab_oov_stats", "weighted_sample_docs",
+    # ROUND-5 ROTATION (r4 verdict "Next round" #2): (a) every query
+    # whose implementation or oracle changed this round, then (b) the
+    # final 14 queries that have NEVER had a driver CORRECTNESS row —
+    # the TPC-H analogs deferred from r4 (all judge-replay-green in the
+    # r4 verdict's independent sf0.01 replay); with these, cumulative
+    # driver-green coverage reaches every registry query. The remaining
+    # slots (c) RE-pin the queries whose last driver row is oldest
+    # (rounds 1-2), heaviest machinery first.
+    # --- (a) changed or added this round: verify first ---
+    "cosine_lsh_near_dup",  # re-pinned: auto-sized banding, dup-grade
+                            # threshold, count-derived oracle ladder
+    "brp_lsh_recall",       # NEW: BRP-LSH recall audit hash row
+    "ann_lsh_knn",          # converted rows-only -> hash row (exact-
+                            # contract oracle, full-recall config)
+    "knn_graph_beam",       # beam_search entry seeding refactored
+                            # (adaptive-entries tier added)
+    # --- (b) the last 14 never-driver-verified queries ---
+    "above_avg_balance_no_orders", "bolt_stock_suppliers",
+    "brand_bracket_revenue", "cheapest_supplier_per_part",
+    "customers_without_orders", "large_volume_customers",
+    "late_order_priority", "linestatus_priority_counts",
+    "market_share", "promo_revenue", "bigram_top",
+    "small_qty_revenue", "top_supplier_revenue", "volume_shipping",
+    # --- (c) oldest driver rows (r1/r2), heaviest machinery first ---
+    "knn_exact", "knn_batch", "hybrid_rrf", "minhash_near_dedup",
+    "near_dup_pairs_jaccard", "dedup_exact_summary",
+    "embed_documents_stub", "incremental_refresh", "continuous_rollup",
+    "scd2_customers", "curation_pipeline", "corpus_stats",
+    "text_quality", "token_counts", "lang_id_pred", "audio_chunks",
+    "rolling_fingerprints", "pricing_summary", "forecast_revenue",
+    "shipping_priority", "region_revenue", "top_orders_per_customer",
+    "events_daily", "events_json", "asof_click_attribution",
+    "session_stats", "rollup_revenue", "range_join_events",
+    "events_hourly_window", "events_sliding_window",
+    "cube_order_stats", "order_quartiles",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:
