@@ -152,6 +152,13 @@ NEW_OPS = [
     # in SCALE_SF1.md rather than here.
     "knn_graph_beam",
     "stratified_sample_docs",
+    # round 5 additions (knn_graph_beam_adaptive shares the exact
+    # oracle-tier build; brp_lsh_recall is the 16-probe LSH audit;
+    # cosine_lsh_near_dup joins the bench now that its committed
+    # banding is the auto-sized, scale-linear configuration)
+    "knn_graph_beam_adaptive",
+    "brp_lsh_recall",
+    "cosine_lsh_near_dup",
 ]
 
 

@@ -166,7 +166,18 @@ def main() -> None:
     from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
         beam_search,
         build_knn_graph,
+        ivf_entry_points,
+        refine_knn_graph,
     )
+
+    # adaptive entries share the IVF coarse quantizer already swept
+    # above: 8 probed cells x 1 central member = 8 entries per query,
+    # the same entry count as the fixed [0..7] list — an apples-to-
+    # apples comparison of WHERE the walk starts.
+    entry_ivf = IVFIndex(emb, nlist=NLIST, replication=1, seed=42)
+    adaptive_entries = ivf_entry_points(
+        entry_ivf, queries, "vec_id", nprobe=8, per_cell=1
+    ).localCheckpoint(eager=True)
 
     for degree, beam, hops in (
         (8, 8, 3), (8, 24, 4),
@@ -175,22 +186,50 @@ def main() -> None:
         graph = build_knn_graph(
             emb, "vec_id", "embedding", degree=degree
         ).localCheckpoint(eager=True)
+        for mode in ("fixed", "adaptive"):
+            t0 = time.time()
+            stats: list[int] = []
+            res = beam_search(
+                graph, emb, queries, "vec_id", "embedding",
+                k=K, beam=beam, hops=hops,
+                entry_ids=(
+                    [0, 1, 2, 3, 4, 5, 6, 7] if mode == "fixed" else None
+                ),
+                entries=(adaptive_entries if mode == "adaptive" else None),
+                stats=stats,
+            )
+            hits = {
+                (r["query_id"], r["vec_id"])
+                for r in res.collect()
+            }
+            suffix = "" if mode == "fixed" else "_adapt"
+            record(
+                f"knn_graph_d{degree}_b{beam}_h{hops}{suffix}", hops, 1,
+                hits, sum(stats), time.time() - t0,
+            )
+
+    # ------- production build path: ivf-built graph + NN-descent ---- #
+    # The rows above walk the EXACT-built graph (the oracle tier). The
+    # corpus-scale build is strategy='ivf' (blocked per-cell matmul);
+    # one NN-descent round then recovers cross-cell edges. Both walked
+    # at the same beam/hops with adaptive entries.
+    ivf_graph = build_knn_graph(
+        emb, "vec_id", "embedding", degree=12,
+        strategy="ivf", nlist=NLIST, nprobe=4,
+    ).localCheckpoint(eager=True)
+    refined = refine_knn_graph(
+        ivf_graph, emb, "vec_id", "embedding", degree=12, rounds=1
+    )
+    for tier, g in (("ivfgraph_d12", ivf_graph), ("ivfgraph_nnd1_d12", refined)):
         t0 = time.time()
-        stats: list[int] = []
+        stats = []
         res = beam_search(
-            graph, emb, queries, "vec_id", "embedding",
-            k=K, beam=beam, hops=hops,
-            entry_ids=[0, 1, 2, 3, 4, 5, 6, 7],
-            stats=stats,
+            g, emb, queries, "vec_id", "embedding",
+            k=K, beam=24, hops=4, entries=adaptive_entries, stats=stats,
         )
-        hits = {
-            (r["query_id"], r["vec_id"])
-            for r in res.collect()
-        }
-        record(
-            f"knn_graph_d{degree}_b{beam}_h{hops}", hops, 1, hits,
-            sum(stats), time.time() - t0,
-        )
+        hits = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+        record(f"{tier}_b24_h4_adapt", 4, 1, hits, sum(stats),
+               time.time() - t0)
 
     # ---------------- write the artifact ---------------- #
     lines = [

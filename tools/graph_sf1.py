@@ -88,6 +88,70 @@ def main() -> None:
             f"recall@5={recall:.4f}  rows_scored={sum(stats)} "
             f"({sum(stats) / (32 * n):.4%} of 32x corpus)"
         )
+
+    # ---- round-5 additions: adaptive entries + NN-descent refine ---- #
+    from vectorsearch_image_embeddings_databricks_spark.index.ann import (
+        IVFIndex,
+    )
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+        ivf_entry_points,
+        refine_knn_graph,
+    )
+
+    # exact ground-truth GRAPH via the single-cell blocked matmul
+    # (nlist=1 puts the whole corpus in one cell; the block guard keeps
+    # the allocation bounded) — for edge-overlap measurements.
+    t0 = time.time()
+    exact_graph = build_knn_graph(
+        emb, "vec_id", "embedding", degree=12,
+        strategy="ivf", nlist=1, nprobe=1,
+    ).localCheckpoint(eager=True)
+    n_exact_edges = exact_graph.count()
+    t_exact_graph = time.time() - t0
+
+    t0 = time.time()
+    refined = refine_knn_graph(
+        graph, emb, "vec_id", "embedding", degree=12, rounds=1
+    )
+    t_refine = time.time() - t0
+    ov_raw = graph.join(exact_graph, ["src", "dst"]).count() / n_exact_edges
+    ov_ref = refined.join(exact_graph, ["src", "dst"]).count() / n_exact_edges
+    print(
+        f"exact_graph(blocked single-cell)={t_exact_graph:.1f}s  "
+        f"refine(1 round)={t_refine:.1f}s  "
+        f"edge_overlap raw={ov_raw:.4f} refined={ov_ref:.4f}"
+    )
+
+    entry_ivf = IVFIndex(
+        emb, key="vec_id", vector_col="embedding",
+        nlist=64, replication=1, seed=42,
+    )
+    entries = ivf_entry_points(
+        entry_ivf, queries, "vec_id", nprobe=8, per_cell=1
+    ).localCheckpoint(eager=True)
+    for label, g in (("raw", graph), ("nnd1", refined)):
+        for mode in ("fixed", "adaptive"):
+            for beam, hops in ((32, 5), (48, 6)):
+                t0 = time.time()
+                stats = []
+                res = beam_search(
+                    g, emb, queries, "vec_id", "embedding",
+                    k=5, beam=beam, hops=hops,
+                    entry_ids=(
+                        [0, 1, 2, 3, 4, 5, 6, 7]
+                        if mode == "fixed" else None
+                    ),
+                    entries=(entries if mode == "adaptive" else None),
+                    stats=stats,
+                )
+                got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+                recall = len(exact & got) / len(exact)
+                print(
+                    f"search({label} {mode} b{beam} h{hops})="
+                    f"{time.time() - t0:.1f}s  recall@5={recall:.4f}  "
+                    f"rows_scored={sum(stats)} "
+                    f"({sum(stats) / (32 * n):.4%} of 32x corpus)"
+                )
     spark.stop()
 
 

@@ -41,8 +41,19 @@ def salted_join(
         else F.struct(*[F.col(c) for c in left.columns])
     )
     lhs = left.withColumn("__salt", F.pmod(F.xxhash64(basis), F.lit(salt)))
+    # Force a SORT-MERGE join: salting exists precisely for the both-
+    # sides-large case, but Catalyst sizes the replicated right side
+    # from the pre-explode file stats and will happily auto-BROADCAST
+    # it — at 10x bench scale that's salt x |right| rows materialized
+    # on the driver (measured: driver OOM at sf1), and a broadcastable
+    # right side would not need salting in the first place. The merge
+    # hint outranks the size-based broadcast choice, keeps the
+    # salt-balanced partitioning the operator is for, AND spills: a
+    # shuffle-hash build of the replicated side's per-partition hash
+    # map is itself an OOM at memory-constrained executors (also
+    # measured at sf1), where sort-merge degrades to disk gracefully.
     rhs = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    )
+    ).hint("merge")
     out = lhs.join(rhs, on=[key, "__salt"], how=how)
     return out.drop("__salt")

@@ -60,8 +60,12 @@ DRIVER_PRIORITY: list[str] = [
     "brp_lsh_recall",       # NEW: BRP-LSH recall audit hash row
     "ann_lsh_knn",          # converted rows-only -> hash row (exact-
                             # contract oracle, full-recall config)
+    "knn_graph_beam_adaptive",  # NEW: query-adaptive entries
+                                # (IVF-routed), unrolled-SQL oracle
     "knn_graph_beam",       # beam_search entry seeding refactored
                             # (adaptive-entries tier added)
+    "salted_priority_revenue",  # join strategy pinned to merge (sf1
+                                # auto-broadcast OOM fix, SF1_VALUES.md)
     # --- (b) the last 14 never-driver-verified queries ---
     "above_avg_balance_no_orders", "bolt_stock_suppliers",
     "brand_bracket_revenue", "cheapest_supplier_per_part",
@@ -80,7 +84,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_daily", "events_json", "asof_click_attribution",
     "session_stats", "rollup_revenue", "range_join_events",
     "events_hourly_window", "events_sliding_window",
-    "cube_order_stats", "order_quartiles",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -442,6 +442,130 @@ def knn_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRAPH_ENTRY_NPROBE = 4
+
+
+@register(
+    "knn_graph_beam_adaptive",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    e0 AS (
+        SELECT a.id AS src, b.id AS dst,
+               row_number() OVER (
+                   PARTITION BY a.id
+                   ORDER BY list_cosine_similarity(a.vec, b.vec) DESC,
+                            b.id) AS rn
+        FROM v a JOIN v b ON a.id <> b.id
+    ),
+    g AS (SELECT src, dst FROM e0 WHERE rn <= {GRAPH_DEGREE}),
+    q AS (SELECT id AS qid, vec AS qv FROM v WHERE id < {GRAPH_NQ}),
+    cents AS (
+        SELECT id AS cell, vec AS cv FROM v WHERE id < {ANN_IVF_NLIST}
+    ),
+    assign AS (
+        SELECT v.id, c.cell,
+               row_number() OVER (
+                   PARTITION BY v.id
+                   ORDER BY list_inner_product(v.vec, c.cv) DESC, c.cell)
+                   AS rn
+        FROM v CROSS JOIN cents c
+    ),
+    reps AS (
+        SELECT cell, id FROM (
+            SELECT a.cell, v.id,
+                   row_number() OVER (
+                       PARTITION BY a.cell
+                       ORDER BY list_cosine_similarity(v.vec, c.cv) DESC,
+                                v.id) AS rn
+            FROM assign a
+            JOIN v ON v.id = a.id
+            JOIN cents c ON c.cell = a.cell
+            WHERE a.rn = 1
+        ) WHERE rn = 1
+    ),
+    qc AS (
+        SELECT q.qid, c.cell,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_inner_product(q.qv, c.cv) DESC, c.cell)
+                   AS rn
+        FROM q CROSS JOIN cents c
+    ),
+    ent AS (
+        SELECT DISTINCT qc.qid, r.id
+        FROM qc JOIN reps r ON r.cell = qc.cell
+        WHERE qc.rn <= {GRAPH_ENTRY_NPROBE}
+    ),
+    s0 AS (
+        SELECT ent.qid, ent.id, list_cosine_similarity(q.qv, v.vec) AS s
+        FROM ent JOIN q ON q.qid = ent.qid JOIN v ON v.id = ent.id
+    ),
+    b0 AS (
+        SELECT qid, id, s FROM (
+            SELECT s0.*, row_number() OVER (
+                PARTITION BY qid ORDER BY s DESC, id) AS rn
+            FROM s0
+        ) WHERE rn <= {GRAPH_BEAM}
+    ),
+    {",".join(_graph_hop_sql(i).lstrip() for i in range(GRAPH_HOPS))}
+    SELECT qid AS query_id, id AS vec_id, round(s, 6) AS score
+    FROM (
+        SELECT b{GRAPH_HOPS}.*, row_number() OVER (
+            PARTITION BY qid ORDER BY s DESC, id) AS rn
+        FROM b{GRAPH_HOPS}
+    ) WHERE rn <= {KNN_K}
+    """,
+)
+def knn_graph_beam_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUERY-ADAPTIVE entry tier of the graph-ANN walk (r4 verdict
+    #4), hash-verified end to end: entries come from the IVF coarse
+    quantizer (each query's top-{GRAPH_ENTRY_NPROBE} cells contribute
+    their most-central member) instead of a fixed id list — HNSW's
+    routing layer re-expressed as two window ranks and a cell join.
+    Seeded-centroid convention (cells = embeddings of the {ANN_IVF_NLIST}
+    smallest vec_ids, the ann_ivf_knn technique) makes the entry
+    derivation SQL-replayable; the walk itself is the same unrolled
+    beam oracle as knn_graph_beam. Probe cost unchanged
+    (entries + hops·beam·degree, corpus-size-independent); what moves
+    is WHERE the walk starts — inside the query's own neighborhood
+    (measured in ANN_FRONTIER.md: >= recall at <= rows scored vs the
+    fixed-entry row at equal beam/hops)."""
+    from ..index.ann import IVFIndex
+    from ..index.graph_ann import beam_search, build_knn_graph, ivf_entry_points
+
+    emb = load_embeddings(spark, sf_dir)
+    seed_rows = (
+        emb.filter(F.col("vec_id") < ANN_IVF_NLIST)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    ivf = IVFIndex(
+        emb, key="vec_id", vector_col="embedding",
+        nlist=ANN_IVF_NLIST, replication=1, centroids=cents,
+    )
+    graph = build_knn_graph(
+        emb, "vec_id", "embedding", degree=GRAPH_DEGREE
+    ).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < GRAPH_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    entries = ivf_entry_points(
+        ivf, queries, "vec_id", nprobe=GRAPH_ENTRY_NPROBE, per_cell=1
+    )
+    res = beam_search(
+        graph, emb, queries, "vec_id", "embedding",
+        k=KNN_K, beam=GRAPH_BEAM, hops=GRAPH_HOPS, entries=entries,
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 @register("ann_recall_report")
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible ANN quality audit: per-query recall@5 of the IVF
