@@ -159,6 +159,7 @@ NEW_OPS = [
     "knn_graph_beam_adaptive",
     "brp_lsh_recall",
     "cosine_lsh_near_dup",
+    "bpe_train_merges",
 ]
 
 

@@ -43,6 +43,75 @@ def test_bpe_pair_work_is_vocab_sized(spark):
     assert gen_pos != -1 and agg_pos != -1  # explode sits ABOVE an aggregate
 
 
+def _reference_bpe(word_counts: dict[str, int], merges: int):
+    """Textbook greedy BPE (Sennrich et al. 2016): explicit list-walk
+    re-segmentation, left-to-right non-overlapping — the semantics the
+    distributed string-replace formulation must reproduce exactly."""
+    words = {w: (list(w), f) for w, f in word_counts.items()}
+    out = []
+    for r in range(merges):
+        pc: dict[tuple, int] = {}
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + f
+        if not pc:
+            break
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r + 1, a, b, a + b, c))
+        for w, (syms, f) in words.items():
+            seg, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    seg.append(a + b)
+                    i += 2
+                else:
+                    seg.append(syms[i])
+                    i += 1
+            words[w] = (seg, f)
+    return out
+
+
+def test_bpe_train_matches_reference_greedy(spark):
+    """The full training loop against the textbook implementation,
+    including the overlap traps: 'aaaa' must re-segment to (aa)(aa)
+    not (aa)a a, runs of the merged pair must not chain through their
+    own replacement, and count ties must break lexicographically."""
+    text = "aaaa aaa low lower lowest low low newer new wider aab abab"
+    docs = spark.createDataFrame(
+        [(0, text), (1, text), (2, "aaaa zz zz")],
+        "doc_id long, text string",
+    )
+    wc: dict[str, int] = {}
+    for row in [text, text, "aaaa zz zz"]:
+        for w in row.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want = _reference_bpe(wc, merges=8)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in textstats.bpe_train(docs, "text", merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    # 'aa' must be an early merge (count 3*2 inside aaaa + ...) and the
+    # second-round count must reflect NON-overlapping resegmentation
+    assert any(m[3] == "aa" for m in got)
+
+
+def test_bpe_train_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, "remerge remerge merge merges") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = textstats.bpe_train(docs, "text", merges=5).collect()
+    b = textstats.bpe_train(docs.repartition(7), "text", merges=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_temperature_quotas_alpha_half(spark):
     docs = spark.createDataFrame(
         [(i, "en") for i in range(100)] + [(i + 100, "fr") for i in range(25)],

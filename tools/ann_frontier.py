@@ -281,6 +281,25 @@ def main() -> None:
         "per query — 0.06% of a 1M-vector corpus), where IVF needs "
         "~the whole corpus; the hash-verified registry row is "
         "knn_graph_beam.",
+        "- `_adapt` rows (round 5) swap the fixed entry list for "
+        "QUERY-ADAPTIVE entries routed through the IVF coarse "
+        "quantizer (index.graph_ann.ivf_entry_points — HNSW's routing "
+        "layer as a cell join; same entry count per query). At every "
+        "config the walk starts inside the query's neighborhood: "
+        "recall is >= the fixed-entry row at <= rows scored where the "
+        "budget was the binding constraint (d8_b8_h3 0.59 -> 0.66, "
+        "d8_b24_h4 0.88 -> 0.93 with fewer rows, d12_b16_h4 0.96 -> "
+        "0.99) and identical at saturation. The hash-verified registry "
+        "row is knn_graph_beam_adaptive (seeded-centroid entry "
+        "derivation + unrolled walk, all in SQL).",
+        "- `ivfgraph_*` rows walk the PRODUCTION-BUILT graph "
+        "(strategy='ivf' blocked matmul) rather than the exact build: "
+        "at this corpus the nlist=16/nprobe=4 build already matches "
+        "exact-build recall (0.9875 at b24 h4), and one NN-descent "
+        "round (`refine_knn_graph`) holds it while repairing the "
+        "coarse-build edge set (strict overlap improvement is "
+        "pytest-pinned on a deliberately coarse graph; the sf1 "
+        "measurement is in SCALE_SF1.md).",
         "",
         "```json",
         json.dumps({"sf_dir": SF_DIR, "results": results}),

@@ -695,6 +695,96 @@ def bpe_pair_counts(
     )
 
 
+# Symbol framing for the BPE training loop: every symbol in a word's
+# working representation is wrapped \x01<symbol>\x02, so a merge is ONE
+# string replace of "\x01a\x02\x01b\x02" with "\x01ab\x02" — and
+# because engines scan replace() left-to-right without re-matching
+# inside a replacement, that single replace IS greedy non-overlapping
+# BPE re-segmentation (the framing makes cross-symbol substring matches
+# impossible; verified equal to a reference list-walk implementation in
+# pytest). Control bytes never occur in whitespace-tokenized text.
+_BPE_OPEN = "\x01"
+_BPE_CLOSE = "\x02"
+
+
+def bpe_train(df: DataFrame, text_col: str, merges: int = 8) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) —
+    the full merge loop, not just one pair statistic (bpe_pair_counts is
+    the inner step). Returns the learned merge table:
+    ``(merge_rank, lhs, rhs, merged, pair_count)``.
+
+    Per merge round, everything stays distributed and vocabulary-sized:
+    pair counts explode from DISTINCT words weighted by corpus
+    frequency (the corpus itself was collapsed to the word-frequency
+    table by ONE token-key shuffle up front), the argmax pair is a
+    1-row collect (count desc, then lexicographic — deterministic), and
+    re-segmentation is one codegen'd string replace over the vocab.
+    Driver state = the merge list. At 100 TB: corpus-sized work happens
+    exactly once; each of the (bounded, caller-chosen) merge rounds
+    costs one vocab-sized aggregate + map — the same driver-loop
+    contract as the k-means/IVF trainers. ``localCheckpoint`` per round
+    keeps lineage linear in ``merges``.
+    """
+    from ..functions.text import tokenize
+
+    spark = df.sparkSession
+    wc = (
+        df.select(F.explode(tokenize(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    state = wc.select(
+        F.regexp_replace(
+            "t", "(.)", f"{_BPE_OPEN}$1{_BPE_CLOSE}"
+        ).alias("enc"),
+        "f",
+    ).localCheckpoint(eager=False)
+    learned: list[tuple] = []
+    sep = _BPE_CLOSE + _BPE_OPEN
+    for r in range(merges):
+        syms = F.split(
+            F.expr("substring(enc, 2, length(enc) - 2)"), sep
+        )
+        pairs = (
+            state.select(syms.alias("s"), "f")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("a"),
+                            F.element_at("s", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b, c = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["c"])
+        learned.append((r + 1, a, b, a + b, c))
+        state = state.select(
+            F.replace(
+                "enc",
+                F.lit(_BPE_OPEN + a + _BPE_CLOSE + _BPE_OPEN + b + _BPE_CLOSE),
+                F.lit(_BPE_OPEN + a + b + _BPE_CLOSE),
+            ).alias("enc"),
+            "f",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        learned,
+        "merge_rank int, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )
+
+
 def char_entropy(
     df: DataFrame,
     id_col: str,

@@ -1495,3 +1495,73 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# E88 — BPE tokenizer training loop (round 5): the full merge loop over
+# the corpus, not just the single-pair statistic of
+# bpe_merge_candidates. The oracle unrolls every merge round in SQL —
+# the same unrolling discipline as the graph-beam walk — using the
+# identical \x01-framed string representation and left-to-right
+# non-overlapping replace() semantics (verified equal to a reference
+# list-walk BPE in pytest).
+# --------------------------------------------------------------------- #
+
+BPE_TRAIN_MERGES = 6
+
+
+def _bpe_round_ctes(i: int) -> str:
+    """One unrolled BPE merge round: weighted pair counts over the
+    framed vocab w{i}, 1-row argmax b{i} (count desc, lexicographic),
+    re-segmented vocab w{i+1} via one replace."""
+    return f"""
+    p{i} AS (
+        SELECT p.a AS a, p.b AS b, sum(f) AS c FROM (
+            SELECT unnest(list_transform(range(1, len(s)),
+                          j -> {{'a': s[j], 'b': s[j+1]}})) AS p, f
+            FROM (SELECT string_split(substr(enc, 2, length(enc) - 2),
+                         chr(2) || chr(1)) AS s, f FROM w{i})
+        ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    w{i + 1} AS (
+        SELECT replace(enc, chr(1)||a||chr(2)||chr(1)||b||chr(2),
+                       chr(1)||a||b||chr(2)) AS enc, f
+        FROM w{i} CROSS JOIN b{i}
+    )"""
+
+
+@register(
+    "bpe_train_merges",
+    oracle="""
+    WITH wc AS (
+        SELECT t, count(*) AS f FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS t
+            FROM documents
+        ) GROUP BY t
+    ),
+    w0 AS (
+        SELECT regexp_replace(t, '(.)', chr(1) || '\\1' || chr(2), 'g')
+                   AS enc, f
+        FROM wc
+    ),"""
+    + ",".join(_bpe_round_ctes(i) for i in range(BPE_TRAIN_MERGES))
+    + " "
+    + " UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, a AS lhs, b AS rhs, "
+        f"a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(BPE_TRAIN_MERGES)
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E88: BPE tokenizer training — the first {6} learned merges with
+    their corpus pair counts. Corpus-sized work happens exactly once
+    (the token-key shuffle that builds the word-frequency table); each
+    merge round is a vocab-sized pair aggregate + a 1-row argmax + one
+    codegen'd string replace (operators/textstats.py::bpe_train).
+    Deterministic (integer counts, lexicographic tie-breaks), so the
+    whole loop replays round-for-round in unrolled SQL."""
+    from ..operators.textstats import bpe_train
+
+    docs = load_docs(spark, sf_dir)
+    return bpe_train(docs, "text", merges=BPE_TRAIN_MERGES).select(
+        "merge_rank", "lhs", "rhs", "merged", "pair_count"
+    )
