@@ -160,6 +160,7 @@ NEW_OPS = [
     "brp_lsh_recall",
     "cosine_lsh_near_dup",
     "bpe_train_merges",
+    "bpe_vocab_coverage",
 ]
 
 

@@ -102,6 +102,44 @@ def test_bpe_train_matches_reference_greedy(spark):
     assert any(m[3] == "aa" for m in got)
 
 
+def test_bpe_segment_roundtrip_and_reference_equality(spark):
+    """Applying the learned merges must (a) re-concatenate to the
+    original token (lossless segmentation) and (b) produce the same
+    symbol sequences as the reference list-walk applied to the same
+    merge list."""
+    text = "aaaa aaa banana bandana low lower lowest"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    wc: dict[str, int] = {}
+    for w in (text + " " + text + " " + text).split(" "):
+        wc[w] = wc.get(w, 0) + 1
+    ref = _reference_bpe(wc, merges=6)
+    merges = [(m[1], m[2]) for m in ref]
+    seg = {
+        r["token"]: (r["corpus_count"], r["symbols"])
+        for r in textstats.bpe_segment(docs, "text", merges).collect()
+    }
+    # reference segmentation: replay the walk on the final state
+    words = {w: list(w) for w in wc}
+    for a, b in merges:
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert set(seg) == set(wc)
+    for w, (cnt, syms) in seg.items():
+        assert cnt == wc[w]
+        assert "".join(syms) == w
+        assert syms == words[w], (w, syms, words[w])
+
+
 def test_bpe_train_partition_invariant(spark):
     docs = spark.createDataFrame(
         [(i, "remerge remerge merge merges") for i in range(20)],

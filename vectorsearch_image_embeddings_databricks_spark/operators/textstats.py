@@ -785,6 +785,51 @@ def bpe_train(df: DataFrame, text_col: str, merges: int = 8) -> DataFrame:
     )
 
 
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    token_col: str = "token",
+    symbols_col: str = "symbols",
+) -> DataFrame:
+    """Apply a LEARNED merge list (``bpe_train``'s output order) to
+    segment every distinct token — the inference side of the tokenizer:
+    ``(token, corpus_count, symbols array)`` per distinct token.
+
+    The whole segmentation is ONE projection over the vocab-sized
+    word-frequency table: the framed representation chains
+    ``len(merges)`` string replaces (each replay of one training round,
+    same left-to-right non-overlap semantics), then splits back to a
+    symbol array. No corpus-sized work beyond the initial token-key
+    shuffle, no Python in the plan — at 100 TB this is the map stage
+    of every downstream token-count/packing operator.
+    """
+    from ..functions.text import tokenize
+
+    wc = (
+        df.select(F.explode(tokenize(text_col)).alias(token_col))
+        .groupBy(token_col)
+        .agg(F.count("*").alias("corpus_count"))
+    )
+    enc = F.regexp_replace(
+        token_col, "(.)", f"{_BPE_OPEN}$1{_BPE_CLOSE}"
+    )
+    for a, b in merges:
+        enc = F.replace(
+            enc,
+            F.lit(_BPE_OPEN + a + _BPE_CLOSE + _BPE_OPEN + b + _BPE_CLOSE),
+            F.lit(_BPE_OPEN + a + b + _BPE_CLOSE),
+        )
+    framed = wc.withColumn("__enc", enc)
+    syms = F.split(
+        F.expr("substring(__enc, 2, length(__enc) - 2)"),
+        _BPE_CLOSE + _BPE_OPEN,
+    )
+    return framed.select(
+        token_col, "corpus_count", syms.alias(symbols_col)
+    )
+
+
 def char_entropy(
     df: DataFrame,
     id_col: str,

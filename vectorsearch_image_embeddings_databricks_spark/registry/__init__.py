@@ -68,6 +68,8 @@ DRIVER_PRIORITY: list[str] = [
                                 # auto-broadcast OOM fix, SF1_VALUES.md)
     "bpe_train_merges",     # NEW: E88 BPE training loop, unrolled-SQL
                             # oracle (hash-green sf0.01/0.1/1)
+    "bpe_vocab_coverage",   # NEW: E88 encode side (train+segment
+                            # pinned against each other in one oracle)
     # --- (b) the last 14 never-driver-verified queries ---
     "above_avg_balance_no_orders", "bolt_stock_suppliers",
     "brand_bracket_revenue", "cheapest_supplier_per_part",
@@ -85,7 +87,6 @@ DRIVER_PRIORITY: list[str] = [
     "shipping_priority", "region_revenue", "top_orders_per_customer",
     "events_daily", "events_json", "asof_click_attribution",
     "session_stats", "rollup_revenue", "range_join_events",
-    "events_hourly_window",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -1565,3 +1565,61 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", merges=BPE_TRAIN_MERGES).select(
         "merge_rank", "lhs", "rhs", "merged", "pair_count"
     )
+
+
+BPE_COVERAGE_TOP = 20
+
+
+@register(
+    "bpe_vocab_coverage",
+    oracle="""
+    WITH wc AS (
+        SELECT t, count(*) AS f FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS t
+            FROM documents
+        ) GROUP BY t
+    ),
+    w0 AS (
+        SELECT regexp_replace(t, '(.)', chr(1) || '\\1' || chr(2), 'g')
+                   AS enc, f
+        FROM wc
+    ),"""
+    + ",".join(_bpe_round_ctes(i) for i in range(BPE_TRAIN_MERGES))
+    + f"""
+    SELECT sym AS symbol, CAST(sum(f) AS BIGINT) AS n_occ FROM (
+        SELECT unnest(string_split(substr(enc, 2, length(enc) - 2),
+                      chr(2) || chr(1))) AS sym, f
+        FROM w{BPE_TRAIN_MERGES}
+    )
+    GROUP BY sym
+    ORDER BY n_occ DESC, sym
+    LIMIT {BPE_COVERAGE_TOP}
+    """,
+)
+def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E88 inference side: segment the corpus with the {6} merges
+    bpe_train just learned (operators/textstats.py::bpe_segment — the
+    whole segmentation is len(merges) chained codegen'd replaces over
+    the vocab-sized word table) and report the top-{20} symbols by
+    corpus occurrence — the vocabulary-coverage statistic a tokenizer
+    rollout monitors. The oracle re-derives the merges AND the
+    segmentation from the same unrolled CTEs, so train and encode are
+    pinned against each other: a drift in either flips the hash."""
+    from ..operators.textstats import bpe_segment, bpe_train
+
+    docs = load_docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, "text", merges=BPE_TRAIN_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    seg = bpe_segment(docs, "text", merges)
+    return (
+        seg.select(F.explode("symbols").alias("symbol"), "corpus_count")
+        .groupBy("symbol")
+        .agg(F.sum("corpus_count").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), "symbol")
+        .limit(BPE_COVERAGE_TOP)
+    )
