@@ -830,7 +830,12 @@ def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    corpus = base.unionByName(twins)
+    # The index reads the corpus several times (the sizing count, the
+    # dim probe, both sides of the banded self-join, and the survivor
+    # vector fetch) — materialize the twin-augmented corpus ONCE so the
+    # join that builds it isn't re-executed per consumer. At 100 TB
+    # this is "write the augmented table, then index it".
+    corpus = base.unionByName(twins).localCheckpoint(eager=True)
     lsh = CosineLSHIndex(corpus, key="vec_id", vector_col="embedding")
     res = lsh.similarity_self_join(LSH_DUP_THRESHOLD)
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
