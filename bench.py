@@ -161,6 +161,7 @@ NEW_OPS = [
     "cosine_lsh_near_dup",
     "bpe_train_merges",
     "bpe_vocab_coverage",
+    "quantile_sketch_audit",
 ]
 
 

@@ -150,3 +150,48 @@ def test_hll_registers_merge_by_cellwise_max(spark):
         for k, v in part.items():
             merged[k] = max(merged.get(k, 0), v)
     assert direct == merged
+
+
+def test_quantile_sketch_audit_within_bounds_and_partition_invariant(spark):
+    """E89: percentile_approx's GK rank guarantee holds on the fixture
+    (within=1 everywhere) and the audit — sketch + rank scan — is
+    invariant to input partitioning (the sketch is mergeable; the rank
+    count is associative)."""
+    from vectorsearch_image_embeddings_databricks_spark.operators.quantiles import (
+        quantile_sketch_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(("g%d" % (i % 3)), float((i * 37) % 1009)) for i in range(3000)],
+        "g string, v double",
+    )
+    out = quantile_sketch_audit(df, "g", "v", [0.1, 0.5, 0.9], accuracy=50)
+    rows = {(r["g"], r["q_micro"]): r["within"] for r in out.collect()}
+    assert len(rows) == 9
+    assert all(v == 1 for v in rows.values())
+    again = quantile_sketch_audit(
+        df.repartition(13), "g", "v", [0.1, 0.5, 0.9], accuracy=50
+    )
+    assert {(r["g"], r["q_micro"]): r["within"] for r in again.collect()} == rows
+
+
+def test_quantile_sketch_audit_rank_math_catches_bad_value(spark):
+    """Negative control for the audit arithmetic: feed the SAME rank
+    check a value far outside the quantile's rank window (the min of a
+    1000-row group audited as the 0.9-quantile at accuracy 100) and it
+    must report within=0 — i.e. the row can actually fail, the oracle's
+    expected-if-healthy answer is a real assertion."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1000)], "g string, v double"
+    )
+    # replicate the operator's closed-span rank check with v = min
+    n = 1000
+    v = 0.0
+    lt = df.filter(F.col("v") < v).count()
+    le = df.filter(F.col("v") <= v).count()
+    q_micro, eps_micro = 900000, 1_000_000 // 100
+    lo_rank, hi_rank = (lt + 1) * 1_000_000, le * 1_000_000
+    lo_b, hi_b = (q_micro - eps_micro) * n, (q_micro + eps_micro) * n
+    assert not (hi_rank >= lo_b and lo_rank <= hi_b)

@@ -179,3 +179,77 @@ def integer_zscore_outliers(
             F.sum("__is_out").alias("n_outliers"),
         )
     )
+
+
+def quantile_sketch_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+    accuracy: int = 100,
+) -> DataFrame:
+    """Rank-error audit of Spark's built-in mergeable quantile sketch
+    (``percentile_approx`` — Greenwald-Khanna): per group and target
+    quantile q, check that the sketch's returned value sits within the
+    algorithm's documented rank guarantee (|true_rank(v)/n - q| <=
+    1/accuracy). Returns ``(group, q_micro, within)`` with within = 1
+    on a healthy sketch.
+
+    This is the quantile analog of the CMS/HLL audit rows: the sketch
+    is the 100 TB path (single-pass, mergeable partial aggregates, no
+    per-group global sort — compare winsorized_stats' exact
+    range-exchange machinery, which is what you pay when you need the
+    exact order statistic), and the audit pins the accuracy contract
+    so a sketch regression or a misused accuracy knob flips a
+    hash-verified row instead of silently degrading a metric. Cost:
+    the sketch aggregate + ONE extra scan to rank the returned values
+    (|groups|·|quantiles| values broadcast into a conditional count).
+
+    Rank convention: with v the returned value, GK guarantees an
+    element whose rank is in [(q - eps)·n, (q + eps)·n]; we check that
+    the CLOSED interval [count(x < v), count(x <= v)] of ranks v spans
+    intersects it (exact for ties), entirely in integer arithmetic
+    (micro-units) so both engines agree bitwise.
+    """
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    sk = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, qs, F.lit(accuracy)).alias("__vs"),
+        F.count("*").alias("__n"),
+    )
+    per_q = sk.select(
+        group_col,
+        "__n",
+        F.posexplode("__vs").alias("__qi", "__v"),
+    )
+    ranked = (
+        per_q.join(df.select(group_col, value_col), group_col)
+        .groupBy(group_col, "__qi", "__v", "__n")
+        .agg(
+            F.sum(
+                F.when(F.col(value_col) < F.col("__v"), 1).otherwise(0)
+            ).alias("__lt"),
+            F.sum(
+                F.when(F.col(value_col) <= F.col("__v"), 1).otherwise(0)
+            ).alias("__le"),
+        )
+    )
+    q_micro = F.element_at(
+        F.array(*[F.lit(int(round(q * 1_000_000))) for q in quantiles]),
+        F.col("__qi") + 1,
+    )
+    # integer bound check: 1e6·rank within [q_micro - eps_micro,
+    # q_micro + eps_micro] for SOME rank in [lt+1, le] (closed span of
+    # the returned value). eps in micro-units = 1e6 / accuracy.
+    eps_micro = 1_000_000 // accuracy
+    lo_rank_micro = (F.col("__lt") + 1) * 1_000_000
+    hi_rank_micro = F.col("__le") * 1_000_000
+    lo_bound = (q_micro - F.lit(eps_micro)) * F.col("__n")
+    hi_bound = (q_micro + F.lit(eps_micro)) * F.col("__n")
+    within = (
+        (hi_rank_micro >= lo_bound) & (lo_rank_micro <= hi_bound)
+    ).cast("long")
+    return ranked.select(
+        group_col,
+        q_micro.cast("long").alias("q_micro"),
+        within.alias("within"),
+    )

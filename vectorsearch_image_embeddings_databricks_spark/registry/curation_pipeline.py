@@ -1623,3 +1623,39 @@ def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "symbol")
         .limit(BPE_COVERAGE_TOP)
     )
+
+
+QSKETCH_QS = [0.25, 0.5, 0.75, 0.9]
+QSKETCH_ACC = 100
+
+
+@register(
+    "quantile_sketch_audit",
+    oracle=f"""
+    SELECT l.l_returnflag, q.q_micro, CAST(1 AS BIGINT) AS within
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem) l
+    CROSS JOIN (
+        SELECT unnest([{", ".join(str(int(round(q * 1_000_000))) for q in QSKETCH_QS)}]) AS q_micro
+    ) q
+    ORDER BY l.l_returnflag, q.q_micro
+    """,
+)
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E89: mergeable quantile sketch (percentile_approx / Greenwald-
+    Khanna) with its rank-error contract pinned — the quantile analog
+    of the CMS/HLL audit rows. The sketch is the 100 TB quantile path
+    (single-pass mergeable partial aggregates; the exact alternative is
+    winsorized_stats' range-exchange order statistics); the audit ranks
+    each returned value with one extra conditional-count scan and
+    checks |true_rank/n - q| <= 1/accuracy in integer micro-units. The
+    oracle is the expected-if-healthy answer (every group x quantile
+    within bound — the brp_lsh_recall pattern): a sketch regression or
+    misused accuracy knob flips the hash."""
+    from ..operators.quantiles import quantile_sketch_audit as qsa
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+    )
+    return qsa(
+        li, "l_returnflag", "p", QSKETCH_QS, accuracy=QSKETCH_ACC
+    ).orderBy("l_returnflag", "q_micro")
