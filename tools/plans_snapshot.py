@@ -35,6 +35,11 @@ FLAGSHIPS = [
     "sq8_quant_topk",
     "window_funnel_steps",
     "cdc_apply_orders",
+    # round 5
+    "knn_graph_beam_adaptive",
+    "brp_lsh_recall",
+    "bpe_train_merges",
+    "quantile_sketch_audit",
 ]
 
 spark = (

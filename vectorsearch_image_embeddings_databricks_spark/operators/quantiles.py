@@ -221,8 +221,13 @@ def quantile_sketch_audit(
         "__n",
         F.posexplode("__vs").alias("__qi", "__v"),
     )
+    # per_q is |groups|·|quantiles| rows — pin IT as the broadcast side
+    # so the corpus side never shuffles on the low-cardinality group
+    # key (left to stats, Catalyst happily broadcasts the CORPUS at
+    # fixture scale — the wrong side at any real scale).
     ranked = (
-        per_q.join(df.select(group_col, value_col), group_col)
+        df.select(group_col, value_col)
+        .join(F.broadcast(per_q), group_col)
         .groupBy(group_col, "__qi", "__v", "__n")
         .agg(
             F.sum(
