@@ -150,6 +150,32 @@ def test_bpe_train_partition_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_bpe_train_driver_tier_equals_distributed(spark):
+    """The collected-word-counts merge loop (the 30k-merge production
+    path) must produce EXACTLY the distributed tier's merge table; the
+    cap guards the collect (hard error, not a silent OOM) and 'auto'
+    picks by vocabulary size."""
+    import pytest as _pytest
+
+    text = "aaaa aaa low lower lowest banana bandana abab aab"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(4)], "doc_id long, text string"
+    )
+    dist = [tuple(r) for r in textstats.bpe_train(
+        docs, "text", merges=8, strategy="distributed").collect()]
+    drv = [tuple(r) for r in textstats.bpe_train(
+        docs, "text", merges=8, strategy="driver").collect()]
+    auto = [tuple(r) for r in textstats.bpe_train(
+        docs, "text", merges=8, strategy="auto").collect()]
+    assert dist == drv == auto
+    with _pytest.raises(ValueError, match="driver_vocab_cap"):
+        textstats.bpe_train(
+            docs, "text", merges=2, strategy="driver", driver_vocab_cap=2
+        )
+    with _pytest.raises(ValueError, match="strategy"):
+        textstats.bpe_train(docs, "text", strategy="gpu")
+
+
 def test_temperature_quotas_alpha_half(spark):
     docs = spark.createDataFrame(
         [(i, "en") for i in range(100)] + [(i + 100, "fr") for i in range(25)],

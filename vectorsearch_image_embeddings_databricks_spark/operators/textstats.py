@@ -707,32 +707,116 @@ _BPE_OPEN = "\x01"
 _BPE_CLOSE = "\x02"
 
 
-def bpe_train(df: DataFrame, text_col: str, merges: int = 8) -> DataFrame:
+def _bpe_driver_loop(
+    counts: dict[str, int], merges: int
+) -> list[tuple]:
+    """In-process merge loop over a collected word-frequency table —
+    the classic Sennrich incremental implementation: pair counts are
+    maintained by DELTA (only words containing the merged pair are
+    re-segmented and re-counted), so a round costs the touched words,
+    not the vocabulary. Identical tie-breaks to the distributed tier
+    (count desc, then lexicographic — Python's code-point ordering
+    equals Spark/DuckDB binary string ordering because UTF-8 byte
+    order preserves code points)."""
+    from collections import defaultdict
+
+    words = {w: list(w) for w in counts}
+    pair_count: dict[tuple, int] = defaultdict(int)
+    pair_words: dict[tuple, set] = defaultdict(set)
+    for w, syms in words.items():
+        f = counts[w]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_count[p] += f
+            pair_words[p].add(w)
+    out: list[tuple] = []
+    for r in range(merges):
+        live = [(p, c) for p, c in pair_count.items() if c > 0]
+        if not live:
+            break
+        (a, b), c = min(live, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((r + 1, a, b, a + b, c))
+        for w in list(pair_words[(a, b)]):
+            syms = words[w]
+            f = counts[w]
+            for i in range(len(syms) - 1):
+                pair_count[(syms[i], syms[i + 1])] -= f
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_count[p] += f
+                pair_words[p].add(w)
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    merges: int = 8,
+    strategy: str = "distributed",
+    driver_vocab_cap: int = 2_000_000,
+) -> DataFrame:
     """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) —
     the full merge loop, not just one pair statistic (bpe_pair_counts is
     the inner step). Returns the learned merge table:
     ``(merge_rank, lhs, rhs, merged, pair_count)``.
 
-    Per merge round, everything stays distributed and vocabulary-sized:
-    pair counts explode from DISTINCT words weighted by corpus
-    frequency (the corpus itself was collapsed to the word-frequency
-    table by ONE token-key shuffle up front), the argmax pair is a
-    1-row collect (count desc, then lexicographic — deterministic), and
-    re-segmentation is one codegen'd string replace over the vocab.
-    Driver state = the merge list. At 100 TB: corpus-sized work happens
-    exactly once; each of the (bounded, caller-chosen) merge rounds
-    costs one vocab-sized aggregate + map — the same driver-loop
-    contract as the k-means/IVF trainers. ``localCheckpoint`` per round
-    keeps lineage linear in ``merges``.
+    Two tiers, identical results (equality pytest-pinned):
+
+    - ``strategy='distributed'``: per merge round, everything stays
+      distributed and vocabulary-sized — pair counts explode from
+      DISTINCT words weighted by corpus frequency (the corpus itself
+      was collapsed to the word-frequency table by ONE token-key
+      shuffle up front), the argmax pair is a 1-row collect (count
+      desc, then lexicographic — deterministic), and re-segmentation is
+      one codegen'd string replace over the vocab. Driver state = the
+      merge list; ``localCheckpoint`` per round keeps lineage linear.
+      This is the only tier that works when even the VOCABULARY doesn't
+      fit one machine (a 100 TB web corpus can have 100M+ distinct
+      tokens), but each round is a Spark job — fine for hundreds of
+      merges, not for a production 30k-merge vocabulary.
+    - ``strategy='driver'``: collect the word-frequency table (the
+      standard practice — every production BPE trainer consumes word
+      counts, not the corpus) and run the merge loop in-process. The
+      corpus-sized work is still the one distributed token-key shuffle;
+      the collect is bounded by ``driver_vocab_cap`` (hard error above
+      it, not a silent OOM). 30k merges take minutes, not days.
+    - ``strategy='auto'``: driver tier when the vocabulary fits the
+      cap, distributed otherwise — the sane default at unknown scale.
     """
     from ..functions.text import tokenize
 
+    if strategy not in ("distributed", "driver", "auto"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = df.sparkSession
     wc = (
         df.select(F.explode(tokenize(text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("f"))
     )
+    if strategy != "distributed":
+        n_vocab = wc.count()
+        if n_vocab <= driver_vocab_cap:
+            counts = {r["t"]: int(r["f"]) for r in wc.collect()}
+            return spark.createDataFrame(
+                _bpe_driver_loop(counts, merges),
+                "merge_rank int, lhs string, rhs string, merged string, "
+                "pair_count long",
+            )
+        if strategy == "driver":
+            raise ValueError(
+                f"vocabulary ({n_vocab} tokens) exceeds driver_vocab_cap "
+                f"({driver_vocab_cap}); use strategy='distributed' or "
+                "raise the cap"
+            )
     state = wc.select(
         F.regexp_replace(
             "t", "(.)", f"{_BPE_OPEN}$1{_BPE_CLOSE}"
