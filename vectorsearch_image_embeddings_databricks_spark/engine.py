@@ -116,8 +116,9 @@ class MultiModalEngine:
 
         - ``"exact"`` — brute-force cosine (default; the correctness
           oracle for the other two).
-        - ``"ann"`` — MLlib LSH ``approxNearestNeighbors`` (the scale
-          path; replaces the closed VS ANN, NMR:315–323).
+        - ``"ann"`` — MLlib BRP-LSH with the deterministic bucket-join
+          search (the scale path; replaces the closed VS ANN,
+          NMR:315–323).
         - ``"hybrid"`` — vector ranking RRF-fused with keyword (BM25)
           relevance of the query terms against ``text_col`` — the
           commented-out ``query_type="hybrid"`` call at NMR:386–387,

@@ -57,6 +57,7 @@ class BRPLSHIndex:
         vector_col: str = "embedding",
         bucket_length: float = 0.5,
         num_hash_tables: int = 4,
+        seed: int = 42,
     ) -> None:
         from pyspark.ml.feature import BucketedRandomProjectionLSH
         from pyspark.ml.functions import array_to_vector
@@ -64,27 +65,125 @@ class BRPLSHIndex:
         self.key = key
         self.vector_col = vector_col
         self.df = df.withColumn("__vec", array_to_vector(F.col(vector_col)))
+        # seed MUST be explicit: pyspark's HasSeed default is
+        # hash(class name) — Python string hashing is salted PER
+        # INTERPRETER, so the "default" hyperplanes differ from process
+        # to process and every downstream answer silently changes
+        # across runs (observed as 1-in-3 hash flips of a boundary
+        # neighbor before this pin).
         self.model = BucketedRandomProjectionLSH(
             inputCol="__vec",
             outputCol="__hashes",
             bucketLength=bucket_length,
             numHashTables=num_hash_tables,
+            seed=seed,
         ).fit(self.df)
         # hashed corpus cached: at scale this is the materialized index
         self.hashed = self.model.transform(self.df).cache()
 
     def search(
-        self, query_vector: Sequence[float], k: int = 5, score_col: str = "score"
+        self,
+        query_vector: Sequence[float],
+        k: int = 5,
+        score_col: str = "score",
+        via: str = "buckets",
     ) -> DataFrame:
         """ANN top-k. Returns (key, score) with cosine-equivalent score
-        (2 − d²)/2 for unit vectors, ranked desc."""
+        (2 − d²)/2 for unit vectors, ranked desc.
+
+        ``via='buckets'`` (default): candidates are corpus rows sharing
+        ≥1 hash bucket with the query (the ``approxSimilarityJoin``
+        bucket equi-join), exact-distance top-k with (dist, key)
+        tie-breaks. DETERMINISTIC — the candidate set is a pure
+        function of the seeded hash model, so repeated runs and
+        repartitioned inputs return the identical answer (the property
+        the hash-verified registry rows rely on).
+
+        ``via='mllib'``: MLlib's own ``approxNearestNeighbors``
+        multi-probe — it widens candidates to NEARBY buckets via a
+        hash-distance threshold chosen by ``approxQuantile``, whose
+        result depends on row/partition order: the answer can differ
+        RUN TO RUN (observed ~1-in-3 flips of a boundary neighbor on
+        the fixture). Kept for recall comparison, not for verified
+        paths."""
         from pyspark.ml.linalg import Vectors
 
-        q = Vectors.dense([float(x) for x in query_vector])
-        res = self.model.approxNearestNeighbors(self.hashed, q, k, distCol="__dist")
+        if via == "mllib":
+            q = Vectors.dense([float(x) for x in query_vector])
+            res = self.model.approxNearestNeighbors(
+                self.hashed, q, k, distCol="__dist"
+            )
+            score = (F.lit(2.0) - F.col("__dist") * F.col("__dist")) / F.lit(2.0)
+            return res.select(self.key, score.alias(score_col)).orderBy(
+                F.desc(score_col), F.asc(self.key)
+            )
+        if via != "buckets":
+            raise ValueError(f"unknown via {via!r}")
+        from pyspark.ml.functions import array_to_vector
+
+        spark = self.df.sparkSession
+        qdf = spark.createDataFrame(
+            [([float(x) for x in query_vector],)], "__qarr array<double>"
+        ).withColumn("__vec", array_to_vector("__qarr"))
+        joined = self.model.approxSimilarityJoin(
+            self.hashed, qdf, float("inf"), distCol="__dist"
+        )
         score = (F.lit(2.0) - F.col("__dist") * F.col("__dist")) / F.lit(2.0)
-        return res.select(self.key, score.alias(score_col)).orderBy(
-            F.desc(score_col), F.asc(self.key)
+        return (
+            joined.select(
+                F.col(f"datasetA.{self.key}").alias(self.key),
+                F.col("__dist"),
+            )
+            .orderBy(F.asc("__dist"), F.asc(self.key))
+            .limit(k)
+            .select(self.key, score.alias(score_col))
+            .orderBy(F.desc(score_col), F.asc(self.key))
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        query_key: str = "query_id",
+        query_vector_col: str = "query_vec",
+        k: int = 5,
+        score_col: str = "score",
+    ) -> DataFrame:
+        """Deterministic batched ANN top-k: ONE bucket equi-join of the
+        hashed corpus against the whole query table (each side's hashes
+        exploded once), exact-distance re-rank per query. Returns
+        ``(query_key, key, score)``. This is the shape a query BATCH
+        wants at scale — the per-query ``search`` loop pays a join per
+        query; this pays one, shuffle-keyed on the hash buckets."""
+        from pyspark.ml.functions import array_to_vector
+
+        qdf = queries.select(
+            F.col(query_key).alias("__qid"),
+            array_to_vector(
+                F.transform(query_vector_col, lambda x: x.cast("double"))
+            ).alias("__vec"),
+        )
+        joined = self.model.approxSimilarityJoin(
+            self.hashed, qdf, float("inf"), distCol="__dist"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__qid").orderBy(
+            F.asc("__dist"), F.asc("__k")
+        )
+        score = (F.lit(2.0) - F.col("__dist") * F.col("__dist")) / F.lit(2.0)
+        return (
+            joined.select(
+                F.col("datasetB.__qid").alias("__qid"),
+                F.col(f"datasetA.{self.key}").alias("__k"),
+                "__dist",
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(
+                F.col("__qid").alias(query_key),
+                F.col("__k").alias(self.key),
+                score.alias(score_col),
+            )
         )
 
     def save(self, path: str) -> None:

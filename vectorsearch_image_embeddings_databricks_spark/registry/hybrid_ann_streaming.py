@@ -163,19 +163,24 @@ def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Converted from rows-only to a hash row via the pq_adc_recall
     pattern (r4 verdict #6): MLlib's internal hash functions are not
     SQL-replayable, but the *contract this configuration must meet* is —
-    at bucket_length=1.0 / 6 tables the LSH candidate set provably
-    contains the true top-k on this corpus (measured 80/80 across
-    sf0.01/sf0.1/sf1), and approxNearestNeighbors re-ranks candidates
-    by exact distance, so a healthy index returns exactly the exact-L2
-    top-k with the (2 - d^2)/2 score the wrapper derives. The oracle
-    computes that expected answer; any hashing/wrapper regression that
-    drops a true neighbor flips the hash. Recall additionally
-    pytest-pinned >= 0.9 (tests/test_ann_and_dedup.py)."""
+    at seed 42 / bucket_length 1.0 / 10 tables the bucket-equi-join
+    candidate set provably contains the true top-k on every fixture
+    corpus (measured 80/80 at sf0.001/0.01/0.1/1), and the search
+    re-ranks candidates by exact distance, so a healthy index returns
+    exactly the exact-L2 top-k with the (2 - d^2)/2 score the wrapper
+    derives. The oracle computes that expected answer; any
+    hashing/wrapper regression that drops a true neighbor flips the
+    hash. Determinism needed TWO pins (round-5 robustness finding):
+    an explicit model seed (pyspark's HasSeed default is a per-process
+    salted string hash — hyperplanes differed per interpreter) and the
+    bucket-join search path (MLlib's approxNearestNeighbors picks its
+    candidate threshold by approxQuantile, which is row-order
+    dependent). Recall additionally pytest-pinned >= 0.9."""
     from ..index.ann import BRPLSHIndex
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0]["embedding"]
-    ann = BRPLSHIndex(emb, bucket_length=1.0, num_hash_tables=6)
+    ann = BRPLSHIndex(emb, bucket_length=1.0, num_hash_tables=10)
     return ann.search(q, k=KNN_K).select(
         "vec_id", F.round("score", 6).alias("score")
     )
@@ -211,31 +216,29 @@ def brp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel: per query, |LSH top-k ∩ exact-L2 top-k|. The oracle pins the
     FULL-RECALL expectation (n_hit = k for every query — derived from
     the exact top-k, not a literal), which this LSH configuration
-    deterministically meets on the fixture corpus; a regression in
-    MLlib wrapping, bucketing params, or the score/tie conventions
-    drops a hit and flips the hash. The exact side is the distributed
-    crossJoin → per-query window (scan-bounded); the LSH side is the
-    driver-looped approxNearestNeighbors over the cached hashed corpus
-    (bounded: {16} single-query probes, the index's own query shape —
-    NMR:388's one-call-per-question pattern)."""
+    deterministically meets on the fixture corpus (seed 42 /
+    bucket_length 1.0 / 10 tables: 80/80 at sf0.001 through sf1); a
+    regression in MLlib wrapping, bucketing params, the seeded
+    hyperplanes, or the score/tie conventions drops a hit and flips the
+    hash. The exact side is the distributed crossJoin → per-query
+    window (scan-bounded); the LSH side is ONE batched bucket
+    equi-join of the hashed corpus against the whole query panel
+    (`BRPLSHIndex.search_batch` — the deterministic path; see
+    BRPLSHIndex.search for why MLlib's multi-probe cannot back a hash
+    row)."""
     from ..functions.vector import l2_dist
     from ..index.ann import BRPLSHIndex
 
     emb = load_embeddings(spark, sf_dir)
-    qrows = sorted(
-        emb.filter(F.col("vec_id") < BRP_AUDIT_QUERIES)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
     idx = BRPLSHIndex(emb, key="vec_id", vector_col="embedding",
-                      bucket_length=1.0, num_hash_tables=6)
-    pairs = [
-        (int(r["vec_id"]), int(x["vec_id"]))
-        for r in qrows
-        for x in idx.search(r["embedding"], k=BRP_AUDIT_K).collect()
-    ]
-    ann = spark.createDataFrame(pairs, "query_id long, vec_id long")
+                      bucket_length=1.0, num_hash_tables=10)
+    ann = idx.search_batch(
+        emb.filter(F.col("vec_id") < BRP_AUDIT_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=BRP_AUDIT_K,
+    ).select("query_id", "vec_id")
     q = emb.filter(F.col("vec_id") < BRP_AUDIT_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
