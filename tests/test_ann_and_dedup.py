@@ -45,6 +45,45 @@ def test_brp_lsh_recall(emb):
     assert rec >= 0.9, f"BRP-LSH recall@5 {rec} below target"
 
 
+def test_brp_lsh_search_is_deterministic_and_seeded(emb):
+    """The round-5 robustness finding, pinned: (a) the estimator seed
+    is EXPLICIT (pyspark's HasSeed default is a per-interpreter salted
+    string hash — two processes would disagree silently); (b) the
+    default search path is the bucket equi-join + exact re-rank, whose
+    answer is a pure function of the seeded model — identical across
+    index rebuilds, input partitionings, and for the batched form."""
+    q = emb.filter("vec_id = 3").collect()[0]["embedding"]
+    a = BRPLSHIndex(emb, bucket_length=1.0, num_hash_tables=10)
+    b = BRPLSHIndex(
+        emb.repartition(7), bucket_length=1.0, num_hash_tables=10
+    )
+    import inspect
+
+    from vectorsearch_image_embeddings_databricks_spark.index import ann as ann_mod
+
+    # the estimator must receive an explicit seed (the model object
+    # doesn't retain the param — assert the constructor contract)
+    assert "seed: int = 42" in inspect.getsource(BRPLSHIndex.__init__)
+    assert "seed=seed" in inspect.getsource(ann_mod.BRPLSHIndex.__init__)
+    ra = [(r["vec_id"], round(r["score"], 9)) for r in a.search(q, k=5).collect()]
+    rb = [(r["vec_id"], round(r["score"], 9)) for r in b.search(q, k=5).collect()]
+    assert ra == rb
+    from pyspark.sql import functions as F
+
+    batch = a.search_batch(
+        emb.filter("vec_id = 3").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=5,
+    )
+    rbatch = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in batch.orderBy(F.desc("score"), "vec_id").collect()
+    ]
+    assert rbatch == ra
+
+
 def test_ivf_recall_and_pruning(emb):
     exact = VectorIndex(emb, key="vec_id", vector_col="embedding")
     ivf = IVFIndex(emb, nlist=8)
