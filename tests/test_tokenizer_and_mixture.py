@@ -150,6 +150,44 @@ def test_bpe_train_partition_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_bpe_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """Regression (round-5 code review): a corpus whose tokens fully
+    merge before the requested round count leaves later oracle rounds
+    with an EMPTY argmax CTE — the original cross-join re-segmentation
+    wiped the whole vocabulary, so bpe_vocab_coverage returned 0 rows
+    while Spark returned real coverage. The left-join COALESCE form
+    must carry the vocab through empty rounds; Spark and DuckDB must
+    agree on BOTH rows of the E88 pair for such a corpus."""
+    import duckdb
+
+    from vectorsearch_image_embeddings_databricks_spark import registry
+
+    from .oracle_utils import canonical, spark_result
+
+    docs = spark.createDataFrame(
+        [(0, "zz zz"), (1, "zz zz"), (2, "zz")],
+        "doc_id long, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name in ("bpe_train_merges", "bpe_vocab_coverage"):
+        sdf = registry.QUERIES[name](spark, sf_dir)
+        s_cols, s_rows = canonical(*spark_result(sdf))
+        cur = con.execute(registry.ORACLE[name])
+        d_cols, d_rows = canonical(
+            [d[0] for d in cur.description], cur.fetchall()
+        )
+        assert s_cols == d_cols, name
+        assert s_rows == d_rows, (name, s_rows, d_rows)
+        assert s_rows, name  # non-trivial: coverage/merges must exist
+    con.close()
+
+
 def test_bpe_train_driver_tier_equals_distributed(spark):
     """The collected-word-counts merge loop (the 30k-merge production
     path) must produce EXACTLY the distributed tier's merge table; the

@@ -119,24 +119,23 @@ class BRPLSHIndex:
             )
         if via != "buckets":
             raise ValueError(f"unknown via {via!r}")
-        from pyspark.ml.functions import array_to_vector
-
+        # one-row delegation to search_batch: a single copy of the
+        # candidate-generation and (dist, key) tie-break logic keeps
+        # the two paths incapable of desynchronizing
         spark = self.df.sparkSession
         qdf = spark.createDataFrame(
-            [([float(x) for x in query_vector],)], "__qarr array<double>"
-        ).withColumn("__vec", array_to_vector("__qarr"))
-        joined = self.model.approxSimilarityJoin(
-            self.hashed, qdf, float("inf"), distCol="__dist"
+            [(0, [float(x) for x in query_vector])],
+            "__qid long, __qvec array<double>",
         )
-        score = (F.lit(2.0) - F.col("__dist") * F.col("__dist")) / F.lit(2.0)
         return (
-            joined.select(
-                F.col(f"datasetA.{self.key}").alias(self.key),
-                F.col("__dist"),
+            self.search_batch(
+                qdf,
+                query_key="__qid",
+                query_vector_col="__qvec",
+                k=k,
+                score_col=score_col,
             )
-            .orderBy(F.asc("__dist"), F.asc(self.key))
-            .limit(k)
-            .select(self.key, score.alias(score_col))
+            .select(self.key, score_col)
             .orderBy(F.desc(score_col), F.asc(self.key))
         )
 

@@ -370,6 +370,13 @@ def beam_search(
             F.col(query_key).alias("__qid"),
             F.col(id_col).alias("__id"),
         )
+        # re-establish the fixed-list path's non-emptiness invariant:
+        # an empty/mis-keyed entries table would otherwise walk to an
+        # EMPTY result instead of surfacing the misconfiguration
+        # (per-query gaps are the caller's contract — checking them
+        # would cost a full aggregation on the hot path)
+        if seed.isEmpty():
+            raise ValueError("entries DataFrame is empty")
         state = seed.join(q, "__qid").join(vecs, "__id")
     else:
         entry = vecs.filter(F.col("__id").isin(list(entry_ids)))

@@ -212,9 +212,12 @@ def quantile_sketch_audit(
     (micro-units) so both engines agree bitwise.
     """
     qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    # count(value_col), not count(*): percentile_approx and the rank
+    # counts below all ignore NULLs, so n must too — counting nulls
+    # deflates rank/n and flags a healthy sketch on nullable columns.
     sk = df.groupBy(group_col).agg(
         F.percentile_approx(value_col, qs, F.lit(accuracy)).alias("__vs"),
-        F.count("*").alias("__n"),
+        F.count(value_col).alias("__n"),
     )
     per_q = sk.select(
         group_col,
@@ -242,17 +245,23 @@ def quantile_sketch_audit(
         F.array(*[F.lit(int(round(q * 1_000_000))) for q in quantiles]),
         F.col("__qi") + 1,
     )
-    # integer bound check: 1e6·rank within [q_micro - eps_micro,
-    # q_micro + eps_micro] for SOME rank in [lt+1, le] (closed span of
-    # the returned value). eps in micro-units = 1e6 / accuracy.
+    # integer bound check against Spark's documented guarantee
+    # floor((q-eps)·N) <= rank(x) <= ceil((q+eps)·N): SOME rank in the
+    # returned value's closed span [lt+1, le] must fall in that integer
+    # window. floor/ceil matter — exact real-valued bounds are STRICTER
+    # than the contract and flag legal answers at fractional
+    # boundaries. All integer arithmetic (micro-units), div is floor
+    # for these non-negative operands, ceil(x/1e6) = (x + 1e6-1) div 1e6.
     eps_micro = 1_000_000 // accuracy
-    lo_rank_micro = (F.col("__lt") + 1) * 1_000_000
-    hi_rank_micro = F.col("__le") * 1_000_000
-    lo_bound = (q_micro - F.lit(eps_micro)) * F.col("__n")
-    hi_bound = (q_micro + F.lit(eps_micro)) * F.col("__n")
-    within = (
-        (hi_rank_micro >= lo_bound) & (lo_rank_micro <= hi_bound)
-    ).cast("long")
+    lo_rank = F.col("__lt") + 1
+    hi_rank = F.col("__le")
+    lo_bound = F.floor(
+        (q_micro - F.lit(eps_micro)) * F.col("__n") / F.lit(1_000_000)
+    )
+    hi_bound = -F.floor(
+        -(q_micro + F.lit(eps_micro)) * F.col("__n") / F.lit(1_000_000)
+    )
+    within = ((hi_rank >= lo_bound) & (lo_rank <= hi_bound)).cast("long")
     return ranked.select(
         group_col,
         q_micro.cast("long").alias("q_micro"),

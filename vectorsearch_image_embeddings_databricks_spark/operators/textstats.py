@@ -707,6 +707,20 @@ _BPE_OPEN = "\x01"
 _BPE_CLOSE = "\x02"
 
 
+def bpe_word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """The corpus→vocabulary collapse both BPE stages consume: ONE
+    token-key shuffle to ``(t, f)`` distinct-word frequencies. Build it
+    once (and localCheckpoint it) when composing train + segment so the
+    corpus-sized work truly happens once per pipeline, not per stage."""
+    from ..functions.text import tokenize
+
+    return (
+        df.select(F.explode(tokenize(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+
+
 def _bpe_driver_loop(
     counts: dict[str, int], merges: int
 ) -> list[tuple]:
@@ -736,9 +750,20 @@ def _bpe_driver_loop(
             break
         (a, b), c = min(live, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         out.append((r + 1, a, b, a + b, c))
-        for w in list(pair_words[(a, b)]):
+        # pop: after this round NO word contains (a,b) — keeping the
+        # entry would re-walk every historical member on a future tie.
+        for w in pair_words.pop((a, b), ()):
             syms = words[w]
             f = counts[w]
+            # membership can be STALE (the word lost the pair to an
+            # earlier merge and sets are never eagerly pruned): skip
+            # without touching counts, or the subtract/re-add churn
+            # makes a round cost O(vocab) instead of O(touched words)
+            if not any(
+                syms[i] == a and syms[i + 1] == b
+                for i in range(len(syms) - 1)
+            ):
+                continue
             for i in range(len(syms) - 1):
                 pair_count[(syms[i], syms[i + 1])] -= f
             new, i = [], 0
@@ -754,6 +779,7 @@ def _bpe_driver_loop(
                 p = (new[i], new[i + 1])
                 pair_count[p] += f
                 pair_words[p].add(w)
+        pair_count.pop((a, b), None)
     return out
 
 
@@ -763,6 +789,7 @@ def bpe_train(
     merges: int = 8,
     strategy: str = "distributed",
     driver_vocab_cap: int = 2_000_000,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) —
     the full merge loop, not just one pair statistic (bpe_pair_counts is
@@ -791,16 +818,19 @@ def bpe_train(
       it, not a silent OOM). 30k merges take minutes, not days.
     - ``strategy='auto'``: driver tier when the vocabulary fits the
       cap, distributed otherwise — the sane default at unknown scale.
-    """
-    from ..functions.text import tokenize
 
+    ``word_counts``: pass a prebuilt (ideally checkpointed)
+    :func:`bpe_word_counts` table to share the corpus→vocab collapse
+    with other stages (e.g. :func:`bpe_segment`) instead of paying the
+    token-key shuffle once per stage.
+    """
     if strategy not in ("distributed", "driver", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
     spark = df.sparkSession
     wc = (
-        df.select(F.explode(tokenize(text_col)).alias("t"))
-        .groupBy("t")
-        .agg(F.count("*").alias("f"))
+        word_counts
+        if word_counts is not None
+        else bpe_word_counts(df, text_col)
     )
     if strategy != "distributed":
         n_vocab = wc.count()
@@ -875,6 +905,7 @@ def bpe_segment(
     merges: list[tuple[str, str]],
     token_col: str = "token",
     symbols_col: str = "symbols",
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a LEARNED merge list (``bpe_train``'s output order) to
     segment every distinct token — the inference side of the tokenizer:
@@ -886,14 +917,17 @@ def bpe_segment(
     same left-to-right non-overlap semantics), then splits back to a
     symbol array. No corpus-sized work beyond the initial token-key
     shuffle, no Python in the plan — at 100 TB this is the map stage
-    of every downstream token-count/packing operator.
+    of every downstream token-count/packing operator. Pass
+    ``word_counts`` (a :func:`bpe_word_counts` table, ideally
+    checkpointed) to share that shuffle with the training stage.
     """
-    from ..functions.text import tokenize
-
-    wc = (
-        df.select(F.explode(tokenize(text_col)).alias(token_col))
-        .groupBy(token_col)
-        .agg(F.count("*").alias("corpus_count"))
+    base = (
+        word_counts
+        if word_counts is not None
+        else bpe_word_counts(df, text_col)
+    )
+    wc = base.select(
+        F.col("t").alias(token_col), F.col("f").alias("corpus_count")
     )
     enc = F.regexp_replace(
         token_col, "(.)", f"{_BPE_OPEN}$1{_BPE_CLOSE}"

@@ -1510,7 +1510,13 @@ BPE_TRAIN_MERGES = 6
 def _bpe_round_ctes(i: int) -> str:
     """One unrolled BPE merge round: weighted pair counts over the
     framed vocab w{i}, 1-row argmax b{i} (count desc, lexicographic),
-    re-segmented vocab w{i+1} via one replace."""
+    re-segmented vocab w{i+1} via one replace. The re-segmentation is a
+    LEFT JOIN ON TRUE, not a cross join: when a round has no mergeable
+    pair left (b{i} empty — a corpus whose tokens fully merge before
+    the requested round count), a cross join would wipe the whole
+    vocabulary and every later round with it; the left join carries the
+    vocab through unchanged (COALESCE keeps enc when there is no merge),
+    exactly mirroring the Spark loop's early break."""
     return f"""
     p{i} AS (
         SELECT p.a AS a, p.b AS b, sum(f) AS c FROM (
@@ -1522,9 +1528,11 @@ def _bpe_round_ctes(i: int) -> str:
     ),
     b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
     w{i + 1} AS (
-        SELECT replace(enc, chr(1)||a||chr(2)||chr(1)||b||chr(2),
-                       chr(1)||a||b||chr(2)) AS enc, f
-        FROM w{i} CROSS JOIN b{i}
+        SELECT CASE WHEN b{i}.a IS NULL THEN enc
+                    ELSE replace(enc, chr(1)||b{i}.a||chr(2)||chr(1)||b{i}.b||chr(2),
+                                 chr(1)||b{i}.a||b{i}.b||chr(2)) END AS enc,
+               f
+        FROM w{i} LEFT JOIN b{i} ON TRUE
     )"""
 
 
@@ -1606,16 +1614,21 @@ def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollout monitors. The oracle re-derives the merges AND the
     segmentation from the same unrolled CTEs, so train and encode are
     pinned against each other: a drift in either flips the hash."""
-    from ..operators.textstats import bpe_segment, bpe_train
+    from ..operators.textstats import bpe_segment, bpe_train, bpe_word_counts
 
     docs = load_docs(spark, sf_dir)
+    # ONE corpus→vocab collapse shared by train and segment
+    # (checkpointed so neither stage re-runs the token-key shuffle)
+    wc = bpe_word_counts(docs, "text").localCheckpoint(eager=True)
     merges = [
         (r["lhs"], r["rhs"])
-        for r in bpe_train(docs, "text", merges=BPE_TRAIN_MERGES)
+        for r in bpe_train(
+            docs, "text", merges=BPE_TRAIN_MERGES, word_counts=wc
+        )
         .orderBy("merge_rank")
         .collect()
     ]
-    seg = bpe_segment(docs, "text", merges)
+    seg = bpe_segment(docs, "text", merges, word_counts=wc)
     return (
         seg.select(F.explode("symbols").alias("symbol"), "corpus_count")
         .groupBy("symbol")
