@@ -162,6 +162,7 @@ NEW_OPS = [
     "bpe_train_merges",
     "bpe_vocab_coverage",
     "quantile_sketch_audit",
+    "knn_graph_append",
 ]
 
 

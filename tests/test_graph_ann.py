@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+    append_knn_graph,
     beam_search,
     build_knn_graph,
     ivf_entry_points,
@@ -153,6 +154,44 @@ def test_ivf_build_blocked_matmul_survives_skewed_cell(emb, monkeypatch):
 def test_build_rejects_unknown_strategy(emb):
     with pytest.raises(ValueError, match="strategy"):
         build_knn_graph(emb, "vec_id", "embedding", strategy="hnsw")
+
+
+def test_append_exact_equals_full_rebuild(emb):
+    """The locality argument made checkable: exact old graph + append
+    batch == exact graph of the full corpus, because a stored node's
+    top-degree list can only change where a NEW vector enters it."""
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    g_old = build_knn_graph(old, "vec_id", "embedding", degree=6)
+    appended = append_knn_graph(
+        g_old, old, new, "vec_id", "embedding", degree=6
+    )
+    full = build_knn_graph(emb, "vec_id", "embedding", degree=6)
+    got = {(r["src"], r["dst"]) for r in appended.collect()}
+    want = {(r["src"], r["dst"]) for r in full.collect()}
+    assert got == want
+
+
+def test_append_ivf_tier_bounded_and_close(emb):
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    g_old = build_knn_graph(old, "vec_id", "embedding", degree=6)
+    appended = append_knn_graph(
+        g_old, old, new, "vec_id", "embedding", degree=6,
+        strategy="ivf", nlist=8, nprobe=4,
+    )
+    per_src = appended.groupBy("src").agg(F.count("*").alias("d"))
+    assert per_src.filter(F.col("d") > 6).count() == 0
+    n_new_src = appended.join(
+        new.select(F.col("vec_id").alias("src")), "src"
+    ).select("src").distinct().count()
+    assert n_new_src == new.count()  # every appended vector got edges
+    full = build_knn_graph(emb, "vec_id", "embedding", degree=6)
+    overlap = appended.join(full, ["src", "dst"]).count() / full.count()
+    assert overlap >= 0.5, overlap
+    with pytest.raises(ValueError, match="strategy"):
+        append_knn_graph(g_old, old, new, "vec_id", "embedding",
+                         strategy="hnsw")
 
 
 def test_ivf_built_graph_beam_recall_at_bench_scale(spark):

@@ -180,6 +180,109 @@ def build_knn_graph(
     )
 
 
+def append_knn_graph(
+    graph: DataFrame,
+    old_vectors: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    degree: int = 8,
+    strategy: str = "exact",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental kNN-graph maintenance — the graph-tier analog of the
+    reference's delta-sync index refresh (NMR:278 change feed →
+    NMR:315-323 TRIGGERED sync; the same contract as ``IVFIndex.append``):
+    ingest a vector batch WITHOUT rebuilding the stored graph.
+
+    Edge repair is local by construction: new nodes need their full
+    top-``degree`` neighbor list, but a STORED node's list can only
+    change where a NEW vector enters it — so the candidate set is
+    exactly ``old edges ∪ (old × new) ∪ (new × all)``, never
+    ``old × old`` again. With an exact starting graph the result is
+    provably the exact graph of the full corpus (the append pytest and
+    the registry oracle both pin that identity); with an approximate
+    start the repair preserves its quality (a ``refine_knn_graph``
+    round after appends recovers drift).
+
+    ``strategy='exact'``: the (old × new) and (new × all) products are
+    scored outright — the oracle-replayable tier, cost
+    |old|·|new| + |new|·|all|. ``strategy='ivf'``: both products are
+    restricted to shared-quantizer cell matches (the
+    ``build_knn_graph`` scale recipe) — at 100 TB an append touches
+    ~|new|·replication cell rows, and the stored corpus is never
+    re-shuffled; only edge lists with a new entrant change.
+    """
+    olds = old_vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    news = new_vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    alls = olds.unionByName(news)
+    if strategy == "exact":
+        old_x_new = olds.select(F.col("id").alias("src")).crossJoin(
+            news.select(F.col("id").alias("dst"))
+        )
+        new_x_all = (
+            news.select(F.col("id").alias("src"))
+            .crossJoin(alls.select(F.col("id").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        cand = graph.select("src", "dst").unionByName(old_x_new).unionByName(
+            new_x_all
+        )
+    elif strategy == "ivf":
+        from ..index.ann import IVFIndex
+
+        ivf = IVFIndex(
+            alls, key="id", vector_col="v",
+            nlist=nlist, replication=max(2, nprobe), seed=seed,
+        )
+        a = ivf.assigned.select("id", "centroid_id")
+        new_cells = a.join(
+            news.select("id"), "id"
+        ).withColumnRenamed("id", "nid")
+        # every (x, new) cell-mate pair, both directions, self excluded
+        mates = (
+            a.join(new_cells, "centroid_id")
+            .filter(F.col("id") != F.col("nid"))
+            .select("id", "nid")
+            .distinct()
+        )
+        cand = (
+            graph.select("src", "dst")
+            .unionByName(
+                mates.select(
+                    F.col("id").alias("src"), F.col("nid").alias("dst")
+                )
+            )
+            .unionByName(
+                mates.select(
+                    F.col("nid").alias("src"), F.col("id").alias("dst")
+                )
+            )
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    scored = (
+        cand.distinct()
+        .join(alls.select(F.col("id").alias("src"), F.col("v").alias("__vs")), "src")
+        .join(alls.select(F.col("id").alias("dst"), F.col("v").alias("__vd")), "dst")
+        .select(
+            "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= degree)
+        .select("src", "dst")
+    )
+
+
 def refine_knn_graph(
     graph: DataFrame,
     vectors: DataFrame,

@@ -71,6 +71,8 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_vocab_coverage",   # NEW: E88 encode side (train+segment
                             # pinned against each other in one oracle)
     "quantile_sketch_audit",  # NEW: E89 GK-sketch rank-error audit
+    "knn_graph_append",     # NEW: E90 incremental graph maintenance
+                            # (append == full-rebuild identity oracle)
     # --- (b) the last 14 never-driver-verified queries ---
     "above_avg_balance_no_orders", "bolt_stock_suppliers",
     "brand_bracket_revenue", "cheapest_supplier_per_part",
@@ -87,7 +89,7 @@ DRIVER_PRIORITY: list[str] = [
     "rolling_fingerprints", "pricing_summary", "forecast_revenue",
     "shipping_priority", "region_revenue", "top_orders_per_customer",
     "events_daily", "events_json", "asof_click_attribution",
-    "session_stats", "rollup_revenue",
+    "rollup_revenue",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

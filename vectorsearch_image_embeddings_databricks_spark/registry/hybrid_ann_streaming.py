@@ -1293,3 +1293,49 @@ def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+
+
+GRAPH_APPEND_SPLIT = 400  # old corpus = vec_id < split; append the rest
+
+
+@register(
+    "knn_graph_append",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    e0 AS (
+        SELECT a.id AS src, b.id AS dst,
+               row_number() OVER (
+                   PARTITION BY a.id
+                   ORDER BY list_cosine_similarity(a.vec, b.vec) DESC,
+                            b.id) AS rn
+        FROM v a JOIN v b ON a.id <> b.id
+    )
+    SELECT src, dst FROM e0 WHERE rn <= {GRAPH_DEGREE}
+    """,
+)
+def knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E90: incremental kNN-graph maintenance — the graph-tier
+    delta-sync (NMR:278's change feed driving NMR:315-323's TRIGGERED
+    refresh, the contract IVFIndex.append already carries for the cell
+    tier). Build the exact graph on the first {400} vectors, APPEND the
+    remainder without a rebuild: candidates are only
+    old-edges ∪ (old × new) ∪ (new × all) — a stored node's
+    top-degree list can only change where a NEW vector enters it, so
+    the append provably equals the full-corpus exact graph, which is
+    exactly what the oracle computes. The old × old work is never
+    repeated; at corpus scale ``strategy='ivf'`` restricts both
+    products to shared-quantizer cell mates (pytest-pinned) so an
+    append touches ~|new|·replication rows of the stored corpus."""
+    from ..index.graph_ann import append_knn_graph, build_knn_graph
+
+    emb = load_embeddings(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") < GRAPH_APPEND_SPLIT)
+    new = emb.filter(F.col("vec_id") >= GRAPH_APPEND_SPLIT)
+    g_old = build_knn_graph(
+        old, "vec_id", "embedding", degree=GRAPH_DEGREE
+    ).localCheckpoint(eager=True)
+    return append_knn_graph(
+        g_old, old, new, "vec_id", "embedding", degree=GRAPH_DEGREE
+    )
