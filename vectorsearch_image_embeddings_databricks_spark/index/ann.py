@@ -139,6 +139,22 @@ class BRPLSHIndex:
             .orderBy(F.desc(score_col), F.asc(self.key))
         )
 
+    @staticmethod
+    def _bucket_keys(hashed: DataFrame, id_col: str, id_alias: str) -> DataFrame:
+        """(id, table, bucket) postings from a transformed frame — the
+        slim join-key form of the model's ``__hashes`` column (each
+        table's hash is a 1-element vector holding the bucket index)."""
+        from pyspark.ml.functions import vector_to_array
+
+        return hashed.select(
+            F.col(id_col).alias(id_alias),
+            F.posexplode("__hashes").alias("__table", "__h"),
+        ).select(
+            id_alias,
+            "__table",
+            F.element_at(vector_to_array("__h"), 1).cast("long").alias("__bucket"),
+        )
+
     def search_batch(
         self,
         queries: DataFrame,
@@ -148,39 +164,61 @@ class BRPLSHIndex:
         score_col: str = "score",
     ) -> DataFrame:
         """Deterministic batched ANN top-k: ONE bucket equi-join of the
-        hashed corpus against the whole query table (each side's hashes
-        exploded once), exact-distance re-rank per query. Returns
-        ``(query_key, key, score)``. This is the shape a query BATCH
-        wants at scale — the per-query ``search`` loop pays a join per
-        query; this pays one, shuffle-keyed on the hash buckets."""
+        hashed corpus against the whole query table, exact-distance
+        re-rank per query. Returns ``(query_key, key, score)``.
+
+        The candidate join carries BARE IDS on 16-byte (table, bucket)
+        keys — the round-4 sf1 lesson: candidate volume is the
+        expensive part of an LSH join, and MLlib's
+        ``approxSimilarityJoin`` drags both full rows (vectors + all
+        hash vectors) through every candidate (measured: JVM OOM at 16
+        queries × 20k corpus under a small heap, where this form runs
+        in seconds). Survivor pairs are deduped FIRST, then fetch their
+        two vectors back by id for the exact L2 re-rank (the same
+        sequential-fold ``l2_dist`` the oracles replay)."""
+        from ..functions.vector import l2_dist
+
+        qv = queries.select(
+            F.col(query_key).alias("__qid"),
+            F.transform(query_vector_col, lambda x: x.cast("double")).alias(
+                "__qv"
+            ),
+        )
         from pyspark.ml.functions import array_to_vector
 
-        qdf = queries.select(
-            F.col(query_key).alias("__qid"),
-            array_to_vector(
-                F.transform(query_vector_col, lambda x: x.cast("double"))
-            ).alias("__vec"),
+        q_hashed = self.model.transform(
+            qv.select("__qid", array_to_vector("__qv").alias("__vec"))
         )
-        joined = self.model.approxSimilarityJoin(
-            self.hashed, qdf, float("inf"), distCol="__dist"
+        q_keys = self._bucket_keys(q_hashed, "__qid", "__qid")
+        c_keys = self._bucket_keys(self.hashed, self.key, "__cid")
+        cand = (
+            q_keys.join(c_keys, ["__table", "__bucket"])
+            .select("__qid", "__cid")
+            .distinct()
+        )
+        corpus_v = self.df.select(
+            F.col(self.key).alias("__cid"),
+            F.transform(self.vector_col, lambda x: x.cast("double")).alias(
+                "__cv"
+            ),
         )
         from pyspark.sql import Window
 
         w = Window.partitionBy("__qid").orderBy(
-            F.asc("__dist"), F.asc("__k")
+            F.asc("__dist"), F.asc("__cid")
         )
         score = (F.lit(2.0) - F.col("__dist") * F.col("__dist")) / F.lit(2.0)
         return (
-            joined.select(
-                F.col("datasetB.__qid").alias("__qid"),
-                F.col(f"datasetA.{self.key}").alias("__k"),
-                "__dist",
+            cand.join(qv, "__qid")
+            .join(corpus_v, "__cid")
+            .select(
+                "__qid", "__cid", l2_dist("__qv", "__cv").alias("__dist")
             )
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .select(
                 F.col("__qid").alias(query_key),
-                F.col("__k").alias(self.key),
+                F.col("__cid").alias(self.key),
                 score.alias(score_col),
             )
         )
