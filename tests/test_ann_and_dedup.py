@@ -57,14 +57,23 @@ def test_brp_lsh_search_is_deterministic_and_seeded(emb):
     b = BRPLSHIndex(
         emb.repartition(7), bucket_length=1.0, num_hash_tables=10
     )
-    import inspect
+    # the seed must actually reach the estimator: a different seed must
+    # produce different hyperplanes, hence different bucket structure
+    # (in-process both would coincide if the seed were silently ignored;
+    # the cross-PROCESS stability of the default is what the robustness
+    # matrix pins). Behavioral, not source-grep.
+    other = BRPLSHIndex(
+        emb, bucket_length=1.0, num_hash_tables=10, seed=7
+    )
 
-    from vectorsearch_image_embeddings_databricks_spark.index import ann as ann_mod
+    def buckets(idx):
+        return {
+            (r["__cid"], r["__table"], r["__bucket"])
+            for r in idx._bucket_keys(idx.hashed, "vec_id", "__cid").collect()
+        }
 
-    # the estimator must receive an explicit seed (the model object
-    # doesn't retain the param — assert the constructor contract)
-    assert "seed: int = 42" in inspect.getsource(BRPLSHIndex.__init__)
-    assert "seed=seed" in inspect.getsource(ann_mod.BRPLSHIndex.__init__)
+    assert buckets(a) == buckets(b)
+    assert buckets(a) != buckets(other)
     ra = [(r["vec_id"], round(r["score"], 9)) for r in a.search(q, k=5).collect()]
     rb = [(r["vec_id"], round(r["score"], 9)) for r in b.search(q, k=5).collect()]
     assert ra == rb

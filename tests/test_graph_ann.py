@@ -172,13 +172,63 @@ def test_append_exact_equals_full_rebuild(emb):
     assert got == want
 
 
+def test_append_update_case_replaces_vectors(emb):
+    """Change-feed UPDATE semantics: an id present in both inputs takes
+    the NEW vector — no duplicate fan-out, no self-pairs. Unlike pure
+    inserts (exact identity, previous test), updates are NOT exactly
+    locally repairable: a changed vector can be EVICTED from an old
+    node's list and the replacement candidate isn't local — so the pin
+    is: new-src rows exactly match the full rebuild, the old-src
+    eviction gap stays small, and the graph is well-formed."""
+    base = emb.select("vec_id", "embedding")
+    old = base.filter(F.col("vec_id") < 420)
+    # re-deliver ids 400-419 with DIFFERENT vectors (rotate by one
+    # position) alongside 80 genuinely new rows
+    updated = (
+        base.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+        .select(
+            "vec_id",
+            F.concat(
+                F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)
+            ).alias("embedding"),
+        )
+    )
+    brand_new = base.filter(F.col("vec_id") >= 420)
+    new = updated.unionByName(brand_new)
+    g_old = build_knn_graph(old, "vec_id", "embedding", degree=6)
+    appended = append_knn_graph(
+        g_old, old, new, "vec_id", "embedding", degree=6
+    )
+    effective = old.filter(F.col("vec_id") < 400).unionByName(new)
+    full = build_knn_graph(effective, "vec_id", "embedding", degree=6)
+    got = [(r["src"], r["dst"]) for r in appended.collect()]
+    want = {(r["src"], r["dst"]) for r in full.collect()}
+    assert len(got) == len(set(got))  # no duplicate edges
+    gset = set(got)
+    assert not any(s == d for s, d in gset)  # no self-pairs
+    new_ids = set(range(400, 500))
+    assert {p for p in gset if p[0] in new_ids} == {
+        p for p in want if p[0] in new_ids
+    }  # new/updated sources see ALL candidates -> exact
+    overlap = len(gset & want) / len(want)
+    assert overlap >= 0.98, overlap  # eviction gaps only (measured ~1%)
+
+
 def test_append_ivf_tier_bounded_and_close(emb):
+    from vectorsearch_image_embeddings_databricks_spark.index.ann import IVFIndex
+
     old = emb.filter(F.col("vec_id") < 400)
     new = emb.filter(F.col("vec_id") >= 400)
     g_old = build_knn_graph(old, "vec_id", "embedding", degree=6)
+    # the incremental contract: the STORED index (old corpus only) is
+    # passed in, so the append assigns just the new batch against it
+    stored_ivf = IVFIndex(
+        old, key="vec_id", vector_col="embedding",
+        nlist=8, replication=4, seed=42,
+    )
     appended = append_knn_graph(
         g_old, old, new, "vec_id", "embedding", degree=6,
-        strategy="ivf", nlist=8, nprobe=4,
+        strategy="ivf", nprobe=4, ivf=stored_ivf,
     )
     per_src = appended.groupBy("src").agg(F.count("*").alias("d"))
     assert per_src.filter(F.col("d") > 6).count() == 0

@@ -186,12 +186,15 @@ def test_quantile_sketch_audit_rank_math_catches_bad_value(spark):
     df = spark.createDataFrame(
         [("g", float(i)) for i in range(1000)], "g string, v double"
     )
-    # replicate the operator's closed-span rank check with v = min
+    # replicate the operator's cross-multiplied closed-span rank check
+    # (integer micro-units, floor/ceil window) with v = min
     n = 1000
     v = 0.0
     lt = df.filter(F.col("v") < v).count()
     le = df.filter(F.col("v") <= v).count()
     q_micro, eps_micro = 900000, 1_000_000 // 100
-    lo_rank, hi_rank = (lt + 1) * 1_000_000, le * 1_000_000
-    lo_b, hi_b = (q_micro - eps_micro) * n, (q_micro + eps_micro) * n
-    assert not (hi_rank >= lo_b and lo_rank <= hi_b)
+    p_lo, q_hi = (q_micro - eps_micro) * n, (q_micro + eps_micro) * n
+    hi_rank_m, lo_rank_m = le * 1_000_000, (lt + 1) * 1_000_000
+    assert not (
+        hi_rank_m + 999_999 >= p_lo and lo_rank_m <= q_hi + 999_999
+    )

@@ -118,7 +118,10 @@ class MultiModalEngine:
           oracle for the other two).
         - ``"ann"`` — MLlib BRP-LSH with the deterministic bucket-join
           search (the scale path; replaces the closed VS ANN,
-          NMR:315–323).
+          NMR:315–323). Deterministic, which also means no adaptive
+          widening: may return fewer than ``top_k`` rows if the query
+          collides with fewer than ``top_k`` corpus rows (tune
+          num_hash_tables / bucket_length).
         - ``"hybrid"`` — vector ranking RRF-fused with keyword (BM25)
           relevance of the query terms against ``text_col`` — the
           commented-out ``query_type="hybrid"`` call at NMR:386–387,

@@ -92,12 +92,16 @@ class BRPLSHIndex:
         (2 − d²)/2 for unit vectors, ranked desc.
 
         ``via='buckets'`` (default): candidates are corpus rows sharing
-        ≥1 hash bucket with the query (the ``approxSimilarityJoin``
-        bucket equi-join), exact-distance top-k with (dist, key)
-        tie-breaks. DETERMINISTIC — the candidate set is a pure
-        function of the seeded hash model, so repeated runs and
+        ≥1 hash bucket with the query, exact-distance top-k with
+        (dist, key) tie-breaks. DETERMINISTIC — the candidate set is a
+        pure function of the seeded hash model, so repeated runs and
         repartitioned inputs return the identical answer (the property
-        the hash-verified registry rows rely on).
+        the hash-verified registry rows rely on). The flip side of
+        determinism: there is no adaptive widening, so if fewer than
+        ``k`` corpus rows share any bucket with the query the result
+        has fewer than ``k`` rows — raise ``num_hash_tables`` or
+        ``bucket_length`` (the committed configs are measured
+        full-recall on the fixtures at every scale).
 
         ``via='mllib'``: MLlib's own ``approxNearestNeighbors``
         multi-probe — it widens candidates to NEARBY buckets via a

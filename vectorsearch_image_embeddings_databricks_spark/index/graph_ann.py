@@ -170,9 +170,18 @@ def build_knn_graph(
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
-    w = Window.partitionBy("src").orderBy(
-        F.desc("__cos"), F.asc("dst")
-    )
+    return _top_degree_edges(scored, degree)
+
+
+def _top_degree_edges(scored: DataFrame, degree: int) -> DataFrame:
+    """The edge-ranking epilogue every graph tier shares: per-src
+    top-``degree`` of ``(src, dst, __cos)`` with the (cos desc, dst asc)
+    tie-break. ONE home for the convention — the exact/ivf builds,
+    NN-descent refinement, and incremental append all rank through
+    here, and the registry oracles replay exactly this ordering; a
+    drift in any one tier would silently break the append==rebuild
+    identity and the unrolled-SQL hashes."""
+    w = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= degree)
@@ -191,6 +200,7 @@ def append_knn_graph(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    ivf=None,
 ) -> DataFrame:
     """Incremental kNN-graph maintenance — the graph-tier analog of the
     reference's delta-sync index refresh (NMR:278 change feed →
@@ -211,49 +221,94 @@ def append_knn_graph(
     scored outright — the oracle-replayable tier, cost
     |old|·|new| + |new|·|all|. ``strategy='ivf'``: both products are
     restricted to shared-quantizer cell matches (the
-    ``build_knn_graph`` scale recipe) — at 100 TB an append touches
-    ~|new|·replication cell rows, and the stored corpus is never
-    re-shuffled; only edge lists with a new entrant change.
+    ``build_knn_graph`` scale recipe). Pass the STORED ``ivf`` index
+    (the one whose quantizer built the graph) so an append assigns
+    only the new batch against it — ~|new|·replication cell rows
+    touched, the stored corpus never re-shuffled (the
+    ``IVFIndex.append`` contract). With ``ivf=None`` a throwaway
+    quantizer is trained over old+new — convenient at fixture scale,
+    but it re-assigns the whole corpus per append and is NOT the
+    incremental path.
+
+    UPDATE semantics (the change-feed case): an id present in BOTH
+    inputs takes the NEW vector — the old row is dropped before
+    candidate generation, every candidate pair is re-scored against
+    current vectors, and self-pairs are excluded; ids within
+    ``new_vectors`` itself must be unique (caller contract, as for any
+    keyed upsert batch). Unlike pure inserts, updates are not EXACTLY
+    locally repairable: a changed vector can be evicted from a stored
+    node's list, and the replacement (that node's next-best OLD
+    neighbor) is outside the local candidate set — new/updated sources
+    stay exact, stored sources carry a small eviction gap (measured
+    ~1% of edges on the fixture; one :func:`refine_knn_graph` round
+    recovers most of it — the same periodic-repair discipline every
+    production graph index pairs with tombstoned updates).
     """
-    olds = old_vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    )
     news = new_vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
+    # new wins on id collision: the old row (and its stale vector)
+    # must not fan out the score joins below
+    olds = old_vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(news.select("id"), "id", "left_anti")
     alls = olds.unionByName(news)
     if strategy == "exact":
         old_x_new = olds.select(F.col("id").alias("src")).crossJoin(
             news.select(F.col("id").alias("dst"))
         )
-        new_x_all = (
-            news.select(F.col("id").alias("src"))
-            .crossJoin(alls.select(F.col("id").alias("dst")))
+        new_x_all = news.select(F.col("id").alias("src")).crossJoin(
+            alls.select(F.col("id").alias("dst"))
+        )
+        cand = (
+            graph.select("src", "dst")
+            .unionByName(old_x_new)
+            .unionByName(new_x_all)
             .filter(F.col("src") != F.col("dst"))
         )
-        cand = graph.select("src", "dst").unionByName(old_x_new).unionByName(
-            new_x_all
-        )
     elif strategy == "ivf":
-        from ..index.ann import IVFIndex
+        if ivf is None:
+            from ..index.ann import IVFIndex
 
-        ivf = IVFIndex(
-            alls, key="id", vector_col="v",
-            nlist=nlist, replication=max(2, nprobe), seed=seed,
-        )
-        a = ivf.assigned.select("id", "centroid_id")
-        new_cells = a.join(
-            news.select("id"), "id"
-        ).withColumnRenamed("id", "nid")
-        # every (x, new) cell-mate pair, both directions, self excluded
+            # fixture-scale convenience ONLY: trains and assigns over
+            # the whole old+new corpus (see docstring)
+            ivf = IVFIndex(
+                alls, key="id", vector_col="v",
+                nlist=nlist, replication=max(2, nprobe), seed=seed,
+            )
+            old_a = ivf.assigned.select("id", "centroid_id").join(
+                news.select("id"), "id", "left_anti"
+            )
+            new_a = ivf.assigned.select("id", "centroid_id").join(
+                news.select("id"), "id"
+            )
+        else:
+            # the incremental path: stored assignments are reused
+            # verbatim; only the new batch runs the assignment
+            # expression (and probes nprobe cells so near-boundary
+            # neighborhoods overlap)
+            old_a = ivf.assigned.select(
+                F.col(ivf.key).alias("id"), "centroid_id"
+            ).join(news.select("id"), "id", "left_anti")
+            new_a = ivf.assign_cells(
+                news.withColumnRenamed("v", ivf.vector_col)
+                if ivf.vector_col != "v"
+                else news,
+                ivf.vector_col,
+                nprobe,
+            ).select(F.col("id"), "centroid_id")
+        all_a = old_a.unionByName(new_a)
         mates = (
-            a.join(new_cells, "centroid_id")
+            all_a.join(
+                new_a.withColumnRenamed("id", "nid"), "centroid_id"
+            )
             .filter(F.col("id") != F.col("nid"))
             .select("id", "nid")
             .distinct()
         )
         cand = (
             graph.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
             .unionByName(
                 mates.select(
                     F.col("id").alias("src"), F.col("nid").alias("dst")
@@ -275,12 +330,7 @@ def append_knn_graph(
             "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
         )
     )
-    w = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= degree)
-        .select("src", "dst")
-    )
+    return _top_degree_edges(scored, degree)
 
 
 def refine_knn_graph(
@@ -319,7 +369,6 @@ def refine_knn_graph(
         F.col(id_col).alias("dst"), F.col(vec_col).alias("__vd")
     )
     edges = graph.select("src", "dst")
-    w = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
     for _ in range(rounds):
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -340,19 +389,16 @@ def refine_knn_graph(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        edges = (
+        edges = _top_degree_edges(
             cand.join(vecs_s, "src")
             .join(vecs_d, "dst")
             .select(
                 "src",
                 "dst",
                 cosine_similarity("__vs", "__vd").alias("__cos"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= degree)
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+            ),
+            degree,
+        ).localCheckpoint(eager=True)
     return edges
 
 
@@ -475,9 +521,13 @@ def beam_search(
         )
         # re-establish the fixed-list path's non-emptiness invariant:
         # an empty/mis-keyed entries table would otherwise walk to an
-        # EMPTY result instead of surfacing the misconfiguration
-        # (per-query gaps are the caller's contract — checking them
-        # would cost a full aggregation on the hot path)
+        # EMPTY result instead of surfacing the misconfiguration.
+        # Checkpoint FIRST so the emptiness probe and the seeding both
+        # read one materialization (isEmpty on the raw plan would
+        # execute the caller's entry-derivation DAG a second time);
+        # per-query gaps remain the caller's contract — checking them
+        # would cost a full aggregation on the hot path.
+        seed = seed.localCheckpoint(eager=True)
         if seed.isEmpty():
             raise ValueError("entries DataFrame is empty")
         state = seed.join(q, "__qid").join(vecs, "__id")

@@ -250,18 +250,24 @@ def quantile_sketch_audit(
     # returned value's closed span [lt+1, le] must fall in that integer
     # window. floor/ceil matter — exact real-valued bounds are STRICTER
     # than the contract and flag legal answers at fractional
-    # boundaries. All integer arithmetic (micro-units), div is floor
-    # for these non-negative operands, ceil(x/1e6) = (x + 1e6-1) div 1e6.
+    # boundaries. TRULY integer arithmetic: the comparisons are
+    # cross-multiplied into micro-units (for integers,
+    # rank >= floor(P/1e6) <=> 1e6·rank + 999999 >= P and
+    # rank <= ceil(Q/1e6) <=> 1e6·rank <= Q + 999999), and the products
+    # run in DECIMAL(38,0) so no double rounding or int64 overflow can
+    # flip the audit at large N — a float division here rounds past
+    # 2^53, i.e. exactly at the corpus sizes this path targets.
     eps_micro = 1_000_000 // accuracy
-    lo_rank = F.col("__lt") + 1
-    hi_rank = F.col("__le")
-    lo_bound = F.floor(
-        (q_micro - F.lit(eps_micro)) * F.col("__n") / F.lit(1_000_000)
-    )
-    hi_bound = -F.floor(
-        -(q_micro + F.lit(eps_micro)) * F.col("__n") / F.lit(1_000_000)
-    )
-    within = ((hi_rank >= lo_bound) & (lo_rank <= hi_bound)).cast("long")
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = dec38(F.col("__n"))
+    p_lo = (dec38(q_micro) - F.lit(eps_micro)) * n
+    q_hi = (dec38(q_micro) + F.lit(eps_micro)) * n
+    hi_rank_m = dec38(F.col("__le")) * F.lit(1_000_000)
+    lo_rank_m = dec38(F.col("__lt") + 1) * F.lit(1_000_000)
+    within = (
+        (hi_rank_m + F.lit(999_999) >= p_lo)
+        & (lo_rank_m <= q_hi + F.lit(999_999))
+    ).cast("long")
     return ranked.select(
         group_col,
         q_micro.cast("long").alias("q_micro"),

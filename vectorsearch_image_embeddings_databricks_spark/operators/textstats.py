@@ -833,9 +833,14 @@ def bpe_train(
         else bpe_word_counts(df, text_col)
     )
     if strategy != "distributed":
-        n_vocab = wc.count()
-        if n_vocab <= driver_vocab_cap:
-            counts = {r["t"]: int(r["f"]) for r in wc.collect()}
+        # ONE action: collect at most cap+1 rows — a separate count()
+        # would execute the corpus-sized token-key shuffle twice (Spark
+        # jobs don't share shuffle output across actions on an
+        # unpersisted plan), doubling the dominant cost of the exact
+        # path this tier exists to make cheap
+        rows = wc.limit(driver_vocab_cap + 1).collect()
+        if len(rows) <= driver_vocab_cap:
+            counts = {r["t"]: int(r["f"]) for r in rows}
             return spark.createDataFrame(
                 _bpe_driver_loop(counts, merges),
                 "merge_rank int, lhs string, rhs string, merged string, "
@@ -843,9 +848,9 @@ def bpe_train(
             )
         if strategy == "driver":
             raise ValueError(
-                f"vocabulary ({n_vocab} tokens) exceeds driver_vocab_cap "
-                f"({driver_vocab_cap}); use strategy='distributed' or "
-                "raise the cap"
+                f"vocabulary (> {driver_vocab_cap} tokens) exceeds "
+                "driver_vocab_cap; use strategy='distributed' or raise "
+                "the cap"
             )
     state = wc.select(
         F.regexp_replace(
