@@ -140,6 +140,63 @@ def test_bpe_segment_roundtrip_and_reference_equality(spark):
         assert syms == words[w], (w, syms, words[w])
 
 
+def test_bpe_segment_multi_chunk_equals_reference(spark):
+    """Above _BPE_SEGMENT_CHUNK merges bpe_segment switches to chunked
+    projections with a localCheckpoint between chunks (round-5 advice:
+    one merge-count-deep nested-replace expression would hit Catalyst
+    analyzer/codegen recursion at production vocabularies). The chunk
+    boundary must be invisible: segmentation equals the reference
+    list-walk and round-trips losslessly."""
+    import random
+
+    rng = random.Random(7)
+    words = sorted(
+        {"".join(rng.choice("abcdef") for _ in range(10)) for _ in range(50)}
+    )
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    wc = {w: 1 for w in words}
+    ref = _reference_bpe(wc, merges=150)
+    merges = [(m[1], m[2]) for m in ref]
+    assert len(merges) > textstats._BPE_SEGMENT_CHUNK  # multi-chunk regime
+    seg = {
+        r["token"]: r["symbols"]
+        for r in textstats.bpe_segment(docs, "text", merges).collect()
+    }
+    state = {w: list(w) for w in wc}
+    for a, b in merges:
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert set(seg) == set(wc)
+    for w, syms in seg.items():
+        assert "".join(syms) == w
+        assert syms == state[w], (w, syms, state[w])
+
+
+def test_bpe_word_counts_excludes_frame_bytes(spark):
+    """Tokens carrying the \\x01/\\x02 framing bytes would corrupt merge
+    counting and segmentation; bpe_word_counts (the choke point both BPE
+    stages share) must drop them."""
+    docs = spark.createDataFrame(
+        [(0, "good tok\x01en also\x02bad good")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["t"]: r["f"]
+        for r in textstats.bpe_word_counts(docs, "text").collect()
+    }
+    assert rows == {"good": 2}
+
+
 def test_bpe_train_partition_invariant(spark):
     docs = spark.createDataFrame(
         [(i, "remerge remerge merge merges") for i in range(20)],

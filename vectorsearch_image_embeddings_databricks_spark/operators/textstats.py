@@ -706,16 +706,34 @@ def bpe_pair_counts(
 _BPE_OPEN = "\x01"
 _BPE_CLOSE = "\x02"
 
+#: Max ``replace`` expressions chained into one bpe_segment projection —
+#: keeps the Catalyst expression tree bounded at production merge counts
+#: (see bpe_segment's depth note). 64 is comfortably inside analyzer /
+#: codegen recursion limits while keeping a 30k-merge vocabulary at
+#: ~470 vocab-table passes (vocab-sized maps, not corpus work).
+_BPE_SEGMENT_CHUNK = 64
+
 
 def bpe_word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """The corpus→vocabulary collapse both BPE stages consume: ONE
     token-key shuffle to ``(t, f)`` distinct-word frequencies. Build it
     once (and localCheckpoint it) when composing train + segment so the
-    corpus-sized work truly happens once per pipeline, not per stage."""
+    corpus-sized work truly happens once per pipeline, not per stage.
+
+    Tokens containing the framing control bytes (\\x01/\\x02 — which the
+    train/segment machinery uses to delimit symbols) are EXCLUDED here,
+    at the single choke point both stages share: a corpus token carrying
+    a frame byte would silently corrupt merge counting and segmentation
+    downstream. Real tokenizer vocabularies never contain C0 control
+    bytes; the one cheap map-side filter makes that a contract instead
+    of an assumption."""
     from ..functions.text import tokenize
 
     return (
         df.select(F.explode(tokenize(text_col)).alias("t"))
+        .filter(
+            (F.instr("t", _BPE_OPEN) == 0) & (F.instr("t", _BPE_CLOSE) == 0)
+        )
         .groupBy("t")
         .agg(F.count("*").alias("f"))
     )
@@ -916,15 +934,26 @@ def bpe_segment(
     segment every distinct token — the inference side of the tokenizer:
     ``(token, corpus_count, symbols array)`` per distinct token.
 
-    The whole segmentation is ONE projection over the vocab-sized
-    word-frequency table: the framed representation chains
-    ``len(merges)`` string replaces (each replay of one training round,
-    same left-to-right non-overlap semantics), then splits back to a
-    symbol array. No corpus-sized work beyond the initial token-key
+    The segmentation is a chain of ``len(merges)`` string replaces over
+    the vocab-sized word-frequency table (each replay of one training
+    round, same left-to-right non-overlap semantics), then a split back
+    to a symbol array. No corpus-sized work beyond the initial token-key
     shuffle, no Python in the plan — at 100 TB this is the map stage
     of every downstream token-count/packing operator. Pass
     ``word_counts`` (a :func:`bpe_word_counts` table, ideally
     checkpointed) to share that shuffle with the training stage.
+
+    Expression-depth bound: a single projection nesting one ``replace``
+    Column per merge would hand Catalyst a merge-count-deep expression
+    tree — at a production 30k-merge vocabulary that is analyzer/codegen
+    recursion territory, not a plan. Merges are therefore applied in
+    chunks of ``_BPE_SEGMENT_CHUNK`` replaces per projection with a
+    ``localCheckpoint`` between chunks, so the deepest expression any
+    stage carries is chunk-sized and the number of passes over the
+    (vocab-sized, NOT corpus-sized) table is ``merges/chunk``.
+    Pytest-pinned against the reference list-walk segmenter across the
+    multi-chunk regime; the single-chunk case keeps the old one-
+    projection plan exactly.
     """
     base = (
         word_counts
@@ -934,16 +963,25 @@ def bpe_segment(
     wc = base.select(
         F.col("t").alias(token_col), F.col("f").alias("corpus_count")
     )
-    enc = F.regexp_replace(
-        token_col, "(.)", f"{_BPE_OPEN}$1{_BPE_CLOSE}"
+    framed = wc.withColumn(
+        "__enc",
+        F.regexp_replace(token_col, "(.)", f"{_BPE_OPEN}$1{_BPE_CLOSE}"),
     )
-    for a, b in merges:
-        enc = F.replace(
-            enc,
-            F.lit(_BPE_OPEN + a + _BPE_CLOSE + _BPE_OPEN + b + _BPE_CLOSE),
-            F.lit(_BPE_OPEN + a + b + _BPE_CLOSE),
-        )
-    framed = wc.withColumn("__enc", enc)
+    merges = list(merges)
+    for i in range(0, len(merges), _BPE_SEGMENT_CHUNK):
+        enc = F.col("__enc")
+        for a, b in merges[i : i + _BPE_SEGMENT_CHUNK]:
+            enc = F.replace(
+                enc,
+                F.lit(_BPE_OPEN + a + _BPE_CLOSE + _BPE_OPEN + b + _BPE_CLOSE),
+                F.lit(_BPE_OPEN + a + b + _BPE_CLOSE),
+            )
+        framed = framed.withColumn("__enc", enc)
+        if i + _BPE_SEGMENT_CHUNK < len(merges):
+            # materialize the chunk so the NEXT projection starts from a
+            # flat string column, not a deeper tree (lazy: the chunk
+            # runs when the segmentation is first consumed)
+            framed = framed.localCheckpoint(eager=False)
     syms = F.split(
         F.expr("substring(__enc, 2, length(__enc) - 2)"),
         _BPE_CLOSE + _BPE_OPEN,

@@ -1542,7 +1542,8 @@ def _bpe_round_ctes(i: int) -> str:
     WITH wc AS (
         SELECT t, count(*) AS f FROM (
             SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS t
+                                      x -> x <> '' AND strpos(x, chr(1)) = 0
+                                           AND strpos(x, chr(2)) = 0)) AS t
             FROM documents
         ) GROUP BY t
     ),
@@ -1584,7 +1585,8 @@ BPE_COVERAGE_TOP = 20
     WITH wc AS (
         SELECT t, count(*) AS f FROM (
             SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS t
+                                      x -> x <> '' AND strpos(x, chr(1)) = 0
+                                           AND strpos(x, chr(2)) = 0)) AS t
             FROM documents
         ) GROUP BY t
     ),

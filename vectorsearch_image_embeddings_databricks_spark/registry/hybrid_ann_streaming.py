@@ -839,6 +839,22 @@ def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join that builds it isn't re-executed per consumer. At 100 TB
     # this is "write the augmented table, then index it".
     corpus = base.unionByName(twins).localCheckpoint(eager=True)
+    # Ladder-coverage guard (round-5 advice): the SQL oracle's band_bits
+    # ladder stops at _LSH_MAX_BAND_BITS while the operator's auto-sizer
+    # clamps at 20 — above 64 * 2**12 corpus rows (twins included) the
+    # two would diverge BY CONSTRUCTION and the driver would report a
+    # bare hash mismatch. Surface the real condition instead; the
+    # operator itself has no such ceiling.
+    n_corpus = corpus.count()
+    if n_corpus > 64 * 2**_LSH_MAX_BAND_BITS:
+        raise ValueError(
+            f"cosine_lsh_near_dup: corpus of {n_corpus} rows exceeds the "
+            f"committed oracle's band_bits ladder (cap {_LSH_MAX_BAND_BITS} "
+            f"= {64 * 2**_LSH_MAX_BAND_BITS} rows); extend "
+            "_LSH_MAX_BAND_BITS (and its plane ladder) to replay larger "
+            "corpora — the OPERATOR's auto-sizing clamps at 20 and is "
+            "unaffected"
+        )
     lsh = CosineLSHIndex(corpus, key="vec_id", vector_col="embedding")
     res = lsh.similarity_self_join(LSH_DUP_THRESHOLD)
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
