@@ -96,12 +96,12 @@ class BRPLSHIndex:
         (dist, key) tie-breaks. DETERMINISTIC — the candidate set is a
         pure function of the seeded hash model, so repeated runs and
         repartitioned inputs return the identical answer (the property
-        the hash-verified registry rows rely on). The flip side of
-        determinism: there is no adaptive widening, so if fewer than
-        ``k`` corpus rows share any bucket with the query the result
-        has fewer than ``k`` rows — raise ``num_hash_tables`` or
-        ``bucket_length`` (the committed configs are measured
-        full-recall on the fixtures at every scale).
+        the hash-verified registry rows rely on). Sparse-collision
+        queries are k-filled by the deterministic adjacent-bucket
+        widening ladder (see ``search_batch``), so the result has ``k``
+        rows whenever the corpus does — the reference's always-k
+        ``similarity_search`` contract (NMR:388) without giving up
+        hash-verifiability.
 
         ``via='mllib'``: MLlib's own ``approxNearestNeighbors``
         multi-probe — it widens candidates to NEARBY buckets via a
@@ -143,6 +143,85 @@ class BRPLSHIndex:
             .orderBy(F.desc(score_col), F.asc(self.key))
         )
 
+    #: Widening-ladder cap: short queries probe bucket ± δ for δ up to
+    #: this radius (doubling rungs), then fall back to exact scan. With
+    #: the committed bucket_length values a radius-64 interval spans
+    #: dozens of standard deviations of projected mass — a query still
+    #: short there is adversarially far from the whole corpus, and the
+    #: exact fallback (bounded by |short queries| · |corpus| candidate
+    #: ids) is the honest answer.
+    _WIDEN_MAX_RADIUS = 64
+
+    def _kfill(
+        self,
+        ranked: DataFrame,
+        rank,
+        qv: DataFrame,
+        q_keys: DataFrame,
+        c_keys: DataFrame,
+        corpus_v: DataFrame,
+        k: int,
+    ) -> DataFrame:
+        """Deterministic k-fill (see ``search_batch``): queries whose
+        RANKED result holds < k rows re-probe adjacent buckets at
+        doubling radius (each rung's ±radius key set is a superset of
+        the base probe, so the rung's re-rank REPLACES the short
+        query's rows), with an exact-scan terminal rung. The common
+        full-recall case costs one checkpoint of the ≤ k·|queries|-row
+        result plus one tiny count — the candidate set is never
+        re-materialized."""
+        ranked = ranked.localCheckpoint(eager=True)
+
+        def short_qids(r: DataFrame) -> list:
+            counts = (
+                qv.select("__qid")
+                .join(
+                    r.groupBy("__qid").agg(F.count("*").alias("__n")),
+                    "__qid",
+                    "left",
+                )
+                .filter(F.coalesce(F.col("__n"), F.lit(0)) < k)
+            )
+            return [x["__qid"] for x in counts.select("__qid").collect()]
+
+        shorts = short_qids(ranked)
+        if not shorts:
+            return ranked
+        radius = 1
+        while shorts and radius <= self._WIDEN_MAX_RADIUS:
+            wq = q_keys.filter(F.col("__qid").isin(shorts)).select(
+                "__qid",
+                "__table",
+                F.explode(
+                    F.sequence(
+                        F.col("__bucket") - radius,
+                        F.col("__bucket") + radius,
+                    )
+                ).alias("__bucket"),
+            )
+            wcand = (
+                wq.join(c_keys, ["__table", "__bucket"])
+                .select("__qid", "__cid")
+                .distinct()
+            )
+            ranked = (
+                ranked.filter(~F.col("__qid").isin(shorts))
+                .unionByName(rank(wcand))
+                .localCheckpoint(eager=True)
+            )
+            shorts = short_qids(ranked)
+            radius *= 2
+        if shorts:
+            fcand = (
+                qv.select("__qid")
+                .filter(F.col("__qid").isin(shorts))
+                .crossJoin(corpus_v.select("__cid"))
+            )
+            ranked = ranked.filter(~F.col("__qid").isin(shorts)).unionByName(
+                rank(fcand)
+            )
+        return ranked
+
     @staticmethod
     def _bucket_keys(hashed: DataFrame, id_col: str, id_alias: str) -> DataFrame:
         """(id, table, bucket) postings from a transformed frame — the
@@ -166,6 +245,7 @@ class BRPLSHIndex:
         query_vector_col: str = "query_vec",
         k: int = 5,
         score_col: str = "score",
+        widen: bool = True,
     ) -> DataFrame:
         """Deterministic batched ANN top-k: ONE bucket equi-join of the
         hashed corpus against the whole query table, exact-distance
@@ -179,7 +259,29 @@ class BRPLSHIndex:
         queries × 20k corpus under a small heap, where this form runs
         in seconds). Survivor pairs are deduped FIRST, then fetch their
         two vectors back by id for the exact L2 re-rank (the same
-        sequential-fold ``l2_dist`` the oracles replay)."""
+        sequential-fold ``l2_dist`` the oracles replay).
+
+        ``widen=True`` (default): the deterministic k-fill ladder. A
+        sparse-collision query can share no bucket with ``k`` corpus
+        rows; since BRP buckets are ORDERED intervals (bucket index =
+        ``floor(h/bucketLength)``), the nearest rows outside a query's
+        buckets live in ADJACENT buckets — so short queries (and only
+        short queries) re-probe ``bucket ± δ`` for a doubling radius
+        (1, 2, 4, …, ``_WIDEN_MAX_RADIUS``), and any query still short
+        after the ladder falls back to exact scan. The ladder is a pure
+        function of the seeded hash model and the candidate COUNTS, so
+        results stay deterministic and hash-verifiable while the
+        always-k contract of the reference's ``similarity_search``
+        (NMR:388) now holds whenever the corpus has ≥ k rows.
+        Full-recall configurations never enter the ladder — the check
+        ranks FIRST and inspects the ≤ k·|queries|-row result (one
+        checkpoint of that tiny table + one count), so the candidate
+        set is never re-materialized and committed hash rows are
+        unchanged. The per-rung coordination is driver-side but
+        bounded by |queries| ids — at 100 TB the widened re-probe
+        touches only the short queries' key postings, never the
+        corpus. ``widen=False`` keeps the bare bucket join (the
+        pre-round-6 behavior, possibly < k rows)."""
         from ..functions.vector import l2_dist
 
         qv = queries.select(
@@ -211,20 +313,29 @@ class BRPLSHIndex:
         w = Window.partitionBy("__qid").orderBy(
             F.asc("__dist"), F.asc("__cid")
         )
+
+        def rank(c: DataFrame) -> DataFrame:
+            return (
+                c.join(qv, "__qid")
+                .join(corpus_v, "__cid")
+                .select(
+                    "__qid", "__cid", l2_dist("__qv", "__cv").alias("__dist")
+                )
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .select("__qid", "__cid", "__dist")
+            )
+
+        ranked = rank(cand)
+        if widen:
+            ranked = self._kfill(
+                ranked, rank, qv, q_keys, c_keys, corpus_v, k
+            )
         score = (F.lit(2.0) - F.col("__dist") * F.col("__dist")) / F.lit(2.0)
-        return (
-            cand.join(qv, "__qid")
-            .join(corpus_v, "__cid")
-            .select(
-                "__qid", "__cid", l2_dist("__qv", "__cv").alias("__dist")
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select(
-                F.col("__qid").alias(query_key),
-                F.col("__cid").alias(self.key),
-                score.alias(score_col),
-            )
+        return ranked.select(
+            F.col("__qid").alias(query_key),
+            F.col("__cid").alias(self.key),
+            score.alias(score_col),
         )
 
     def save(self, path: str) -> None:
