@@ -163,6 +163,15 @@ NEW_OPS = [
     "bpe_vocab_coverage",
     "quantile_sketch_audit",
     "knn_graph_append",
+    # round 6 additions: the E90 update-path repair contract (capped
+    # oracle-tier corpus — append + one NN-descent round vs rebuild)
+    # and the production ivf-built graph served through the persisted
+    # KNNGraphIndex surface (expected-if-healthy full-recall audit).
+    # knn_graph_beam/adaptive now share ONE memoized exact build per
+    # (session, sf, degree) — r5 verdict #3; update's graphs differ
+    # (old-corpus build + post-update rebuild) so it builds its own.
+    "knn_graph_update",
+    "knn_graph_ivf_recall",
 ]
 
 

@@ -127,25 +127,113 @@ class IndexCatalog:
     def get_index(self, name: str) -> VectorIndex:
         """Lookup by name (``vs_client.get_index``, NMR:384)."""
         if not self.exists(name):
+            if self.graph_exists(name):
+                raise KeyError(
+                    f"{name!r} is a knn_graph index — use get_graph_index"
+                )
             raise KeyError(f"no such index: {name!r}")
         return VectorIndex.load(self.spark, self._path(name))
 
     def list_indexes(self) -> list[dict]:
-        """Name + schema metadata for every index in the catalog."""
+        """Name + schema metadata for every index in the catalog
+        (vector indexes and knn_graph indexes, tagged by ``type``)."""
+        from .graph_ann import _GRAPH_META_FILE
+
         out = []
         for name in sorted(os.listdir(self.root)):
             meta_path = os.path.join(self.root, name, _META_FILE)
+            graph_meta_path = os.path.join(
+                self.root, name, _GRAPH_META_FILE
+            )
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
                     meta = json.load(f)
                 meta["name"] = name
+                meta.setdefault("type", "vector")
+                out.append(meta)
+            elif os.path.exists(graph_meta_path):
+                with open(graph_meta_path) as f:
+                    meta = json.load(f)
+                # centroid payload is index state, not listing metadata
+                meta.pop("centroids", None)
+                meta["name"] = name
+                meta["type"] = "knn_graph"
                 out.append(meta)
         return out
 
     def drop_index(self, name: str) -> None:
-        if not self.exists(name):
+        if not (self.exists(name) or self.graph_exists(name)):
             raise KeyError(f"no such index: {name!r}")
         shutil.rmtree(self._path(name))
+
+    # ------------------------------------------------------------------ #
+    # Graph-ANN tier (KNNGraphIndex) lifecycle — the same build-once /
+    # serve-many surface as create_index/get_index, for the graph tier.
+    # ------------------------------------------------------------------ #
+
+    def graph_exists(self, name: str) -> bool:
+        from .graph_ann import _GRAPH_META_FILE
+
+        return os.path.exists(
+            os.path.join(self._path(name), _GRAPH_META_FILE)
+        )
+
+    def create_graph_index(
+        self,
+        name: str,
+        source: DataFrame,
+        key: str = "vec_id",
+        vector_col: str = "embedding",
+        degree: int = 8,
+        strategy: str = "exact",
+        nlist: int = 16,
+        nprobe: int = 4,
+        seed: int = 42,
+        per_cell: int = 1,
+        refine_rounds: int = 0,
+        if_exists: str = "error",
+    ):
+        """Build + persist a :class:`~.graph_ann.KNNGraphIndex` under a
+        catalog name: edge table, quantizer centroids, and the
+        MATERIALIZED entry representatives all land on disk, so
+        ``get_graph_index(name).search(...)`` serves beam queries
+        without rebuilding anything (the reference's get_index →
+        similarity_search flow, NMR:384-388, for the graph tier)."""
+        from .graph_ann import KNNGraphIndex
+
+        if self.graph_exists(name) or self.exists(name):
+            if if_exists == "error":
+                raise ValueError(f"index {name!r} already exists")
+            if if_exists == "ignore":
+                return self.get_graph_index(name)
+            # "replace" falls through to overwrite
+        idx = KNNGraphIndex.build(
+            source,
+            key,
+            vector_col,
+            degree=degree,
+            strategy=strategy,
+            nlist=nlist,
+            nprobe=nprobe,
+            seed=seed,
+            per_cell=per_cell,
+            refine_rounds=refine_rounds,
+        )
+        idx.save(self._path(name))
+        return KNNGraphIndex.load(self.spark, self._path(name))
+
+    def get_graph_index(self, name: str):
+        """Lookup a persisted graph index by name; everything it reads
+        (edges, vectors, reps) is a lazy parquet scan."""
+        from .graph_ann import KNNGraphIndex
+
+        if not self.graph_exists(name):
+            if self.exists(name):
+                raise KeyError(
+                    f"{name!r} is a vector index — use get_index"
+                )
+            raise KeyError(f"no such index: {name!r}")
+        return KNNGraphIndex.load(self.spark, self._path(name))
 
     def sync(self, name: str, source: DataFrame | None = None) -> VectorIndex:
         """TRIGGERED refresh (NMR:318): re-materialize the index from its

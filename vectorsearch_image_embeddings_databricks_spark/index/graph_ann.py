@@ -43,7 +43,7 @@ tiers in ANN_FRONTIER.md.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.vector import cosine_similarity
 
@@ -65,6 +65,7 @@ def build_knn_graph(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    ivf=None,
 ) -> DataFrame:
     """Edge table ``(src, dst)``: for every vector its ``degree``
     most-cosine-similar OTHER vectors (ties to the smaller dst id).
@@ -76,6 +77,10 @@ def build_knn_graph(
     corpus cells) — the corpus-scale build, cost bounded by cell
     products instead of |V|²; the resulting graph is approximate in
     exactly the IVF-recall sense (edges it misses are cross-cell).
+    Pass ``ivf`` (an ``IVFIndex`` already covering ``df``) to reuse an
+    existing quantizer + assignment instead of training a throwaway one
+    — the ``KNNGraphIndex.build`` path, where the same quantizer also
+    routes queries and receives appends.
     """
     if strategy == "exact":
         left = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__vs"))
@@ -99,12 +104,13 @@ def build_knn_graph(
         # 20k vectors; the matmul does the same arithmetic at numpy
         # speed in seconds). Shuffle volume is |rows|·replication for
         # the grouping plus |rows|·replication·degree candidate edges.
-        from ..index.ann import IVFIndex
+        if ivf is None:
+            from ..index.ann import IVFIndex
 
-        ivf = IVFIndex(
-            df, key=id_col, vector_col=vec_col,
-            nlist=nlist, replication=max(2, nprobe), seed=seed,
-        )
+            ivf = IVFIndex(
+                df, key=id_col, vector_col=vec_col,
+                nlist=nlist, replication=max(2, nprobe), seed=seed,
+            )
         assigned = ivf.assigned.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
@@ -349,11 +355,15 @@ def refine_knn_graph(
     pass over the quantizer.
 
     Candidate set per round, as plain DataFrame joins (no Python in the
-    loop): current out-edges ∪ reversed edges ∪ out∘out 2-hop — at most
-    ``2d + d²`` candidates per node, one equi-join on the shared
-    endpoint, so a round costs O(|V|·d²) scored pairs regardless of
-    corpus size (the classic full local-join without NN-descent's
-    sampling ρ, which matters only at degrees far above these).
+    loop): let ``sym = out-edges ∪ reversed edges`` (a node's general
+    neighbors, Dong et al.'s B[v] ∪ R[v]); candidates are
+    ``sym ∪ (sym ∘ sym)``. Because sym is symmetric, sym∘sym generates
+    every pair co-incident on a shared node — co-OUT-neighbors
+    (u→v, w→v) included, which an out∘out composition would miss — so
+    this IS the classic full local join (minus NN-descent's sampling ρ,
+    which matters only at degrees far above these). At most ``2d + 4d²``
+    candidates per node, one equi-join on the shared endpoint: a round
+    costs O(|V|·d²) scored pairs regardless of corpus size.
     Scoring is the codegen'd HOF cosine; per-round ``localCheckpoint``
     keeps lineage linear in ``rounds``. Deterministic: (cos desc, id)
     tie-breaks, no sampling.
@@ -373,10 +383,13 @@ def refine_knn_graph(
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
+        # symmetrize FIRST, then compose: sym∘sym covers co-in-neighbor
+        # pairs (u→v, w→v) that out∘out alone never generates
+        sym = edges.unionByName(rev).distinct()
         hop2 = (
-            edges.alias("a")
+            sym.alias("a")
             .join(
-                edges.alias("b"),
+                sym.alias("b"),
                 F.col("a.dst") == F.col("b.src"),
             )
             .select(
@@ -384,8 +397,7 @@ def refine_knn_graph(
             )
         )
         cand = (
-            edges.unionByName(rev)
-            .unionByName(hop2)
+            sym.unionByName(hop2)
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
@@ -402,31 +414,13 @@ def refine_knn_graph(
     return edges
 
 
-def ivf_entry_points(
-    ivf,
-    queries: DataFrame,
-    id_col: str,
-    query_key: str = "query_id",
-    query_vector_col: str = "query_vec",
-    nprobe: int = 4,
-    per_cell: int = 1,
-) -> DataFrame:
-    """Query-adaptive beam entries from an IVF coarse quantizer: each
-    query's ``nprobe`` most-aligned cells contribute their ``per_cell``
-    most-central members (max cosine to the cell centroid, id
-    tie-break) — the flat-graph analog of HNSW's coarse routing layer,
-    built from machinery the index already has. A fixed global entry
-    list starts every walk from the same corner of the graph and pays
-    hops crossing to the query's neighborhood; centroid-routed entries
-    start the walk inside it (measured in ANN_FRONTIER.md: >= recall at
-    fewer scored rows for equal beam/hops).
-
-    Returns ``(query_key, id_col)`` — the ``entries`` argument of
-    :func:`beam_search`. Everything is DataFrame ops: cell
-    representatives are one window over the assigned corpus (computed
-    once per index, |cells|·per_cell rows), the query side is the same
-    codegen'd top-nprobe cell assignment ``IVFIndex.assign_cells`` uses,
-    and the join is on the cell id.
+def cell_representatives(ivf, per_cell: int = 1) -> DataFrame:
+    """``(centroid_id, __id)``: each IVF cell's ``per_cell`` most-central
+    members (max cosine to the cell centroid, id tie-break) — the static
+    half of the query-adaptive entry derivation, ONE window over the
+    assigned corpus producing |cells|·per_cell rows. Compute it once per
+    index and persist it (``KNNGraphIndex`` does): recomputing per query
+    batch re-scans the corpus for a table the size of the cell count.
     """
     from .vector_index import _query_literal
 
@@ -437,7 +431,7 @@ def ivf_entry_points(
     w = Window.partitionBy("centroid_id").orderBy(
         F.desc("__cs"), F.asc("__id")
     )
-    reps = (
+    return (
         ivf.assigned.select(
             F.col(ivf.key).alias("__id"),
             F.col(ivf.vector_col).alias("__v"),
@@ -448,6 +442,38 @@ def ivf_entry_points(
         .filter(F.col("__rn") <= per_cell)
         .select("centroid_id", "__id")
     )
+
+
+def ivf_entry_points(
+    ivf,
+    queries: DataFrame,
+    id_col: str,
+    query_key: str = "query_id",
+    query_vector_col: str = "query_vec",
+    nprobe: int = 4,
+    per_cell: int = 1,
+    reps: DataFrame | None = None,
+) -> DataFrame:
+    """Query-adaptive beam entries from an IVF coarse quantizer: each
+    query's ``nprobe`` most-aligned cells contribute their ``per_cell``
+    most-central members — the flat-graph analog of HNSW's coarse
+    routing layer, built from machinery the index already has. A fixed
+    global entry list starts every walk from the same corner of the
+    graph and pays hops crossing to the query's neighborhood;
+    centroid-routed entries start the walk inside it (measured in
+    ANN_FRONTIER.md: >= recall at fewer scored rows for equal
+    beam/hops).
+
+    Returns ``(query_key, id_col)`` — the ``entries`` argument of
+    :func:`beam_search`. Everything is DataFrame ops: cell
+    representatives come from :func:`cell_representatives` (pass a
+    materialized ``reps`` to skip recomputing them — the serve-many
+    path ``KNNGraphIndex`` persists; ``per_cell`` is ignored then), the
+    query side is the same codegen'd top-nprobe cell assignment
+    ``IVFIndex.assign_cells`` uses, and the join is on the cell id.
+    """
+    if reps is None:
+        reps = cell_representatives(ivf, per_cell)
     qcells = ivf.assign_cells(
         queries.select(query_key, query_vector_col),
         query_vector_col,
@@ -585,3 +611,304 @@ def beam_search(
             F.col("__s").alias(score_col),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Build-once / serve-many lifecycle for the graph tier
+# --------------------------------------------------------------------- #
+
+_GRAPH_META_FILE = "_knn_graph_meta.json"
+
+
+class KNNGraphIndex:
+    """Persisted graph-ANN index: the build-once / serve-many surface
+    the reference's ``get_index`` → ``similarity_search`` flow implies
+    (NMR:384-388) and the LSH/IVF tiers already have
+    (``BRPLSHIndex.save/load``, ``IVFIndex.save/load``) — without it
+    every beam query re-runs the (deliberately expensive) graph build.
+
+    One object bundles the four artifacts a served graph query needs:
+
+    - ``edges`` — the kNN graph, |V|·degree rows keyed by ``src``;
+    - ``vectors`` — the scoring side ``(key, vector_col)``;
+    - ``ivf`` — the coarse quantizer that routes queries to entry
+      points (and receives appends); only its ``centroids`` +
+      ``replication`` persist — the assignment is a lazy codegen'd
+      expression over the stored vectors, so vectors are stored ONCE;
+    - ``reps`` — the MATERIALIZED per-cell entry representatives
+      (|cells|·per_cell rows). Recomputing them is a window over the
+      whole assigned corpus; serving reads the tiny table instead
+      (the load path's entry plan has no Window and no corpus-wide
+      scan — pytest-pinned).
+
+    At 100 TB: ``save`` writes ordinary partitioned parquet (edges by
+    ``src`` range, vectors by key); a loaded query touches the reps
+    parquet (KBs), the query batch, and the edge/vector join path of
+    :func:`beam_search` — probe cost stays entries + hops·beam·degree
+    per query, independent of corpus size.
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        vectors: DataFrame,
+        key: str,
+        vector_col: str,
+        degree: int,
+        ivf,
+        reps: DataFrame,
+        per_cell: int = 1,
+        strategy: str = "exact",
+    ) -> None:
+        self.edges = edges
+        self.vectors = vectors
+        self.key = key
+        self.vector_col = vector_col
+        self.degree = degree
+        self.ivf = ivf
+        self.reps = reps
+        self.per_cell = per_cell
+        self.strategy = strategy
+
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        key: str,
+        vector_col: str,
+        degree: int = 8,
+        strategy: str = "exact",
+        nlist: int = 16,
+        nprobe: int = 4,
+        seed: int = 42,
+        per_cell: int = 1,
+        refine_rounds: int = 0,
+        centroids: list | None = None,
+    ) -> "KNNGraphIndex":
+        """Build edges + quantizer + entry reps in one pass. ONE
+        quantizer serves everything: the ivf-tier edge build (when
+        ``strategy='ivf'``), query routing, and future appends — trained
+        here (or pinned with explicit ``centroids``, the registry's
+        SQL-replayable convention). ``refine_rounds`` optionally applies
+        NN-descent rounds to the fresh graph (the ivf-build repair
+        discipline)."""
+        from .ann import IVFIndex
+
+        vectors = df.select(key, vector_col)
+        ivf = IVFIndex(
+            vectors,
+            key=key,
+            vector_col=vector_col,
+            nlist=nlist,
+            replication=max(2, nprobe),
+            seed=seed,
+            centroids=centroids,
+        )
+        edges = build_knn_graph(
+            vectors, key, vector_col, degree=degree,
+            strategy=strategy, nlist=nlist, nprobe=nprobe, seed=seed,
+            ivf=ivf if strategy == "ivf" else None,
+        )
+        if refine_rounds:
+            edges = refine_knn_graph(
+                edges, vectors, key, vector_col,
+                degree=degree, rounds=refine_rounds,
+            )
+        reps = cell_representatives(ivf, per_cell).localCheckpoint(
+            eager=True
+        )
+        return cls(
+            edges.localCheckpoint(eager=True),
+            vectors,
+            key,
+            vector_col,
+            degree,
+            ivf,
+            reps,
+            per_cell=per_cell,
+            strategy=strategy,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def entries_for(
+        self,
+        queries: DataFrame,
+        query_key: str = "query_id",
+        query_vector_col: str = "query_vec",
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Query-adaptive entry points from the STORED reps — no corpus
+        scan, no window: the query side runs the codegen'd top-nprobe
+        cell assignment, then joins the broadcast reps table."""
+        return ivf_entry_points(
+            self.ivf,
+            queries,
+            self.key,
+            query_key=query_key,
+            query_vector_col=query_vector_col,
+            nprobe=nprobe,
+            reps=self.reps,
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        beam: int = 12,
+        hops: int = 3,
+        nprobe: int = 4,
+        query_key: str = "query_id",
+        query_vector_col: str = "query_vec",
+        score_col: str = "score",
+        entry_ids: list | None = None,
+        stats: list | None = None,
+    ) -> DataFrame:
+        """Serve a query batch against the stored graph — the
+        ``get_index(...).similarity_search(...)`` shape (NMR:384-388).
+        Default entries are query-adaptive (stored reps); pass
+        ``entry_ids`` for the fixed-list tier."""
+        entries = None
+        if entry_ids is None:
+            entries = self.entries_for(
+                queries, query_key, query_vector_col, nprobe
+            )
+        return beam_search(
+            self.edges,
+            self.vectors,
+            queries,
+            self.key,
+            self.vector_col,
+            k=k,
+            beam=beam,
+            hops=hops,
+            entry_ids=entry_ids,
+            query_key=query_key,
+            query_vector_col=query_vector_col,
+            score_col=score_col,
+            stats=stats,
+            entries=entries,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def append(
+        self,
+        new_vectors: DataFrame,
+        nprobe: int = 4,
+        refine_rounds: int = 0,
+    ) -> "KNNGraphIndex":
+        """Ingest a vector batch in place (delta-sync semantics,
+        NMR:278): edges repaired via :func:`append_knn_graph` under the
+        STORED quantizer (ivf tier) or outright (exact tier), vectors
+        upserted (new wins on id collision), quantizer assignment
+        extended over the new batch only, and entry reps REFRESHED (an
+        ingest-time window — a new vector may be more central than a
+        stored rep; serving keeps reading the materialized table).
+        ``refine_rounds`` > 0 runs NN-descent repair after an UPDATE
+        batch (changed vectors leave stored sources a small eviction
+        gap — the append+refine≥0.99-of-rebuild contract is
+        pytest-pinned)."""
+        news = new_vectors.select(self.key, self.vector_col)
+        self.edges = append_knn_graph(
+            self.edges,
+            self.vectors,
+            news,
+            self.key,
+            self.vector_col,
+            degree=self.degree,
+            strategy=self.strategy,
+            nprobe=nprobe,
+            ivf=self.ivf if self.strategy == "ivf" else None,
+        ).localCheckpoint(eager=True)
+        new_ids = news.select(self.key)
+        self.vectors = (
+            self.vectors.join(new_ids, self.key, "left_anti")
+            .unionByName(news)
+        )
+        if refine_rounds:
+            self.edges = refine_knn_graph(
+                self.edges, self.vectors, self.key, self.vector_col,
+                degree=self.degree, rounds=refine_rounds,
+            ).localCheckpoint(eager=True)
+        # quantizer: drop colliding stored assignments, assign the batch
+        self.ivf.assigned = self.ivf.assigned.join(
+            new_ids, self.key, "left_anti"
+        )
+        self.ivf.append(news)
+        self.reps = cell_representatives(
+            self.ivf, self.per_cell
+        ).localCheckpoint(eager=True)
+        return self
+
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str) -> None:
+        """Persist edges + vectors + reps as parquet and the quantizer
+        as metadata. Vectors are stored ONCE: the loaded quantizer
+        re-derives its (lazy) assignment from the explicit centroids in
+        the meta file, so there is no second copy of the corpus inside
+        an IVF data dir."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.edges.write.mode("overwrite").parquet(
+            os.path.join(path, "edges")
+        )
+        self.vectors.write.mode("overwrite").parquet(
+            os.path.join(path, "vectors")
+        )
+        self.reps.write.mode("overwrite").parquet(
+            os.path.join(path, "reps")
+        )
+        with open(os.path.join(path, _GRAPH_META_FILE), "w") as f:
+            json.dump(
+                {
+                    "key": self.key,
+                    "vector_col": self.vector_col,
+                    "degree": self.degree,
+                    "per_cell": self.per_cell,
+                    "strategy": self.strategy,
+                    "replication": self.ivf.replication,
+                    "centroids": [
+                        [float(x) for x in c] for c in self.ivf.centroids
+                    ],
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "KNNGraphIndex":
+        """Reopen a saved index: edges/vectors/reps are lazy parquet
+        scans; the quantizer is rebuilt from stored centroids with a
+        LAZY assignment plan over the vectors scan (only append /
+        reps-refresh ever executes it — serving never does)."""
+        import json
+        import os
+
+        from .ann import IVFIndex
+
+        with open(os.path.join(path, _GRAPH_META_FILE)) as f:
+            meta = json.load(f)
+        vectors = spark.read.parquet(os.path.join(path, "vectors"))
+        ivf = IVFIndex(
+            vectors,
+            key=meta["key"],
+            vector_col=meta["vector_col"],
+            replication=meta["replication"],
+            centroids=meta["centroids"],
+        )
+        return cls(
+            spark.read.parquet(os.path.join(path, "edges")),
+            vectors,
+            meta["key"],
+            meta["vector_col"],
+            meta["degree"],
+            ivf,
+            spark.read.parquet(os.path.join(path, "reps")),
+            per_cell=meta["per_cell"],
+            strategy=meta["strategy"],
+        )

@@ -46,50 +46,49 @@ del _m, _k, _v
 #: behavior, not a guarantee; nothing here may hard-depend on it (the
 #: parity test bounds the list at ≤50 instead of pinning ==50).
 DRIVER_PRIORITY: list[str] = [
-    # ROUND-5 ROTATION (r4 verdict "Next round" #2): (a) every query
-    # whose implementation or oracle changed this round, then (b) the
-    # final 14 queries that have NEVER had a driver CORRECTNESS row —
-    # the TPC-H analogs deferred from r4 (all judge-replay-green in the
-    # r4 verdict's independent sf0.01 replay); with these, cumulative
-    # driver-green coverage reaches every registry query. The remaining
-    # slots (c) RE-pin the queries whose last driver row is oldest
-    # (rounds 1-2), heaviest machinery first.
+    # ROUND-6 ROTATION (r5 verdict "Next round" #7): (a) every query
+    # added this round or whose implementation/oracle changed SINCE its
+    # last driver pin — the r5 CORRECTNESS window was recorded before
+    # the late-r5 commits f21eb15/ac3af22, so the BPE rows and the
+    # BRP-LSH rows they touched must re-pin; then (b) re-pin the
+    # queries whose last driver row is oldest (round 3), heaviest
+    # machinery first. 41 of the 46 r3-pinned rows fit this window; the
+    # 5 light relational deferrals (bpe_merge_candidates — machinery
+    # re-pinned via bpe_train_merges — part_pair_cooccurrence,
+    # top_event_paths, event_transitions, linear_touch_attribution)
+    # lead the r7 re-pin list. All remain CI-replay + robustness-matrix
+    # green every round.
     # --- (a) changed or added this round: verify first ---
-    "cosine_lsh_near_dup",  # re-pinned: auto-sized banding, dup-grade
-                            # threshold, count-derived oracle ladder
-    "brp_lsh_recall",       # NEW: BRP-LSH recall audit hash row
-    "ann_lsh_knn",          # converted rows-only -> hash row (exact-
-                            # contract oracle, full-recall config)
-    "knn_graph_beam_adaptive",  # NEW: query-adaptive entries
-                                # (IVF-routed), unrolled-SQL oracle
-    "knn_graph_beam",       # beam_search entry seeding refactored
-                            # (adaptive-entries tier added)
-    "salted_priority_revenue",  # join strategy pinned to merge (sf1
-                                # auto-broadcast OOM fix, SF1_VALUES.md)
-    "bpe_train_merges",     # NEW: E88 BPE training loop, unrolled-SQL
-                            # oracle (hash-green sf0.01/0.1/1)
-    "bpe_vocab_coverage",   # NEW: E88 encode side (train+segment
-                            # pinned against each other in one oracle)
-    "quantile_sketch_audit",  # NEW: E89 GK-sketch rank-error audit
-    "knn_graph_append",     # NEW: E90 incremental graph maintenance
-                            # (append == full-rebuild identity oracle)
-    # --- (b) the last 14 never-driver-verified queries ---
-    "above_avg_balance_no_orders", "bolt_stock_suppliers",
-    "brand_bracket_revenue", "cheapest_supplier_per_part",
-    "customers_without_orders", "large_volume_customers",
-    "late_order_priority", "linestatus_priority_counts",
-    "market_share", "promo_revenue", "bigram_top",
-    "small_qty_revenue", "top_supplier_revenue", "volume_shipping",
-    # --- (c) oldest driver rows (r1/r2), heaviest machinery first ---
-    "knn_exact", "knn_batch", "hybrid_rrf", "minhash_near_dedup",
-    "near_dup_pairs_jaccard", "dedup_exact_summary",
-    "embed_documents_stub", "incremental_refresh", "continuous_rollup",
-    "scd2_customers", "curation_pipeline", "corpus_stats",
-    "text_quality", "token_counts", "lang_id_pred", "audio_chunks",
-    "rolling_fingerprints", "pricing_summary", "forecast_revenue",
-    "shipping_priority", "region_revenue", "top_orders_per_customer",
-    "events_daily", "events_json", "asof_click_attribution",
-    "rollup_revenue",
+    "knn_graph_update",     # NEW: E90 update-path repair contract
+                            # (append + refine vs rebuild, full replay)
+    "knn_graph_ivf_recall",  # NEW: production ivf-built graph recall
+                             # audit (expected-if-healthy oracle)
+    "knn_graph_beam",       # shared memoized exact-graph build
+    "knn_graph_beam_adaptive",  # same shared build + reps= refactor
+                                # of ivf_entry_points
+    "ann_lsh_knn",          # BRP-LSH k-fill widening ladder (ac3af22,
+                            # post-r5-window commit)
+    "brp_lsh_recall",       # same search_batch path
+    "cosine_lsh_near_dup",  # oracle-ladder row-count guard (f21eb15)
+    "bpe_train_merges",     # frame-byte filter at bpe_word_counts
+    "bpe_vocab_coverage",   # chunked bpe_segment + frame-byte filter
+    # --- (b) oldest driver rows (r3), heaviest machinery first ---
+    "lm_perplexity_buckets", "segment_dedup_docs", "semantic_dedup",
+    "exact_substring_dedup", "near_dup_pairs_ppjoin",
+    "cms_heavy_hitters", "hll_distinct_audit", "pagerank_trade_graph",
+    "window_funnel_steps", "streaming_cdc_snapshot",
+    "streaming_dedup_state", "streaming_enrichment_rollup",
+    "python_datasource_scan", "python_stream_source_rollup",
+    "python_stream_sink_roundtrip", "ivf_adc_topk", "pq_adc_topk",
+    "sq8_quant_topk", "binary_quant_knn", "embedding_decontaminate",
+    "ngram_decontaminate", "knn_filtered", "incremental_dedup_ingest",
+    "dedup_keep_best", "cdc_apply_orders", "zorder_layout",
+    "cluster_balanced_sample", "chunk_pack_pipeline",
+    "rag_context_assembly", "video_frame_samples", "boilerplate_ngrams",
+    "char_entropy_docs", "quality_model_score", "dsir_importance_weights",
+    "pmi_collocations", "lang_id_eval_metrics", "source_drift_chi2",
+    "value_outliers_zscore", "time_weighted_avg_user", "per_lang_ols_trend",
+    "ema_user_value",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:
