@@ -405,8 +405,18 @@ def test_graph_index_catalog_roundtrip(spark, emb, tmp_path):
         cat.create_graph_index("gidx", emb)
     same = cat.create_graph_index("gidx", emb, if_exists="ignore")
     assert same.degree == 6
+    # cross-type name collision: a vector index may not silently share
+    # a name with a graph index; replace clears the old type entirely
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_index("gidx", emb, key="vec_id", vector_col="embedding")
+    cat.create_index(
+        "gidx", emb, key="vec_id", vector_col="embedding",
+        if_exists="replace",
+    )
+    assert cat.exists("gidx") and not cat.graph_exists("gidx")
+    assert {e["name"]: e["type"] for e in cat.list_indexes()}["gidx"] == "vector"
     cat.drop_index("gidx")
-    assert not cat.graph_exists("gidx")
+    assert not cat.graph_exists("gidx") and not cat.exists("gidx")
     with pytest.raises(KeyError):
         cat.get_graph_index("gidx")
 

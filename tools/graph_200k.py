@@ -28,9 +28,18 @@ DST = os.path.join(
     ".scaledata", f"synth{N // 1000}k",
 )
 NQ = 32  # query panel (corpus members, ids 0..NQ-1)
-DEGREE = 16
+DEGREE = int(os.environ.get("GRAPH200K_DEGREE", "16"))
 NLIST = max(64, N // 512)
 NPROBE = 8  # build replication AND entry routing
+REFINE = int(os.environ.get("GRAPH200K_REFINE", "0"))  # NN-descent rounds
+ENT_NPROBE = int(os.environ.get("GRAPH200K_ENT_NPROBE", str(NPROBE)))
+ENT_PC = int(os.environ.get("GRAPH200K_ENT_PC", "2"))  # reps per cell
+GRID = [
+    tuple(map(int, bh.split("x")))
+    for bh in os.environ.get(
+        "GRAPH200K_GRID", "16x4,32x5,48x6,64x8,96x10"
+    ).split(",")
+]
 
 
 def gen() -> str:
@@ -81,7 +90,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(path).cache()
+    # the pyarrow writer emits ONE row group -> one scan task; spread
+    # the cached corpus across cores before anything else reads it
+    emb = spark.read.parquet(path).repartition(32).cache()
     n = emb.count()
     queries = emb.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"),
@@ -108,8 +119,20 @@ def main() -> None:
     ).localCheckpoint(eager=True)
     n_edges = graph.count()
     t_build = time.time() - t0
+    if REFINE:
+        from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+            refine_knn_graph,
+        )
+
+        t0 = time.time()
+        graph = refine_knn_graph(
+            graph, emb, "vec_id", "embedding",
+            degree=DEGREE, rounds=REFINE,
+        ).localCheckpoint(eager=True)
+        graph.count()
+        print(f"refine({REFINE} round)={time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
-    reps = cell_representatives(ivf, 2).localCheckpoint(eager=True)
+    reps = cell_representatives(ivf, ENT_PC).localCheckpoint(eager=True)
     t_reps = time.time() - t0
     print(
         f"corpus={n}  edges={n_edges}  "
@@ -118,7 +141,7 @@ def main() -> None:
         flush=True,
     )
 
-    for beam, hops in ((16, 4), (32, 5), (48, 6), (64, 8), (96, 10)):
+    for beam, hops in GRID:
         for mode in ("fixed", "adaptive"):
             t0 = time.time()
             stats: list[int] = []
@@ -127,7 +150,7 @@ def main() -> None:
                 if mode == "fixed"
                 else {
                     "entries": ivf_entry_points(
-                        ivf, queries, "vec_id", nprobe=NPROBE, reps=reps
+                        ivf, queries, "vec_id", nprobe=ENT_NPROBE, reps=reps
                     )
                 }
             )

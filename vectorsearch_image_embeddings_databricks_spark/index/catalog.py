@@ -72,12 +72,14 @@ class IndexCatalog:
         ``sync(name)`` can re-read it later without the caller re-passing
         the DataFrame (delta-sync semantics).
         """
-        if self.exists(name):
+        if self.exists(name) or self.graph_exists(name):
             if if_exists == "error":
                 raise ValueError(f"index {name!r} already exists")
             if if_exists == "ignore":
                 return self.get_index(name)
-            # if_exists == "replace" falls through to overwrite
+            # "replace": clear the whole dir so a stale meta of the
+            # OTHER index type can't coexist with the new one
+            shutil.rmtree(self._path(name), ignore_errors=True)
         idx = VectorIndex(
             source,
             key=key,
@@ -206,7 +208,9 @@ class IndexCatalog:
                 raise ValueError(f"index {name!r} already exists")
             if if_exists == "ignore":
                 return self.get_graph_index(name)
-            # "replace" falls through to overwrite
+            # "replace": clear the whole dir so a stale meta of the
+            # OTHER index type can't coexist with the new one
+            shutil.rmtree(self._path(name), ignore_errors=True)
         idx = KNNGraphIndex.build(
             source,
             key,
