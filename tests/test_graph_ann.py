@@ -405,14 +405,30 @@ def test_graph_index_catalog_roundtrip(spark, emb, tmp_path):
         cat.create_graph_index("gidx", emb)
     same = cat.create_graph_index("gidx", emb, if_exists="ignore")
     assert same.degree == 6
+    # a FAILED replace build must not destroy the existing index (the
+    # staging discipline): empty source -> quantizer training raises
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(Exception, match="empty training sample"):
+        cat.create_graph_index("gidx", empty, key="vec_id",
+                               vector_col="embedding",
+                               if_exists="replace")
+    assert cat.graph_exists("gidx")  # old index survived the failure
     # cross-type name collision: a vector index may not silently share
-    # a name with a graph index; replace clears the old type entirely
+    # a name with a graph index; 'ignore' refuses coherently, 'replace'
+    # clears the old type entirely
     with pytest.raises(ValueError, match="already exists"):
         cat.create_index("gidx", emb, key="vec_id", vector_col="embedding")
+    with pytest.raises(ValueError, match="knn_graph"):
+        cat.create_index("gidx", emb, key="vec_id",
+                         vector_col="embedding", if_exists="ignore")
     cat.create_index(
         "gidx", emb, key="vec_id", vector_col="embedding",
         if_exists="replace",
     )
+    with pytest.raises(ValueError, match="vector index"):
+        cat.create_graph_index("gidx", emb, if_exists="ignore")
+    with pytest.raises(KeyError, match="vector index"):
+        cat.get_graph_index("gidx")
     assert cat.exists("gidx") and not cat.graph_exists("gidx")
     assert {e["name"]: e["type"] for e in cat.list_indexes()}["gidx"] == "vector"
     cat.drop_index("gidx")
@@ -453,6 +469,15 @@ def test_graph_index_append_serves_new_vectors(emb, tmp_path):
     top = loaded.search(probe, k=1, beam=12, hops=3).collect()[0]
     assert top["vec_id"] == 450 and round(top["score"], 6) == 1.0
     assert loaded.vectors.count() == emb.count()
+    # persist the appended state back to the SAME path (the delta-sync
+    # save cycle): the checkpoint-first save must not trip Spark's
+    # read-and-overwrite guard, and a reload serves the appended corpus
+    loaded.save(path)
+    again = KNNGraphIndex.load(emb.sparkSession, path)
+    assert again.vectors.count() == emb.count()
+    assert {(r["src"], r["dst"]) for r in again.edges.collect()} == want
+    top2 = again.search(probe, k=1, beam=12, hops=3).collect()[0]
+    assert top2["vec_id"] == 450
 
 
 def test_graph_index_ivf_append_uses_stored_quantizer(emb):

@@ -217,8 +217,14 @@ class BRPLSHIndex:
                 .filter(F.col("__qid").isin(shorts))
                 .crossJoin(corpus_v.select("__cid"))
             )
-            ranked = ranked.filter(~F.col("__qid").isin(shorts)).unionByName(
-                rank(fcand)
+            # checkpoint like every other rung: without it a caller
+            # running count()+collect() (any multi-action consumer)
+            # re-executes the |shorts| x |corpus| scan-and-rank per
+            # action
+            ranked = (
+                ranked.filter(~F.col("__qid").isin(shorts))
+                .unionByName(rank(fcand))
+                .localCheckpoint(eager=True)
             )
         return ranked
 

@@ -72,14 +72,24 @@ class IndexCatalog:
         ``sync(name)`` can re-read it later without the caller re-passing
         the DataFrame (delta-sync semantics).
         """
-        if self.exists(name) or self.graph_exists(name):
+        existed = self.exists(name) or self.graph_exists(name)
+        if existed:
             if if_exists == "error":
                 raise ValueError(f"index {name!r} already exists")
             if if_exists == "ignore":
+                if self.graph_exists(name):
+                    # 'ignore' means "hand back the existing index of
+                    # THIS type" — a graph index under the name is a
+                    # caller error, not something to silently return
+                    raise ValueError(
+                        f"{name!r} is held by a knn_graph index; "
+                        "use if_exists='replace' to overwrite it"
+                    )
                 return self.get_index(name)
-            # "replace": clear the whole dir so a stale meta of the
-            # OTHER index type can't coexist with the new one
-            shutil.rmtree(self._path(name), ignore_errors=True)
+            # "replace": build into a staging dir FIRST so a failed
+            # build cannot destroy the existing index, then swap (the
+            # sync() discipline); the swap also clears a stale meta of
+            # the OTHER index type
         idx = VectorIndex(
             source,
             key=key,
@@ -88,9 +98,13 @@ class IndexCatalog:
             assume_normalized=assume_normalized,
         )
         path = self._path(name)
-        idx.save(path, mode="overwrite")
-        with open(os.path.join(path, _CATALOG_META), "w") as f:
+        staging = path + ".__staging__" if existed else path
+        idx.save(staging, mode="overwrite")
+        with open(os.path.join(staging, _CATALOG_META), "w") as f:
             json.dump({"name": name, "source_table": source_table}, f)
+        if staging != path:
+            shutil.rmtree(path)
+            os.replace(staging, path)
         return VectorIndex.load(self.spark, path)
 
     def create_index_async(self, name: str, source: DataFrame, **kwargs):
@@ -203,14 +217,22 @@ class IndexCatalog:
         similarity_search flow, NMR:384-388, for the graph tier)."""
         from .graph_ann import KNNGraphIndex
 
-        if self.graph_exists(name) or self.exists(name):
+        existed = self.graph_exists(name) or self.exists(name)
+        if existed:
             if if_exists == "error":
                 raise ValueError(f"index {name!r} already exists")
             if if_exists == "ignore":
+                if self.exists(name):
+                    raise ValueError(
+                        f"{name!r} is held by a vector index; "
+                        "use if_exists='replace' to overwrite it"
+                    )
                 return self.get_graph_index(name)
-            # "replace": clear the whole dir so a stale meta of the
-            # OTHER index type can't coexist with the new one
-            shutil.rmtree(self._path(name), ignore_errors=True)
+            # "replace": build into a staging dir FIRST so a failed
+            # build cannot destroy the existing index, then swap (the
+            # sync() discipline); the swap also clears a stale meta of
+            # the OTHER index type
+        path = self._path(name)
         idx = KNNGraphIndex.build(
             source,
             key,
@@ -223,8 +245,12 @@ class IndexCatalog:
             per_cell=per_cell,
             refine_rounds=refine_rounds,
         )
-        idx.save(self._path(name))
-        return KNNGraphIndex.load(self.spark, self._path(name))
+        staging = path + ".__staging__" if existed else path
+        idx.save(staging)
+        if staging != path:
+            shutil.rmtree(path)
+            os.replace(staging, path)
+        return KNNGraphIndex.load(self.spark, path)
 
     def get_graph_index(self, name: str):
         """Lookup a persisted graph index by name; everything it reads
@@ -248,6 +274,11 @@ class IndexCatalog:
         """
         path = self._path(name)
         if not self.exists(name):
+            if self.graph_exists(name):
+                raise KeyError(
+                    f"{name!r} is a knn_graph index — refresh it with "
+                    "create_graph_index(..., if_exists='replace')"
+                )
             raise KeyError(f"no such index: {name!r}")
         with open(os.path.join(path, _META_FILE)) as f:
             meta = json.load(f)

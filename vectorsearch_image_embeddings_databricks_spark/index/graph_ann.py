@@ -824,9 +824,15 @@ class KNNGraphIndex:
             ivf=self.ivf if self.strategy == "ivf" else None,
         ).localCheckpoint(eager=True)
         new_ids = news.select(self.key)
+        # checkpoint the upsert: edges/reps are checkpointed per append,
+        # and the vector table must be too — otherwise N appends stack N
+        # anti-join+union layers that every search hop re-executes (and
+        # a later save() to the index's own path would read-and-
+        # overwrite the vectors dir it is writing)
         self.vectors = (
             self.vectors.join(new_ids, self.key, "left_anti")
             .unionByName(news)
+            .localCheckpoint(eager=True)
         )
         if refine_rounds:
             self.edges = refine_knn_graph(
@@ -834,10 +840,12 @@ class KNNGraphIndex:
                 degree=self.degree, rounds=refine_rounds,
             ).localCheckpoint(eager=True)
         # quantizer: drop colliding stored assignments, assign the batch
+        # (checkpointed for the same lineage-growth reason as vectors)
         self.ivf.assigned = self.ivf.assigned.join(
             new_ids, self.key, "left_anti"
         )
         self.ivf.append(news)
+        self.ivf.assigned = self.ivf.assigned.localCheckpoint(eager=True)
         self.reps = cell_representatives(
             self.ivf, self.per_cell
         ).localCheckpoint(eager=True)
@@ -850,10 +858,19 @@ class KNNGraphIndex:
         as metadata. Vectors are stored ONCE: the loaded quantizer
         re-derives its (lazy) assignment from the explicit centroids in
         the meta file, so there is no second copy of the corpus inside
-        an IVF data dir."""
+        an IVF data dir.
+
+        Safe for save-back-to-own-path (the load → append → save
+        delta-sync cycle, NMR:278): the three tables are checkpointed
+        FIRST, disconnecting their plans from the very directories the
+        write is about to overwrite — Spark otherwise refuses with
+        'Cannot overwrite a path that is also being read from'."""
         import json
         import os
 
+        self.edges = self.edges.localCheckpoint(eager=True)
+        self.vectors = self.vectors.localCheckpoint(eager=True)
+        self.reps = self.reps.localCheckpoint(eager=True)
         os.makedirs(path, exist_ok=True)
         self.edges.write.mode("overwrite").parquet(
             os.path.join(path, "edges")

@@ -454,8 +454,9 @@ def knn_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..index.graph_ann import beam_search
 
     emb = load_embeddings(spark, sf_dir)
-    # shared with knn_graph_beam_adaptive / knn_graph_update's rebuild
-    # side: ONE checkpointed build per (session, sf, degree)
+    # shared with knn_graph_beam_adaptive: ONE checkpointed build per
+    # (session, sf, degree). knn_graph_update builds its own graphs —
+    # its old-corpus build and post-update rebuild differ from this one.
     graph = _shared_exact_graph(spark, sf_dir, GRAPH_DEGREE)
     queries = emb.filter(F.col("vec_id") < GRAPH_NQ).select(
         F.col("vec_id").alias("query_id"),
