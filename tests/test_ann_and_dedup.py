@@ -774,6 +774,49 @@ def test_jaccard_prefix_filter_explodes_fewer_postings(docs, spark):
     assert prefix_len < full * 0.55  # at t=0.7 prefixes are ≤ ~37% + 1
 
 
+def test_ivf_pandas_assignment_equals_expression_path(emb):
+    """The large-nlist assignment tier (round 6 — the 200k frontier
+    measured ~30 s of codegen per plan at nlist=390 literal centroids):
+    mapInPandas matmul assignment must be VALUE-IDENTICAL to the
+    codegen expression — same storage assignment, same query-side
+    probes, same append — including the (dot desc, j asc) tie-break,
+    and invariant to input partitioning."""
+    expr_ivf = IVFIndex(emb, nlist=16, replication=3, assign_via="expr")
+    pd_ivf = IVFIndex(emb, nlist=16, replication=3, assign_via="pandas")
+
+    def pairs(df):
+        return {
+            (r["vec_id"], r["centroid_id"])
+            for r in df.select("vec_id", "centroid_id").collect()
+        }
+
+    assert pairs(pd_ivf.assigned) == pairs(expr_ivf.assigned)
+    # query-side probes (assign_cells) agree too
+    queries = emb.filter("vec_id < 12").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    a = expr_ivf.assign_cells(queries, "qv", 4)
+    b = pd_ivf.assign_cells(queries.repartition(5), "qv", 4)
+    assert {
+        (r["qid"], r["centroid_id"]) for r in a.collect()
+    } == {(r["qid"], r["centroid_id"]) for r in b.collect()}
+    # append path under the pandas tier
+    old = emb.filter("vec_id < 400")
+    grow = IVFIndex(old, nlist=8, replication=2, assign_via="pandas")
+    grow.append(emb.filter("vec_id >= 400"))
+    ref = IVFIndex(old, nlist=8, replication=2, assign_via="expr")
+    ref.append(emb.filter("vec_id >= 400"))
+    assert pairs(grow.assigned) == pairs(ref.assigned)
+    # 'auto' picks the expression path at fixture nlist (hash rows pin
+    # it) and the pandas path past the documented ceiling
+    assert not IVFIndex(emb, nlist=8)._use_pandas_assign()
+    auto_big = IVFIndex(emb, nlist=8, assign_via="auto")
+    auto_big.centroids = [auto_big.centroids[0]] * 129
+    assert auto_big._use_pandas_assign()
+    with pytest.raises(ValueError, match="assign_via"):
+        IVFIndex(emb, nlist=8, assign_via="blas")
+
+
 def test_ivf_explicit_centroids_skip_training(emb):
     """The explicit-quantizer tier (what makes the registry IVF row
     hash-verifiable): caller-supplied centroids are used verbatim (no

@@ -95,6 +95,12 @@ def test_ivf_save_load_same_answers(spark, tmp_path):
     loaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
     after = [(r["vec_id"], round(r["score"], 6)) for r in loaded.search(q, k=5, nprobe=4).collect()]
     assert before == after
+    # the loaded index can assign NEW rows (assign_via restored — a
+    # round-6 regression guard: load() builds via __new__)
+    probes = loaded.assign_cells(
+        emb.limit(3).select("vec_id", "embedding"), "embedding", 2
+    )
+    assert probes.count() == 6
     # partitioned layout on disk: centroid_id directories exist
     import os
 

@@ -673,6 +673,14 @@ class IVFIndex:
     reading ~nprobe/nlist of the data; here the filter plays that role.
     """
 
+    #: assign_via='auto' switches from the literal-codegen expression to
+    #: the Arrow/numpy path above this centroid count. The 200k frontier
+    #: run measured the expression ceiling: ~30 s of codegen per fresh
+    #: plan at nlist=390x64 dims (ANN_FRONTIER.md) — fine for the
+    #: fixture-scale quantizers the hash rows pin (<= 64 cells), a
+    #: per-plan tax at production nlist.
+    ASSIGN_EXPR_MAX_NLIST = 128
+
     def __init__(
         self,
         df: DataFrame,
@@ -684,10 +692,14 @@ class IVFIndex:
         train_sample: int = 4096,
         replication: int = 2,
         centroids: list | None = None,
+        assign_via: str = "auto",
     ) -> None:
         self.key = key
         self.vector_col = vector_col
         self.replication = max(1, int(replication))
+        if assign_via not in ("auto", "expr", "pandas"):
+            raise ValueError(f"unknown assign_via {assign_via!r}")
+        self.assign_via = assign_via
         if centroids is not None:
             # explicit-quantizer tier: caller-supplied cell centers skip
             # KMeans entirely. With centroids drawn from the data itself
@@ -711,9 +723,66 @@ class IVFIndex:
                 dtype=np.float64,
             )
             self.centroids = _spherical_kmeans(sample, nlist, seed, max_iter)
-        self.assigned = df.withColumn(
-            "centroid_id", F.explode(self._assign_expr())
+        self.assigned = self._assign_topn(
+            df, self.vector_col, self.replication
         ).cache()
+
+    # ------------------------------------------------------------------ #
+    # assignment dispatch: codegen expression vs Arrow/numpy matmul
+    # ------------------------------------------------------------------ #
+
+    def _use_pandas_assign(self) -> bool:
+        if self.assign_via == "pandas":
+            return True
+        if self.assign_via == "expr":
+            return False
+        return len(self.centroids) > self.ASSIGN_EXPR_MAX_NLIST
+
+    def _assign_topn(
+        self, df: DataFrame, vector_col: str, n: int
+    ) -> DataFrame:
+        """``df`` with an exploded ``centroid_id`` column holding each
+        row's top-``n`` cells — through the codegen expression (small
+        nlist: stays inside whole-stage codegen, zero Python) or the
+        Arrow/numpy matmul (large nlist: the centroid matrix rides the
+        closure once per executor and each Arrow batch is ONE
+        ``X @ C.T`` — the FAISS coarse-assignment shape — instead of a
+         10⁴-literal expression Catalyst spends ~seconds compiling).
+        Both paths rank by (dot desc, j asc); the numpy path's stable
+        argsort reproduces the struct-sort tie-break exactly.
+        Map-only either way: no shuffle, partitioning-invariant."""
+        if not self._use_pandas_assign():
+            return df.withColumn(
+                "centroid_id",
+                F.explode(self._assign_expr(n, vector_col)),
+            )
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        C = np.stack(self.centroids)  # (k, d)
+        k = min(n, len(self.centroids))
+        # fresh StructType: StructType.add MUTATES the DataFrame's
+        # cached schema object, desynchronizing df.columns from the plan
+        schema = StructType(
+            list(df.schema.fields)
+            + [StructField("centroid_id", IntegerType(), False)]
+        )
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+                )
+                S = X @ C.T
+                # stable argsort on -dot keeps ascending j among ties —
+                # identical to the expression path's (d, j) struct sort
+                top = np.argsort(-S, axis=1, kind="stable")[:, :k]
+                rep = pdf.loc[pdf.index.repeat(k)].reset_index(drop=True)
+                rep["centroid_id"] = top.reshape(-1).astype("int32")
+                yield rep
+
+        return df.mapInPandas(assign, schema)
 
     def _assign_expr(self, n: int | None = None, vector_col: str | None = None) -> F.Column:
         """Top-``n`` centroids by v·ĉ_j (cosine assignment — ‖v‖ is
@@ -751,9 +820,7 @@ class IVFIndex:
         driver-side probe selection. This is what makes two-large-sides
         kNN (bitext mining) survive scale: both sides shuffle on the
         shared cell key instead of one side being broadcast."""
-        return df.withColumn(
-            "centroid_id", F.explode(self._assign_expr(nprobe, vector_col))
-        )
+        return self._assign_topn(df, vector_col, nprobe)
 
     def append(self, new_df: DataFrame) -> "IVFIndex":
         """Grow the index with a new vector batch using the EXISTING
@@ -766,8 +833,8 @@ class IVFIndex:
         drifts — the operational signal to rebuild is recall monitoring,
         not every ingest. Same-schema requirement is the caller's (the
         union is by name)."""
-        assigned = new_df.withColumn(
-            "centroid_id", F.explode(self._assign_expr())
+        assigned = self._assign_topn(
+            new_df, self.vector_col, self.replication
         )
         self.assigned = self.assigned.unionByName(assigned).cache()
         return self
@@ -789,6 +856,7 @@ class IVFIndex:
                     "key": self.key,
                     "vector_col": self.vector_col,
                     "replication": self.replication,
+                    "assign_via": self.assign_via,
                     "centroids": [list(map(float, c)) for c in self.centroids],
                 },
                 f,
@@ -812,6 +880,7 @@ class IVFIndex:
         obj.key = meta["key"]
         obj.vector_col = meta["vector_col"]
         obj.replication = meta.get("replication", 1)
+        obj.assign_via = meta.get("assign_via", "auto")
         obj.centroids = [np.asarray(c, dtype=np.float64) for c in meta["centroids"]]
         obj.assigned = spark.read.parquet(os.path.join(path, "data"))
         return obj
