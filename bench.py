@@ -172,6 +172,7 @@ NEW_OPS = [
     # (old-corpus build + post-update rebuild) so it builds its own.
     "knn_graph_update",
     "knn_graph_ivf_recall",
+    "maxsim_rerank",
 ]
 
 

@@ -202,6 +202,45 @@ def test_hybrid_search_default_pool_agrees_with_full_pool(spark):
     assert run(None) == run(n)
 
 
+def test_maxsim_late_interaction_hand_computed(spark):
+    """E91 MaxSim semantics on a hand-computed fixture: every query
+    token takes its best document token (Σ max q·d), a doc whose tokens
+    align per-token beats one with a single strong token, exact ties
+    break to the smaller doc id, and k bounds per-query output."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_image_embeddings_databricks_spark.operators.hybrid import (
+        maxsim_rerank,
+        maxsim_score,
+    )
+
+    # q tokens: e1, e2. A: only e1 matched -> 1.0; B: both matched
+    # 0.6 + 0.8 = 1.4; C: same tokens as A -> tie with A, id breaks.
+    cand = spark.createDataFrame(
+        [
+            (0, 10, [[1.0, 0.0], [0.0, 1.0]], [[1.0, 0.0], [0.0, 0.0]]),
+            (0, 11, [[1.0, 0.0], [0.0, 1.0]], [[0.6, 0.0], [0.0, 0.8]]),
+            (0, 12, [[1.0, 0.0], [0.0, 1.0]], [[1.0, 0.0], [0.0, 0.0]]),
+        ],
+        "query_id long, doc_id long, q_toks array<array<double>>, "
+        "d_toks array<array<double>>",
+    )
+    rows = maxsim_rerank(
+        cand, "query_id", "doc_id", "q_toks", "d_toks", k=2
+    ).collect()
+    assert [(r["doc_id"], round(r["maxsim"], 9)) for r in rows] == [
+        (11, 1.4),
+        (10, 1.0),  # ties with doc 12, smaller id wins; k=2 cuts 12
+    ]
+    # scalar check: Σ_q max_d — NOT max over pairs, NOT symmetric
+    one = cand.filter("doc_id = 11").select(
+        maxsim_score("q_toks", "d_toks").alias("s"),
+        maxsim_score("d_toks", "q_toks").alias("rev"),
+    ).collect()[0]
+    assert round(one["s"], 9) == 1.4
+    assert round(one["rev"], 9) == 1.4  # symmetric here (unit axes)
+
+
 def test_rerank_token_overlap_orders_and_broadcasts(spark):
     """Rerank must order by overlap first (a lower-first-stage-score doc
     with more query terms wins), tie-break on first-stage score then

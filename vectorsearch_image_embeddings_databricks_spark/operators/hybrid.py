@@ -10,7 +10,7 @@ two small ranked lists, trivially cheap after each side's top-N."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
@@ -232,4 +232,71 @@ def rerank_token_overlap(
         .orderBy(F.desc("overlap"), F.desc("score"), F.asc("id"))
         .limit(k)
         .select("id", "overlap", "score")
+    )
+
+
+def maxsim_score(
+    q_tokens: Column | str, d_tokens: Column | str
+) -> Column:
+    """ColBERT-style late-interaction relevance (Khattab & Zaharia,
+    SIGIR'20): ``Σ_{q ∈ q_tokens} max_{d ∈ d_tokens} q·d`` over two
+    ``array<array<float|double>>`` columns — every query token finds its
+    best-matching document token, and the per-token maxima sum.
+
+    Pure nested Catalyst HOFs (aggregate over transform over
+    zip_with) — whole-stage codegen, no Python, float64 arithmetic with
+    a sequential left-to-right outer fold, so scores replay exactly in
+    SQL (left-associated ``+`` chain of ``greatest(...)`` terms).
+    Per-pair cost |q_tokens|·|d_tokens|·dim.
+    """
+    from ..functions.vector import _as_double
+
+    q_tokens = F.col(q_tokens) if isinstance(q_tokens, str) else q_tokens
+    d_tokens = F.col(d_tokens) if isinstance(d_tokens, str) else d_tokens
+    dts = F.transform(d_tokens, _as_double)
+
+    def tok_dot(qt, dt):
+        return F.aggregate(
+            F.zip_with(qt, dt, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.aggregate(
+        F.transform(q_tokens, _as_double),
+        F.lit(0.0),
+        lambda acc, qt: acc
+        + F.array_max(F.transform(dts, lambda dt: tok_dot(qt, dt))),
+    )
+
+
+def maxsim_rerank(
+    candidates: DataFrame,
+    query_key: str,
+    doc_key: str,
+    q_tokens_col: str,
+    d_tokens_col: str,
+    k: int,
+    score_col: str = "maxsim",
+) -> DataFrame:
+    """Late-interaction second stage: MaxSim-score a bounded
+    ``(query, doc)`` candidate pool and keep each query's top-``k`` by
+    (maxsim desc, doc id asc).
+
+    The pool comes from any cheap first stage (single-vector kNN, BM25,
+    RRF) — the two-stage architecture ColBERT deploys: rerank cost is
+    |pool|·|q_tokens|·|d_tokens|·dim, independent of corpus size, and
+    the window partitions by query over pool-bounded rows only, never
+    the corpus. Returns ``(query_key, doc_key, score_col)``.
+    """
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc(score_col), F.asc(doc_key)
+    )
+    return (
+        candidates.withColumn(
+            score_col, maxsim_score(q_tokens_col, d_tokens_col)
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_key, doc_key, score_col)
     )

@@ -1641,3 +1641,104 @@ def knn_graph_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(hits * 1000000) div {KNN_K}").cast("long"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+
+MAXSIM_NQ = 6
+MAXSIM_POOL = 16
+MAXSIM_NTOK = 8  # 64-dim embedding sliced into 8 tokens x 8 dims
+
+
+def _maxsim_sql_expr() -> str:
+    """The MaxSim sum as a LEFT-ASSOCIATED ``+`` chain of greatest()
+    terms — the same evaluation order maxsim_score's sequential outer
+    fold uses, so the float sums are bitwise identical."""
+    terms = []
+    for i in range(MAXSIM_NTOK):
+        dots = ", ".join(
+            f"list_inner_product(q.qtoks[{i + 1}], d.toks[{j + 1}])"
+            for j in range(MAXSIM_NTOK)
+        )
+        terms.append(f"greatest({dots})")
+    return " + ".join(terms)
+
+
+@register(
+    "maxsim_rerank",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    t AS (
+        SELECT id,
+               [{", ".join(f"vec[{8 * i + 1}:{8 * i + 8}]" for i in range(MAXSIM_NTOK))}]
+                   AS toks,
+               vec
+        FROM v
+    ),
+    q AS (
+        SELECT id AS qid, toks AS qtoks, vec AS qvec
+        FROM t WHERE id < {MAXSIM_NQ}
+    ),
+    pool AS (
+        SELECT qid, id FROM (
+            SELECT q.qid, v.id,
+                   row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.qvec, v.vec) DESC,
+                                v.id) AS rn
+            FROM q CROSS JOIN v
+        ) WHERE rn <= {MAXSIM_POOL}
+    ),
+    scored AS (
+        SELECT p.qid, p.id, {_maxsim_sql_expr()} AS ms
+        FROM pool p
+        JOIN t d ON d.id = p.id
+        JOIN q ON q.qid = p.qid
+    )
+    SELECT qid AS query_id, id AS vec_id, round(ms, 6) AS maxsim
+    FROM (
+        SELECT scored.*, row_number() OVER (
+            PARTITION BY qid ORDER BY ms DESC, id) AS rn
+        FROM scored
+    ) WHERE rn <= {KNN_K}
+    """,
+)
+def maxsim_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E91: ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR'20) as the two-stage architecture it deploys — stage 1 is the
+    cheap single-vector kNN (broadcast-query scan, the E2 machinery)
+    bounding a {16}-doc pool per query; stage 2 re-scores the pool with
+    MaxSim (every query token takes its best-matching document token,
+    Σ max q·d) and keeps top-{5}. Rerank cost is
+    |pool|·|q_tok|·|d_tok|·dim — independent of corpus size; the MaxSim
+    expression is pure nested Catalyst HOFs (zero Python). Token
+    vectors are deterministic 8x8 slices of the stored embedding, so
+    the WHOLE pipeline — slicing, pool selection, per-token maxima, the
+    left-associated float sum — replays in SQL (value-exact after 6dp
+    rounding of the irrational scores)."""
+    from ..operators.hybrid import maxsim_rerank
+
+    emb = load_embeddings(spark, sf_dir)
+    toks = F.array(
+        *[F.slice("embedding", 1 + 8 * i, 8) for i in range(MAXSIM_NTOK)]
+    )
+    corpus_t = emb.select("vec_id", toks.alias("d_toks"))
+    queries = emb.filter(F.col("vec_id") < MAXSIM_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        toks.alias("q_toks"),
+    )
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    pool = idx.search_batch(
+        queries.select("query_id", "query_vec"), k=MAXSIM_POOL
+    ).select("query_id", "vec_id")
+    cand = pool.join(corpus_t, "vec_id").join(
+        F.broadcast(queries.select("query_id", "q_toks")), "query_id"
+    )
+    res = maxsim_rerank(
+        cand, "query_id", "vec_id", "q_toks", "d_toks", k=KNN_K
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("maxsim", 6).alias("maxsim")
+    )
