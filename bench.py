@@ -173,6 +173,7 @@ NEW_OPS = [
     "knn_graph_update",
     "knn_graph_ivf_recall",
     "maxsim_rerank",
+    "knn_graph_delete",  # shares the memoized exact build with beam
 ]
 
 

@@ -556,6 +556,69 @@ def test_append_update_plus_refine_recovers_rebuild(emb):
     assert overlap_after >= overlap_before - 1e-12
 
 
+def test_delete_exact_equals_rebuild_of_remaining(emb):
+    """Graph-tier DELETE (E92): deletions only remove competitors, so a
+    source that lost no edge keeps its exact top-degree and only
+    affected sources refill — surviving ∪ (affected × remaining)
+    re-ranked IS the exact graph of the remaining corpus."""
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+        build_knn_graph,
+        delete_knn_graph,
+    )
+
+    g = build_knn_graph(emb, "vec_id", "embedding", degree=6)
+    dele = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    repaired = delete_knn_graph(
+        g, emb, dele, "vec_id", "embedding", degree=6
+    )
+    rest = emb.filter(F.col("vec_id") % 7 != 3)
+    want = {
+        (r["src"], r["dst"])
+        for r in build_knn_graph(
+            rest, "vec_id", "embedding", degree=6
+        ).collect()
+    }
+    got = {(r["src"], r["dst"]) for r in repaired.collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="strategy"):
+        delete_knn_graph(g, emb, dele, "vec_id", "embedding",
+                         strategy="hnsw")
+    with pytest.raises(ValueError, match="ivf"):
+        delete_knn_graph(g, emb, dele, "vec_id", "embedding",
+                         strategy="ivf")
+
+
+def test_graph_index_delete_lifecycle(emb):
+    """DELETE through the lifecycle class: deleted ids disappear from
+    search results, vectors, quantizer assignments, and reps; the
+    ivf-tier repair keeps the degree bound and covers every affected
+    source."""
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import KNNGraphIndex
+
+    idx = KNNGraphIndex.build(
+        emb, "vec_id", "embedding", degree=6,
+        strategy="ivf", nlist=8, nprobe=4, per_cell=2,
+    )
+    n = emb.count()
+    dele = emb.filter(F.col("vec_id") < 20).select("vec_id")
+    idx.delete(dele)
+    assert idx.vectors.count() == n - 20
+    assert idx.ivf.assigned.filter(F.col("vec_id") < 20).count() == 0
+    assert idx.edges.filter(
+        (F.col("src") < 20) | (F.col("dst") < 20)
+    ).count() == 0
+    per_src = idx.edges.groupBy("src").agg(F.count("*").alias("d"))
+    assert per_src.filter(F.col("d") > 6).count() == 0
+    # a deleted id is no longer reachable: query with its own old
+    # vector and assert it is absent from the result
+    probe = emb.filter(F.col("vec_id") == 5).select(
+        F.lit(0).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hits = idx.search(probe, k=5, beam=16, hops=3).collect()
+    assert all(r["vec_id"] >= 20 for r in hits)
+
+
 def test_nn_descent_refinement_improves_ivf_graph(emb):
     """One NN-descent round over a deliberately coarse ivf-built graph
     (few probed cells -> many missed cross-cell edges) must strictly

@@ -339,6 +339,101 @@ def append_knn_graph(
     return _top_degree_edges(scored, degree)
 
 
+def delete_knn_graph(
+    graph: DataFrame,
+    vectors: DataFrame,
+    deleted: DataFrame,
+    id_col: str,
+    vec_col: str,
+    degree: int = 8,
+    strategy: str = "exact",
+    nprobe: int = 4,
+    ivf=None,
+) -> DataFrame:
+    """Graph-tier DELETE — the third change-feed operation (NMR:278),
+    completing the CDC triad with inserts/updates (`append_knn_graph`):
+    remove a batch of ids WITHOUT rebuilding the stored graph.
+
+    Deletion repair is exactly local, and unlike updates the exact-tier
+    identity is PROVABLE: deletions only remove competitors, so a
+    stored source none of whose top-``degree`` neighbors was deleted
+    has the identical top-``degree`` over the remaining corpus — only
+    AFFECTED sources (those that lost an edge) need refilling. The
+    candidate set is ``surviving edges ∪ (affected × remaining)``:
+    re-ranked per source, it equals the exact graph of the remaining
+    corpus (the registry oracle), at cost |affected|·|remaining| — and
+    |affected| is bounded by the deleted batch's in-degree, not the
+    corpus. ``strategy='ivf'`` restricts the refill product to
+    shared-quantizer cell mates under the STORED ``ivf`` (pass the
+    index whose quantizer built the graph; refill sources re-enter the
+    assignment expression — they are a small batch — while the
+    remaining corpus keeps its stored assignments).
+
+    ``deleted`` is a DataFrame holding ``id_col``. Returns the repaired
+    edge table ``(src, dst)`` over the remaining ids.
+    """
+    dele = deleted.select(F.col(id_col).alias("__del")).distinct()
+    remaining = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(dele, F.col("id") == F.col("__del"), "left_anti")
+    live_src = graph.join(
+        dele, graph["src"] == dele["__del"], "left_anti"
+    )
+    surviving = live_src.join(
+        dele, live_src["dst"] == dele["__del"], "left_anti"
+    ).select("src", "dst")
+    # sources that LOST an edge: their next-best neighbor is not stored
+    affected = (
+        live_src.join(dele, live_src["dst"] == dele["__del"], "left_semi")
+        .select("src")
+        .distinct()
+    )
+    if strategy == "exact":
+        refill = affected.crossJoin(
+            remaining.select(F.col("id").alias("dst"))
+        ).filter(F.col("src") != F.col("dst"))
+    elif strategy == "ivf":
+        if ivf is None:
+            raise ValueError(
+                "strategy='ivf' requires the stored ivf index"
+            )
+        # refill sources re-assign (they are few); remaining corpus
+        # keeps its stored cells (minus deleted rows)
+        src_cells = ivf.assign_cells(
+            affected.join(
+                remaining.withColumnRenamed("id", "src"), "src"
+            ).select("src", F.col("v").alias(ivf.vector_col)),
+            ivf.vector_col,
+            nprobe,
+        ).select("src", "centroid_id")
+        rem_cells = ivf.assigned.select(
+            F.col(ivf.key).alias("dst"), "centroid_id"
+        ).join(dele, F.col("dst") == F.col("__del"), "left_anti")
+        refill = (
+            src_cells.join(rem_cells, "centroid_id")
+            .select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    cand = surviving.unionByName(refill).distinct()
+    scored = (
+        cand.join(
+            remaining.select(F.col("id").alias("src"), F.col("v").alias("__vs")),
+            "src",
+        )
+        .join(
+            remaining.select(F.col("id").alias("dst"), F.col("v").alias("__vd")),
+            "dst",
+        )
+        .select(
+            "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
+        )
+    )
+    return _top_degree_edges(scored, degree)
+
+
 def refine_knn_graph(
     graph: DataFrame,
     vectors: DataFrame,
@@ -846,6 +941,34 @@ class KNNGraphIndex:
         )
         self.ivf.append(news)
         self.ivf.assigned = self.ivf.assigned.localCheckpoint(eager=True)
+        self.reps = cell_representatives(
+            self.ivf, self.per_cell
+        ).localCheckpoint(eager=True)
+        return self
+
+    def delete(self, deleted: DataFrame) -> "KNNGraphIndex":
+        """Remove a batch of ids in place (the change feed's DELETE op,
+        NMR:278): edges repaired via :func:`delete_knn_graph` (exact
+        identity at the exact tier; cell-mate refill under the stored
+        quantizer at the ivf tier), vectors and quantizer assignments
+        dropped, entry reps refreshed. ``deleted`` holds ``key``."""
+        self.edges = delete_knn_graph(
+            self.edges,
+            self.vectors,
+            deleted,
+            self.key,
+            self.vector_col,
+            degree=self.degree,
+            strategy=self.strategy,
+            ivf=self.ivf if self.strategy == "ivf" else None,
+        ).localCheckpoint(eager=True)
+        del_ids = deleted.select(self.key).distinct()
+        self.vectors = self.vectors.join(
+            del_ids, self.key, "left_anti"
+        ).localCheckpoint(eager=True)
+        self.ivf.assigned = self.ivf.assigned.join(
+            del_ids, self.key, "left_anti"
+        ).localCheckpoint(eager=True)
         self.reps = cell_representatives(
             self.ivf, self.per_cell
         ).localCheckpoint(eager=True)

@@ -52,13 +52,15 @@ DRIVER_PRIORITY: list[str] = [
     # the late-r5 commits f21eb15/ac3af22, so the BPE rows and the
     # BRP-LSH rows they touched must re-pin; then (b) re-pin the
     # queries whose last driver row is oldest (round 3), heaviest
-    # machinery first. 40 of the 46 r3-pinned rows fit this window; the
-    # 6 light relational deferrals (bpe_merge_candidates — machinery
+    # machinery first. 39 of the 46 r3-pinned rows fit this window; the
+    # 7 light relational deferrals (bpe_merge_candidates — machinery
     # re-pinned via bpe_train_merges — part_pair_cooccurrence,
     # top_event_paths, event_transitions, linear_touch_attribution,
-    # ema_user_value) lead the r7 re-pin list. All remain CI-replay +
-    # robustness-matrix green every round.
+    # ema_user_value, per_lang_ols_trend) lead the r7 re-pin list. All
+    # remain CI-replay + robustness-matrix green every round.
     # --- (a) changed or added this round: verify first ---
+    "knn_graph_delete",     # NEW: E92 graph-tier DELETE (exact
+                            # remaining-corpus identity oracle)
     "maxsim_rerank",        # NEW: E91 late-interaction (ColBERT
                             # MaxSim) two-stage rerank
     "knn_graph_update",     # NEW: E90 update-path repair contract
@@ -89,7 +91,7 @@ DRIVER_PRIORITY: list[str] = [
     "rag_context_assembly", "video_frame_samples", "boilerplate_ngrams",
     "char_entropy_docs", "quality_model_score", "dsir_importance_weights",
     "pmi_collocations", "lang_id_eval_metrics", "source_drift_chi2",
-    "value_outliers_zscore", "time_weighted_avg_user", "per_lang_ols_trend",
+    "value_outliers_zscore", "time_weighted_avg_user",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

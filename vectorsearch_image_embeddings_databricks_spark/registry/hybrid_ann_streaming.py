@@ -1645,6 +1645,57 @@ def knn_graph_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------- #
 
+GRAPH_DEL_MOD = 37
+GRAPH_DEL_RES = 5  # delete ids with vec_id % 37 == 5 (~2.7% of corpus)
+
+
+@register(
+    "knn_graph_delete",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+        WHERE vec_id % {GRAPH_DEL_MOD} <> {GRAPH_DEL_RES}
+    ),
+    e0 AS (
+        SELECT a.id AS src, b.id AS dst,
+               row_number() OVER (
+                   PARTITION BY a.id
+                   ORDER BY list_cosine_similarity(a.vec, b.vec) DESC,
+                            b.id) AS rn
+        FROM v a JOIN v b ON a.id <> b.id
+    )
+    SELECT src, dst FROM e0 WHERE rn <= {GRAPH_DEGREE}
+    """,
+)
+def knn_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E92: graph-tier DELETE — the third change-feed operation
+    (NMR:278), completing the CDC triad with inserts (knn_graph_append)
+    and updates (knn_graph_update). Deletions only REMOVE competitors,
+    so a stored source none of whose top-degree neighbors was deleted
+    keeps its exact list; only AFFECTED sources (those that lost an
+    edge) refill against the remaining corpus. The repaired graph
+    therefore provably EQUALS the exact graph of the remaining corpus —
+    which is exactly what the oracle computes (the append-identity
+    pattern). Repair cost is |affected|·|remaining| with |affected|
+    bounded by the deleted batch's in-degree, never a rebuild; the
+    stored graph here is the session-shared memoized build (zero extra
+    build in a bench run). ``strategy='ivf'`` restricts the refill to
+    stored-quantizer cell mates (pytest-pinned via the lifecycle
+    class)."""
+    from ..index.graph_ann import delete_knn_graph
+
+    emb = load_embeddings(spark, sf_dir)
+    g = _shared_exact_graph(spark, sf_dir, GRAPH_DEGREE)
+    dele = emb.filter(
+        F.col("vec_id") % GRAPH_DEL_MOD == GRAPH_DEL_RES
+    ).select("vec_id")
+    return delete_knn_graph(
+        g, emb, dele, "vec_id", "embedding", degree=GRAPH_DEGREE
+    )
+
+
+# --------------------------------------------------------------------- #
+
 MAXSIM_NQ = 6
 MAXSIM_POOL = 16
 MAXSIM_NTOK = 8  # 64-dim embedding sliced into 8 tokens x 8 dims
