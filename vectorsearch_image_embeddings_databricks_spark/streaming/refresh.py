@@ -14,7 +14,13 @@ continuous. Without Delta locally, the equivalent contract is:
   (BASELINE.md target table).
 
 At scale the upsert would be a Delta ``MERGE``; on a plain filesystem we
-stage the merged snapshot and atomically swap directories.
+stage the merged snapshot and atomically swap directories. When the
+optional ``delta-spark`` package IS importable, ``IncrementalIndexer``
+runs the real thing instead (``fmt='auto'`` → a Delta table sink with
+MERGE upserts, ``source_format='delta-cdf'`` → refresh driven by the
+table's actual Change Data Feed, NMR:277-278) — see
+``sources/delta_support.py``; the parquet emulation remains the
+byte-identical fallback everywhere delta-spark is absent.
 """
 
 from __future__ import annotations
@@ -37,12 +43,30 @@ class IncrementalIndexer:
         checkpoint_dir: str,
         key: str = "vec_id",
         schema: StructType | None = None,
+        fmt: str = "auto",
+        source_format: str = "parquet",
     ) -> None:
+        from ..sources.delta_support import resolve_table_format
+
         self.source_dir = source_dir
         self.index_dir = index_dir
         self.checkpoint_dir = checkpoint_dir
         self.key = key
         self.schema = schema
+        #: sink format: 'auto' → Delta when delta-spark is importable
+        #: (MERGE upserts, transactional), parquet snapshot emulation
+        #: otherwise — the fallback is byte-identical to the pre-gate
+        #: behavior, so registry hashes cannot move.
+        self.fmt = resolve_table_format(fmt)
+        if source_format not in ("parquet", "delta-cdf"):
+            raise ValueError(f"unknown source_format {source_format!r}")
+        if source_format == "delta-cdf":
+            resolve_table_format("delta")  # loud gate, not silent downgrade
+        #: change-log format: 'parquet' = append-only file log (files
+        #: tracked exactly-once by the stream checkpoint); 'delta-cdf' =
+        #: the table's real Change Data Feed (NMR:277-278) carrying
+        #: insert/update/delete rows.
+        self.source_format = source_format
 
     # ------------------------------------------------------------------ #
 
@@ -51,18 +75,61 @@ class IncrementalIndexer:
 
     def current(self, spark: SparkSession) -> DataFrame | None:
         path = self._data_dir()
+        if self.fmt == "delta":
+            from delta.tables import DeltaTable
+
+            if not DeltaTable.isDeltaTable(spark, path):
+                return None
+            return spark.read.format("delta").load(path)
         if not os.path.exists(path):
             return None
         return spark.read.parquet(path)
+
+    def _write_snapshot(self, merged: DataFrame) -> None:
+        """Replace the index table with ``merged`` — Delta overwrite
+        (transactional) or the parquet stage-and-swap emulation."""
+        data = self._data_dir()
+        if self.fmt == "delta":
+            merged.write.format("delta").mode("overwrite").save(data)
+            return
+        staging = os.path.join(self.index_dir, "_staging")
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(data):
+            shutil.rmtree(data)
+        os.replace(staging, data)
 
     def _upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Upsert one micro-batch: new keys win over existing rows.
 
         Within a batch, the highest-id file order wins is irrelevant here
         (keys are unique per source row); duplicates inside a batch are
-        collapsed deterministically by max of a per-key struct."""
+        collapsed deterministically by max of a per-key struct. A
+        ``delta-cdf`` batch additionally carries deletes/update-postimages
+        (folded by ``apply_cdf_batch``); a Delta sink applies the result
+        as a MERGE touching only matched files instead of rewriting the
+        snapshot."""
         spark = batch.sparkSession
+        if self.source_format == "delta-cdf":
+            from ..sources.delta_support import apply_cdf_batch
+
+            existing = self.current(spark)
+            if existing is None:
+                existing = spark.createDataFrame(
+                    [],
+                    batch.drop(
+                        "_change_type",
+                        "_commit_version",
+                        "_commit_timestamp",
+                    ).schema,
+                )
+            self._write_snapshot(apply_cdf_batch(batch, existing, self.key))
+            return
         batch = batch.dropDuplicates([self.key])
+        if self.fmt == "delta":
+            from ..sources.delta_support import merge_upsert
+
+            merge_upsert(spark, self._data_dir(), batch, self.key)
+            return
         existing = self.current(spark)
         if existing is None:
             merged = batch
@@ -70,25 +137,25 @@ class IncrementalIndexer:
             merged = existing.join(
                 batch.select(self.key), on=self.key, how="left_anti"
             ).unionByName(batch)
-        staging = os.path.join(self.index_dir, "_staging")
-        merged.write.mode("overwrite").parquet(staging)
-        data = self._data_dir()
-        if os.path.exists(data):
-            shutil.rmtree(data)
-        os.replace(staging, data)
+        self._write_snapshot(merged)
 
     # ------------------------------------------------------------------ #
 
     def refresh(self, spark: SparkSession) -> None:
-        """One TRIGGERED sync (NMR:318 semantics): process all new files in
-        the change log exactly once, then stop."""
-        if self.schema is None:
-            self.schema = spark.read.parquet(self.source_dir).schema
-        stream = (
-            spark.readStream.schema(self.schema)
-            .option("maxFilesPerTrigger", 16)
-            .parquet(self.source_dir)
-        )
+        """One TRIGGERED sync (NMR:318 semantics): process all new changes
+        in the log exactly once, then stop."""
+        if self.source_format == "delta-cdf":
+            from ..sources.delta_support import read_change_feed
+
+            stream = read_change_feed(spark, self.source_dir)
+        else:
+            if self.schema is None:
+                self.schema = spark.read.parquet(self.source_dir).schema
+            stream = (
+                spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", 16)
+                .parquet(self.source_dir)
+            )
         q = (
             stream.writeStream.foreachBatch(self._upsert_batch)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -98,7 +165,11 @@ class IncrementalIndexer:
         q.awaitTermination()
 
     def full_rebuild(self, spark: SparkSession) -> DataFrame:
-        """The batch recompute the incremental path must equal."""
+        """The batch recompute the incremental path must equal. For a
+        CDF source the table's latest snapshot IS that recompute (the
+        feed replays to exactly the current state)."""
+        if self.source_format == "delta-cdf":
+            return spark.read.format("delta").load(self.source_dir)
         return (
             spark.read.parquet(self.source_dir).dropDuplicates([self.key])
         )
