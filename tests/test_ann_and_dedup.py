@@ -777,10 +777,14 @@ def test_jaccard_prefix_filter_explodes_fewer_postings(docs, spark):
 def test_ivf_pandas_assignment_equals_expression_path(emb):
     """The large-nlist assignment tier (round 6 — the 200k frontier
     measured ~30 s of codegen per plan at nlist=390 literal centroids):
-    mapInPandas matmul assignment must be VALUE-IDENTICAL to the
-    codegen expression — same storage assignment, same query-side
-    probes, same append — including the (dot desc, j asc) tie-break,
-    and invariant to input partitioning."""
+    mapInPandas matmul assignment must match the codegen expression on
+    this fixture — same storage assignment, same query-side probes,
+    same append — including the (dot desc, j asc) tie-break, and
+    invariant to input partitioning. (The paths are identical up to
+    float summation order — BLAS pairwise vs sequential fold — so this
+    is an empirical pin on real data, not a bitwise theorem; an exact
+    dot-product near-tie could legally flip a cell. The committed hash
+    rows stay ≤ 64 cells / expression tier for that reason.)"""
     expr_ivf = IVFIndex(emb, nlist=16, replication=3, assign_via="expr")
     pd_ivf = IVFIndex(emb, nlist=16, replication=3, assign_via="pandas")
 

@@ -101,7 +101,12 @@ class BRPLSHIndex:
         widening ladder (see ``search_batch``), so the result has ``k``
         rows whenever the corpus does — the reference's always-k
         ``similarity_search`` contract (NMR:388) without giving up
-        hash-verifiability.
+        hash-verifiability. NOTE the ladder is EAGER: each widening
+        rung ``localCheckpoint(eager=True)``s (multi-action consumers
+        must not re-run the scan-and-rank per action), so merely
+        BUILDING the returned plan executes the fallback scans for any
+        under-k queries — callers composing plans they may never
+        collect pay that cost at call time, not action time.
 
         ``via='mllib'``: MLlib's own ``approxNearestNeighbors``
         multi-probe — it widens candidates to NEARBY buckets via a
@@ -749,8 +754,16 @@ class IVFIndex:
         ``X @ C.T`` — the FAISS coarse-assignment shape — instead of a
          10⁴-literal expression Catalyst spends ~seconds compiling).
         Both paths rank by (dot desc, j asc); the numpy path's stable
-        argsort reproduces the struct-sort tie-break exactly.
-        Map-only either way: no shuffle, partitioning-invariant."""
+        argsort reproduces the struct-sort tie-break exactly. The two
+        are identical up to float summation order: the matmul's
+        pairwise/SIMD accumulation can differ from the expression
+        tier's sequential Catalyst fold by an ULP, which near an exact
+        dot-product tie could flip an assignment across the 'auto'
+        dispatch boundary — the committed hash rows therefore pin
+        quantizers ≤ {ASSIGN_EXPR_MAX_NLIST} cells (always the
+        expression path); use an explicit ``assign_via`` when bitwise
+        parity across tiers matters. Map-only either way: no shuffle,
+        partitioning-invariant."""
         if not self._use_pandas_assign():
             return df.withColumn(
                 "centroid_id",
