@@ -619,6 +619,65 @@ def test_graph_index_delete_lifecycle(emb):
     assert all(r["vec_id"] >= 20 for r in hits)
 
 
+def test_graph_index_copy_isolates_mutations(emb):
+    """copy() hands out a twin whose append/delete leave the original
+    fully servable — the contract that lets the registry's delete-audit
+    row mutate the session-memoized build (knn_graph_ivf_delete_recall)
+    without corrupting it for knn_graph_ivf_recall."""
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import KNNGraphIndex
+
+    idx = KNNGraphIndex.build(
+        emb, "vec_id", "embedding", degree=6,
+        strategy="ivf", nlist=8, nprobe=4, per_cell=2,
+    )
+    n = emb.count()
+    before_edges = idx.edges.count()
+    twin = idx.copy()
+    twin.delete(emb.filter(F.col("vec_id") < 20).select("vec_id"))
+    # twin mutated ...
+    assert twin.vectors.count() == n - 20
+    # ... original untouched: vectors, edges, quantizer assignment, reps
+    assert idx.vectors.count() == n
+    assert idx.edges.count() == before_edges
+    assert idx.ivf.assigned.filter(F.col("vec_id") < 20).count() > 0
+    probe = emb.filter(F.col("vec_id") == 5).select(
+        F.lit(0).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hits = idx.search(probe, k=1, beam=16, hops=3).collect()
+    assert hits and hits[0]["vec_id"] == 5  # still finds the deleted id
+
+
+def test_delete_default_nprobe_matches_build_replication(emb):
+    """ADVICE r6: KNNGraphIndex.delete must repair with probes as wide
+    as the build's (replication = max(2, nprobe)) unless overridden —
+    an index built at nprobe=8 no longer silently refills at the old
+    nprobe=4 default."""
+    from vectorsearch_image_embeddings_databricks_spark.index import graph_ann
+
+    idx = graph_ann.KNNGraphIndex.build(
+        emb, "vec_id", "embedding", degree=6,
+        strategy="ivf", nlist=8, nprobe=8, per_cell=2,
+    )
+    seen = {}
+    orig = graph_ann.delete_knn_graph
+
+    def spy(*args, **kwargs):
+        seen["nprobe"] = kwargs.get("nprobe")
+        return orig(*args, **kwargs)
+
+    graph_ann.delete_knn_graph = spy
+    try:
+        idx.copy().delete(emb.filter(F.col("vec_id") < 5).select("vec_id"))
+        assert seen["nprobe"] == idx.ivf.replication == 8
+        idx.copy().delete(
+            emb.filter(F.col("vec_id") < 5).select("vec_id"), nprobe=3
+        )
+        assert seen["nprobe"] == 3
+    finally:
+        graph_ann.delete_knn_graph = orig
+
+
 def test_nn_descent_refinement_improves_ivf_graph(emb):
     """One NN-descent round over a deliberately coarse ivf-built graph
     (few probed cells -> many missed cross-cell edges) must strictly

@@ -828,6 +828,20 @@ class KNNGraphIndex:
 
     # ------------------------------------------------------------------ #
 
+    def copy(self) -> "KNNGraphIndex":
+        """Shallow twin sharing the (immutable) DataFrames but owning
+        its OWN mutable slots — ``append``/``delete`` on the twin leave
+        the original servable. This is what lets a change-feed
+        experiment (or the registry's delete-audit row) run against a
+        session-memoized build without corrupting it for later readers;
+        the quantizer wrapper is copied too because ``delete`` reassigns
+        ``ivf.assigned``."""
+        import copy as _copy
+
+        twin = _copy.copy(self)
+        twin.ivf = _copy.copy(self.ivf)
+        return twin
+
     def entries_for(
         self,
         queries: DataFrame,
@@ -946,12 +960,19 @@ class KNNGraphIndex:
         ).localCheckpoint(eager=True)
         return self
 
-    def delete(self, deleted: DataFrame) -> "KNNGraphIndex":
+    def delete(
+        self, deleted: DataFrame, nprobe: int | None = None
+    ) -> "KNNGraphIndex":
         """Remove a batch of ids in place (the change feed's DELETE op,
         NMR:278): edges repaired via :func:`delete_knn_graph` (exact
         identity at the exact tier; cell-mate refill under the stored
         quantizer at the ivf tier), vectors and quantizer assignments
-        dropped, entry reps refreshed. ``deleted`` holds ``key``."""
+        dropped, entry reps refreshed. ``deleted`` holds ``key``.
+
+        ``nprobe`` widens the ivf-tier refill probe; it defaults to the
+        stored quantizer's replication (the build-time probe width), so
+        an index built at nprobe=8 repairs deletions with equally wide
+        probes — mirroring :meth:`append`'s explicit knob."""
         self.edges = delete_knn_graph(
             self.edges,
             self.vectors,
@@ -960,6 +981,11 @@ class KNNGraphIndex:
             self.vector_col,
             degree=self.degree,
             strategy=self.strategy,
+            nprobe=(
+                nprobe
+                if nprobe is not None
+                else getattr(self.ivf, "replication", 4)
+            ),
             ivf=self.ivf if self.strategy == "ivf" else None,
         ).localCheckpoint(eager=True)
         del_ids = deleted.select(self.key).distinct()

@@ -594,22 +594,108 @@ def knn_graph_beam_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_recall_report")
+ANN_RECALL_NQ = 20    # recall audited over query vectors vec_id < 20
+ANN_RECALL_REPL = 2   # SPANN-style boundary replication of the corpus
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {ANN_IVF_NLIST}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {ANN_RECALL_NQ}
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                                   c.cv) DESC, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rn <= {ANN_RECALL_REPL}
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_inner_product(q.qv, c.cv) DESC,
+                                c.cell) AS rn
+            FROM q CROSS JOIN cents c)
+        WHERE rn <= {ANN_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM probes p JOIN assign a ON a.cell = p.cell
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT c.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qv) DESC,
+                                c.vec_id) AS rn
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id)
+        WHERE rn <= {KNN_K}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qv) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN q)
+        WHERE rn <= {KNN_K}
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST((coalesce(h.hits, 0) * 1000000) // {KNN_K} AS BIGINT)
+               AS recall_micro
+    FROM q
+    LEFT JOIN (
+        SELECT x.query_id, count(*) AS hits
+        FROM exact x JOIN approx a USING (query_id, vec_id)
+        GROUP BY x.query_id) h ON h.query_id = q.query_id
+    """,
+)
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible ANN quality audit: per-query recall@5 of the IVF
-    tier (nprobe=2 of nlist=8 — probing a quarter of the cells) against
-    the exact kNN join, over 20 query vectors. Rows-only (the recall of
-    a pruned probe is the measured quantity, not SQL-derivable), but
-    fully DETERMINISTIC: seeded quantizer, deterministic tie-breaks —
-    so regressions show as changed rows, and pytest pins mean recall
-    ≥ 0.9 (BASELINE.md's ANN bar) at this pruning level. Both sides are distributed plans:
-    exact = broadcast-query kNN join, approx = shared-quantizer cell
-    equi-join (operators.bitext._topk_ivf — the same machinery bitext
-    mining uses, exercised here as a batch ANN join)."""
+    tier (nprobe=4 of nlist=8, corpus boundary-replicated ×2) against
+    the exact kNN join, over 20 query vectors — the quantity a real
+    deployment monitors for quantizer drift. Hash-verified end to end:
+    the quantizer is the SEEDED tier (cells = embeddings of the nlist
+    smallest vec_ids, the ``ann_ivf_knn``/``ivf_adc_topk`` convention),
+    so assignment, boundary replication, probe selection, the candidate
+    equi-join, both top-k windows, AND the measured recall itself all
+    replay in plain SQL — the audit measures REAL pruning loss (queries
+    below full recall stay in the output as non-1.0 rows, every query
+    always present via the left join). The trained-KMeans production
+    quantizer keeps its own recall pin in pytest (mean ≥ 0.9). Both
+    sides are distributed plans: exact = broadcast-query kNN join,
+    approx = shared-quantizer cell equi-join
+    (operators.bitext._topk_ivf — the same machinery bitext mining
+    uses, exercised here as a batch ANN join)."""
     from ..operators.bitext import _topk_ivf
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
+    seed_rows = (
+        emb.filter(F.col("vec_id") < ANN_IVF_NLIST)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    queries = emb.filter(F.col("vec_id") < ANN_RECALL_NQ)
     idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
     exact = idx.search_batch(
         queries.select(
@@ -619,16 +705,24 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KNN_K,
     ).select("query_id", F.col("vec_id").alias("nb"))
     approx = _topk_ivf(
-        queries, emb, "vec_id", "embedding", k=KNN_K, nlist=8, nprobe=4
+        queries, emb, "vec_id", "embedding", k=KNN_K,
+        nlist=ANN_IVF_NLIST, nprobe=ANN_IVF_NPROBE,
+        replication=ANN_RECALL_REPL, centroids=cents,
     ).select(F.col("id_a").alias("query_id"), F.col("id_b").alias("nb"))
-    return (
+    hits = (
         exact.join(approx, ["query_id", "nb"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
         .select(
             "query_id",
-            "hits",
-            F.expr(f"(hits * 1000000) div {KNN_K}").alias("recall_micro"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"(coalesce(hits, 0) * 1000000) div {KNN_K}")
+            .cast("long")
+            .alias("recall_micro"),
         )
     )
 
@@ -1569,11 +1663,47 @@ def knn_graph_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deployment scales nlist ~ n/target_cell_rows and re-verifies the
 #: audit (the row fails loudly, not silently, if recall drops).
 GRAPH_IVF_NQ = 8
+#: degree 16, not the frontier study's production default of 32
+#: (ANN_FRONTIER.md: d16→d32 is +0.05–0.13 recall at every budget on
+#: 200k structure-free vectors): THIS row already reaches 8/8 FULL
+#: recall at d16 at every verified sf (0.01/0.1/1), so doubling the
+#: edge table buys nothing here — scale degree when the audit drops
+#: below full recall, which is exactly what this row makes visible.
 GRAPH_IVF_DEGREE = 16
 GRAPH_IVF_NLIST = 64
 GRAPH_IVF_BEAM = 48
 GRAPH_IVF_HOPS = 6
 GRAPH_IVF_NPROBE = 8
+
+#: Session memo for the one-time ivf graph build (r6 verdict #3 applied
+#: to the ivf tier, r6 plan-audit #1): the build (train quantizer,
+#: blocked matmul, NN-descent round) dominated the bench suite at ~24 s
+#: while the serve side costs ~1 s. Same keying discipline as
+#: _EXACT_GRAPH_MEMO — applicationId scopes the localCheckpoint'd
+#: tables to their session.
+_IVF_GRAPH_MEMO: dict = {}
+
+
+def _shared_ivf_graph_index(spark: SparkSession, sf_dir: str):
+    from ..index.graph_ann import KNNGraphIndex
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir,
+        GRAPH_IVF_DEGREE, GRAPH_IVF_NLIST, GRAPH_IVF_NPROBE,
+    )
+    idx = _IVF_GRAPH_MEMO.get(key)
+    if idx is None:
+        emb = load_embeddings(spark, sf_dir)
+        idx = KNNGraphIndex.build(
+            emb, "vec_id", "embedding",
+            degree=GRAPH_IVF_DEGREE, strategy="ivf",
+            nlist=GRAPH_IVF_NLIST, nprobe=GRAPH_IVF_NPROBE, seed=42,
+            per_cell=2, refine_rounds=1,
+        )
+        if len(_IVF_GRAPH_MEMO) >= 4:  # bound driver references
+            _IVF_GRAPH_MEMO.clear()
+        _IVF_GRAPH_MEMO[key] = idx
+    return idx
 
 
 @register(
@@ -1599,16 +1729,12 @@ def knn_graph_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     healthy expectation — {5}/{5} hits per query — and any build or
     walk regression surfaces as a hash mismatch. This gives the graph
     family an sf1-scalable value row (the exact-build rows' oracles
-    are deliberately quadratic and stop at sf0.1)."""
-    from ..index.graph_ann import KNNGraphIndex
-
+    are deliberately quadratic and stop at sf0.1). The build is
+    session-memoized (``_shared_ivf_graph_index``) — a bench or driver
+    run pays it once, every later execution serves from the
+    checkpointed index."""
     emb = load_embeddings(spark, sf_dir)
-    idx = KNNGraphIndex.build(
-        emb, "vec_id", "embedding",
-        degree=GRAPH_IVF_DEGREE, strategy="ivf",
-        nlist=GRAPH_IVF_NLIST, nprobe=GRAPH_IVF_NPROBE, seed=42,
-        per_cell=2, refine_rounds=1,
-    )
+    idx = _shared_ivf_graph_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < GRAPH_IVF_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -1694,6 +1820,77 @@ def knn_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRAPH_IVF_DEL_RES = 11  # delete vec_id % 37 == 11 (keeps queries 0..7)
+
+
+@register(
+    "knn_graph_ivf_delete_recall",
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           CAST({KNN_K} AS BIGINT) AS hits,
+           CAST(1000000 AS BIGINT) AS recall_micro
+    FROM embeddings WHERE vec_id < {GRAPH_IVF_NQ}
+    """,
+)
+def knn_graph_ivf_delete_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION delete path as a hash row (r6 verdict #6): the
+    exact-tier delete row's oracle is deliberately quadratic and stops
+    at sf0.1, so this is the graph CDC triad's sf1-scalable value row.
+    Take the session-memoized ivf-built index (the knn_graph_ivf_recall
+    build — full-recall config), ``copy()`` it (the memo stays servable
+    for other rows), DELETE ~2.7% of the corpus through the persisted
+    lifecycle (``strategy='ivf'`` — refill restricted to stored-
+    quantizer cell mates at the build's probe width, ADVICE r6:
+    ``delete`` now defaults nprobe to the stored replication), then
+    serve the 8-query panel and audit recall@{KNN_K} against the exact
+    top-k OVER THE REMAINING CORPUS. Expected-if-healthy oracle
+    (``knn_graph_ivf_recall`` pattern): the committed config keeps FULL
+    recall through the delete (verified sf0.01/0.1/1), so any repair
+    regression — missed refill, stale reps, dangling edges — surfaces
+    as a hash mismatch."""
+    emb = load_embeddings(spark, sf_dir)
+    idx = _shared_ivf_graph_index(spark, sf_dir).copy()
+    dele = emb.filter(
+        F.col("vec_id") % GRAPH_DEL_MOD == GRAPH_IVF_DEL_RES
+    ).select("vec_id")
+    idx.delete(dele)
+    queries = emb.filter(F.col("vec_id") < GRAPH_IVF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = idx.search(
+        queries, k=KNN_K, beam=GRAPH_IVF_BEAM, hops=GRAPH_IVF_HOPS,
+        nprobe=GRAPH_IVF_NPROBE,
+    )
+    remaining = emb.filter(
+        F.col("vec_id") % GRAPH_DEL_MOD != GRAPH_IVF_DEL_RES
+    )
+    exact = VectorIndex(
+        remaining, key="vec_id", vector_col="embedding"
+    ).search_batch(queries, k=KNN_K)
+    hits = exact.select("query_id", "vec_id").join(
+        got.select("query_id", "vec_id"),
+        ["query_id", "vec_id"],
+        "left_semi",
+    )
+    return (
+        queries.select("query_id")
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("__h")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("__h", F.lit(0)).cast("long").alias("hits"),
+        )
+        .withColumn(
+            "recall_micro",
+            F.expr(f"(hits * 1000000) div {KNN_K}").cast("long"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 
 MAXSIM_NQ = 6
@@ -1704,7 +1901,14 @@ MAXSIM_NTOK = 8  # 64-dim embedding sliced into 8 tokens x 8 dims
 def _maxsim_sql_expr() -> str:
     """The MaxSim sum as a LEFT-ASSOCIATED ``+`` chain of greatest()
     terms — the same evaluation order maxsim_score's sequential outer
-    fold uses, so the float sums are bitwise identical."""
+    fold uses, so the OUTER float sums are bitwise identical. Caveat
+    (ADVICE r6): the INNER token dot is DuckDB ``list_inner_product``
+    vs Spark's sequential zip_with/aggregate fold — orderings that can
+    differ by an ULP, so a dot landing within an ULP of a greatest()
+    tie or of a 6dp rounding boundary could in principle flip the hash
+    row. The 8-dim token slices keep the folds short (observed green at
+    sf0.01/0.1/1); if the row ever flakes, suspect this seam first and
+    widen the rounding margin."""
     terms = []
     for i in range(MAXSIM_NTOK):
         dots = ", ".join(
