@@ -166,7 +166,9 @@ NEW_OPS = [
     # round 6 additions: the E90 update-path repair contract (capped
     # oracle-tier corpus — append + one NN-descent round vs rebuild)
     # and the production ivf-built graph served through the persisted
-    # KNNGraphIndex surface (expected-if-healthy full-recall audit).
+    # KNNGraphIndex surface (expected-if-healthy full-recall audit;
+    # its one-time ivf build is session-memoized since r7, so the
+    # min-of-3 samples measure the serve path like a real deployment).
     # knn_graph_beam/adaptive now share ONE memoized exact build per
     # (session, sf, degree) — r5 verdict #3; update's graphs differ
     # (old-corpus build + post-update rebuild) so it builds its own.
@@ -174,6 +176,15 @@ NEW_OPS = [
     "knn_graph_ivf_recall",
     "maxsim_rerank",
     "knn_graph_delete",  # shares the memoized exact build with beam
+    # round 7 additions: the sf1-scalable ivf-tier delete audit (shares
+    # the memoized ivf build), ann_recall_report's conversion to a full
+    # SQL-replay hash row, and the coreset/selection trio (E93-E95).
+    "knn_graph_ivf_delete_recall",
+    "ann_recall_report",
+    "kcenter_coreset",
+    "domain_relevance_select",
+    "leakage_safe_split",
+    "phrase_search_positional",
 ]
 
 

@@ -1,0 +1,123 @@
+"""E93-E95 coreset/selection operators: planted-geometry FPS order,
+partitioning invariance, prototype-relevance ranking, and the
+leakage-safe split's structural invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_image_embeddings_databricks_spark.operators import coreset
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def axes(spark):
+    # unit axes + a near-copy of e1: FPS from id 0 must walk
+    # 0 -> 2 (first orthogonal by id) -> 3 -> 1 (the near-dup last)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04468, 0.0, 0.0]),  # ~unit, cos ~0.999 to id 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kcenter_planted_geometry(axes):
+    sel = coreset.greedy_kcenter(axes, "vec_id", "embedding", k=4)
+    assert [s["id"] for s in sel] == [0, 2, 3, 1]
+    assert sel[0]["dist_micro"] == 0
+    # orthogonal picks are at distance 1 (cos 0): micro = 1_000_000
+    assert sel[1]["dist_micro"] == 1_000_000
+    assert sel[2]["dist_micro"] == 1_000_000
+    # the near-dup joins last with a tiny distance
+    assert 0 < sel[3]["dist_micro"] < 5_000
+
+
+def test_kcenter_partitioning_invariant(axes, spark):
+    a = coreset.greedy_kcenter(axes, "vec_id", "embedding", k=3)
+    b = coreset.greedy_kcenter(
+        axes.repartition(7), "vec_id", "embedding", k=3
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        coreset.greedy_kcenter(axes, "vec_id", "embedding", k=0)
+
+
+def test_kcenter_explicit_seed(axes):
+    sel = coreset.greedy_kcenter(
+        axes, "vec_id", "embedding", k=2, first_id=2
+    )
+    assert sel[0]["id"] == 2
+    # farthest from e2: ids 0, 1, 3 all at cos 0... ids 0 and 3 exactly
+    # orthogonal, id 1 has positive cos -> tie between 0 and 3 broken
+    # by id
+    assert sel[1]["id"] == 0
+
+
+def test_domain_relevance_ranks_prototype_neighbors_first(spark):
+    protos = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (10, [0.7071, 0.7071, 0.0, 0.0]),  # mean-cos to protos ~0.707
+        (11, [1.0, 0.0, 0.0, 0.0]),        # mean-cos 0.5
+        (12, [0.0, 0.0, 1.0, 0.0]),        # mean-cos 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = coreset.domain_relevance_select(
+        df, protos, "vec_id", "embedding", n=2
+    ).collect()
+    assert [r["vec_id"] for r in got] == [10, 11]
+    assert got[0]["rel_micro"] > got[1]["rel_micro"] > 0
+    with pytest.raises(ValueError):
+        coreset.domain_relevance_select(df, [], "vec_id", "embedding", 1)
+
+
+def test_leakage_safe_split_invariants(spark):
+    """The registry row's structural guarantees at fixture scale: no
+    component straddles the split, every doc lands in exactly one
+    split, and both splits are non-degenerate."""
+    from vectorsearch_image_embeddings_databricks_spark import registry as reg
+
+    rows = {
+        r["split"]: r
+        for r in reg.QUERIES["leakage_safe_split"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"train", "eval"}
+    n_docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    )
+    assert rows["train"]["n_docs"] + rows["eval"]["n_docs"] == n_docs
+    for r in rows.values():
+        assert r["n_straddle"] == 0
+        assert 0 < r["n_components"] <= r["n_docs"]
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark):
+    from vectorsearch_image_embeddings_databricks_spark.operators.hybrid import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # "a b a" at positions 1 and 3 (overlap)
+            (2, "a  b a x"),      # double space: filtered tokens, 1 hit
+            (3, "b a b a"),       # "a b a" at position 2
+            (4, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(docs, "doc_id", "text", "a b a").collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
+    # single-term phrase degrades to term frequency
+    tf = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(docs, "doc_id", "text", "b").collect()
+    }
+    assert tf == {1: 3, 2: 1, 3: 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(docs, "doc_id", "text", "  ")

@@ -312,3 +312,55 @@ def test_knn_filtered_pushes_predicate_to_scan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters" in plan and "label" in plan.split("PushedFilters")[1][:200]
     assert "Exchange" not in tree_of(plan)
+
+
+def test_domain_relevance_select_map_only_topk(spark):
+    """E94's scale claim: prototypes ride as literals, so the plan is
+    one scan + TakeOrderedAndProject — no join, no data-dependent
+    shuffle (the single round-robin REPARTITION_BY_NUM exchange is
+    load_embeddings' documented fixture-parallelism decoupling, AQE-
+    coalesced at real split counts), and column pruning reaches the
+    scan (vec_id + embedding only)."""
+    spark.catalog.clearCache()
+    plan = plan_of(
+        registry.QUERIES["domain_relevance_select"](spark, SF_SMALL)
+    )
+    tree = tree_of(plan)
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in plan  # the loader's, not the op's
+    assert "hashpartitioning" not in plan  # no key shuffle anywhere
+    assert "Join" not in tree
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>" in plan
+
+
+def test_kcenter_round_scan_is_map_only_topk(spark):
+    """E93's per-round scan (the greatest-over-centers argmax): scoring
+    against the literal center set must plan as scan → filter → top-1
+    with no Exchange — k of these is the whole algorithm's cost."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_image_embeddings_databricks_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    centers = [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62]
+    best = F.greatest(
+        *[
+            cosine_similarity(
+                "embedding", F.array(*[F.lit(float(x)) for x in c])
+            )
+            for c in centers
+        ]
+    )
+    df = (
+        emb.select(F.col("vec_id"), best.alias("__sim"))
+        .filter(~F.col("vec_id").isin([0, 1]))
+        .orderBy(F.asc("__sim"), F.asc("vec_id"))
+        .limit(1)
+    )
+    tree = tree_of(plan_of(df))
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree

@@ -1,0 +1,145 @@
+"""Coreset / diversity selection over embedding corpora (SURVEY §2.3
+E93–E94): the data-PRUNING side of a training pipeline — where dedup
+removes redundancy reactively, these choose what to KEEP proactively.
+
+- :func:`greedy_kcenter` — greedy farthest-point sampling (the 2-approx
+  k-center algorithm; the selection step of coverage-driven data
+  pruning à la D4/self-supervised prototypes): repeatedly add the point
+  farthest (max cosine distance) from everything selected so far.
+- :func:`domain_relevance_select` — representation-based data selection
+  (the embedding-space counterpart of DSIR, Xie et al. 2023 §5 RDS
+  baseline): score every corpus vector by its mean similarity to a
+  small, deterministic prototype set of the target domain and keep the
+  top-N.
+
+Spark shape (both): the selected/prototype side stays DRIVER-sized
+(k vectors / a fixed seed panel — the IVF driver-state contract), the
+corpus side is only ever scanned with codegen'd HOF cosine expressions.
+greedy_kcenter runs k scans, each map-only + TakeOrderedAndProject(1) —
+the textbook distributed FPS; nothing shuffles the corpus, so at 100 TB
+the cost is k parallel scans, not a pairwise anything.
+
+Determinism: scan order never matters (argmax/top-k take deterministic
+(score, id) tie-breaks); the first center is pinned by the caller
+(smallest id by convention), so the whole selection replays in SQL —
+each iteration is one CTE (see the ``kcenter_coreset`` registry row).
+Reference seam: the reference collects candidate sets to the driver for
+its demo loop (NMR:227-228); here only the k selected centers ever
+leave the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def _lit_vec(vec) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def greedy_kcenter(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    first_id=None,
+) -> list[dict]:
+    """Select ``k`` centers by greedy farthest-point sampling under
+    cosine distance (1 − cos). Returns driver-side rows
+    ``{rank, id, dist_micro}`` in selection order, where ``dist_micro``
+    is the selected point's floor-micro distance to the previously
+    selected set (0 for the seed — it is chosen, not scored).
+
+    Each round scores the corpus against the CURRENT selection with one
+    codegen'd ``greatest()`` over k literal-vector cosines (map-only)
+    and takes the (min-sim asc → i.e. farthest, id asc) top-1 — k scans
+    total, no shuffle, no corpus state on the driver. Micro-flooring
+    happens only in the REPORT; the argmax compares raw float64 the
+    same way the SQL oracle does.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if first_id is None:
+        seed = (
+            df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(1)
+        ).collect()[0]
+    else:
+        seed = df.filter(F.col(id_col) == first_id).select(
+            id_col, vec_col
+        ).collect()[0]
+    selected = [
+        {"rank": 1, "id": seed[id_col], "dist_micro": 0,
+         "_vec": [float(x) for x in seed[vec_col]]}
+    ]
+    for r in range(2, k + 1):
+        # nearest-selected similarity = greatest over the selection —
+        # the farthest point MINIMIZES it
+        best_sim = F.greatest(
+            *[
+                cosine_similarity(vec_col, _lit_vec(s["_vec"]))
+                for s in selected
+            ]
+        ) if len(selected) > 1 else cosine_similarity(
+            vec_col, _lit_vec(selected[0]["_vec"])
+        )
+        picked = (
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__vec"),
+                best_sim.alias("__sim"),
+            )
+            .filter(~F.col("__id").isin([s["id"] for s in selected]))
+            .orderBy(F.asc("__sim"), F.asc("__id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            {
+                "rank": r,
+                "id": picked["__id"],
+                # floor-micro of cosine DISTANCE to the selection
+                "dist_micro": int((1.0 - picked["__sim"]) * 1_000_000),
+                "_vec": [float(x) for x in picked["__vec"]],
+            }
+        )
+    return [
+        {k2: v for k2, v in s.items() if k2 != "_vec"} for s in selected
+    ]
+
+
+def domain_relevance_select(
+    corpus: DataFrame,
+    prototypes: list,
+    id_col: str,
+    vec_col: str,
+    n: int,
+) -> DataFrame:
+    """Top-``n`` corpus rows by mean cosine to a small prototype panel
+    of the target domain (driver-sized, passed as literals — at scale
+    these are a handful of hand-picked or centroid vectors, never a
+    corpus). The mean is a LEFT-ASSOCIATED ``+`` chain in prototype
+    order, so the float sum replays bitwise in SQL (the maxsim_rerank
+    convention). Returns ``(id, rel_micro)`` ranked desc with id
+    tie-breaks; ``rel_micro`` is the floor-micro mean similarity."""
+    if not prototypes:
+        raise ValueError("need at least one prototype vector")
+    sims = [cosine_similarity(vec_col, _lit_vec(p)) for p in prototypes]
+    total = sims[0]
+    for s in sims[1:]:
+        total = total + s
+    score = total / F.lit(float(len(prototypes)))
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.floor(score * F.lit(1_000_000.0)).cast("long").alias(
+                "rel_micro"
+            ),
+            score.alias("__s"),
+        )
+        .orderBy(F.desc("__s"), F.asc(id_col))
+        .limit(n)
+        .drop("__s")
+    )

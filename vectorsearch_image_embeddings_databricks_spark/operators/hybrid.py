@@ -300,3 +300,68 @@ def maxsim_rerank(
         .filter(F.col("__rn") <= k)
         .select(query_key, doc_key, score_col)
     )
+
+
+# --------------------------------------------------------------------- #
+# E96 — positional postings + exact phrase search
+# --------------------------------------------------------------------- #
+
+def positional_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(id, term, pos)`` positional inverted-index postings — the
+    storage layout behind exact phrase / proximity search (the query
+    class BM25 bags-of-words cannot answer). Tokens are the
+    empty-filtered whitespace split, positions 1-based over the
+    FILTERED list (the engine's shared tokenization contract, identical
+    to the oracle's ``list_filter`` + ordinality).
+
+    At 100 TB the postings table is materialized once and written
+    partitioned/bucketed by ``term``: a phrase query then reads only
+    its terms' partitions (partition-pruned scans) and joins them on
+    (id, adjusted position) — never the corpus. Here the postings are
+    derived in-plan: one scan + posexplode, no shuffle until a consumer
+    joins."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("__p0", "term"),
+    ).select(
+        id_col, "term", (F.col("__p0") + F.lit(1)).alias("pos")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    limit: int = 20,
+) -> DataFrame:
+    """Exact phrase match over positional postings: the phrase
+    ``t0 t1 ... tk`` occurs at start position s iff term i has a
+    posting at s + i for every i — so the match is a chain of
+    EQUI-joins on ``(id, pos - i)``, one per phrase term after the
+    first, each side pre-filtered to its own term (at scale: a pruned
+    partition read per term). Returns ``(id, n_occurrences)`` for the
+    top-``limit`` docs by occurrence count (count desc, id asc) —
+    integer-exact end to end, no float seam anywhere."""
+    terms = [t for t in phrase.split(" ") if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    p = positional_postings(docs, id_col, text_col)
+    base = p.filter(F.col("term") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = p.filter(F.col("term") == t).select(
+            F.col(id_col),
+            (F.col("pos") - F.lit(i)).alias("pos"),
+        )
+        base = base.join(nxt, [id_col, "pos"])
+    return (
+        base.groupBy(id_col)
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc(id_col))
+        .limit(limit)
+    )

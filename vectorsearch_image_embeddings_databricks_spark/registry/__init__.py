@@ -46,52 +46,49 @@ del _m, _k, _v
 #: behavior, not a guarantee; nothing here may hard-depend on it (the
 #: parity test bounds the list at ≤50 instead of pinning ==50).
 DRIVER_PRIORITY: list[str] = [
-    # ROUND-6 ROTATION (r5 verdict "Next round" #7): (a) every query
-    # added this round or whose implementation/oracle changed SINCE its
-    # last driver pin — the r5 CORRECTNESS window was recorded before
-    # the late-r5 commits f21eb15/ac3af22, so the BPE rows and the
-    # BRP-LSH rows they touched must re-pin; then (b) re-pin the
-    # queries whose last driver row is oldest (round 3), heaviest
-    # machinery first. 39 of the 46 r3-pinned rows fit this window; the
-    # 7 light relational deferrals (bpe_merge_candidates — machinery
-    # re-pinned via bpe_train_merges — part_pair_cooccurrence,
-    # top_event_paths, event_transitions, linear_touch_attribution,
-    # ema_user_value, per_lang_ols_trend) lead the r7 re-pin list. All
+    # ROUND-7 ROTATION (r6 verdict "Next round" #1/#2): (a) the round's
+    # changed/new rows — ann_recall_report's brand-new full-SQL-replay
+    # hash oracle (the last red cell in the contract), the NEW ivf-tier
+    # delete audit, and knn_graph_ivf_recall whose build is now
+    # session-memoized; then (b) the 7 r3 deferrals DRIVER_PRIORITY
+    # promised last round; then (c) the r4-pinned cohort (49 rows —
+    # 36 fit; the 12 deferrals are light single-join relational rows:
+    # customer_order_distribution, customer_order_gaps,
+    # customer_spend_rank, grouping_sets_revenue, important_part_values,
+    # lateral_latest_order, monthly_revenue_trend, order_priority_pivot,
+    # parts_supplier_counts, profit_by_nation_year,
+    # returned_item_losses, waiting_suppliers —
+    # they lead the r8 re-pin list). All
     # remain CI-replay + robustness-matrix green every round.
     # --- (a) changed or added this round: verify first ---
-    "knn_graph_delete",     # NEW: E92 graph-tier DELETE (exact
-                            # remaining-corpus identity oracle)
-    "maxsim_rerank",        # NEW: E91 late-interaction (ColBERT
-                            # MaxSim) two-stage rerank
-    "knn_graph_update",     # NEW: E90 update-path repair contract
-                            # (append + refine vs rebuild, full replay)
-    "knn_graph_ivf_recall",  # NEW: production ivf-built graph recall
-                             # audit (expected-if-healthy oracle)
-    "knn_graph_beam",       # shared memoized exact-graph build
-    "knn_graph_beam_adaptive",  # same shared build + reps= refactor
-                                # of ivf_entry_points
-    "ann_lsh_knn",          # BRP-LSH k-fill widening ladder (ac3af22,
-                            # post-r5-window commit)
-    "brp_lsh_recall",       # same search_batch path
-    "cosine_lsh_near_dup",  # oracle-ladder row-count guard (f21eb15)
-    "bpe_train_merges",     # frame-byte filter at bpe_word_counts
-    "bpe_vocab_coverage",   # chunked bpe_segment + frame-byte filter
-    # --- (b) oldest driver rows (r3), heaviest machinery first ---
-    "lm_perplexity_buckets", "segment_dedup_docs", "semantic_dedup",
-    "exact_substring_dedup", "near_dup_pairs_ppjoin",
-    "cms_heavy_hitters", "hll_distinct_audit", "pagerank_trade_graph",
-    "window_funnel_steps", "streaming_cdc_snapshot",
-    "streaming_dedup_state", "streaming_enrichment_rollup",
-    "python_datasource_scan", "python_stream_source_rollup",
-    "python_stream_sink_roundtrip", "ivf_adc_topk", "pq_adc_topk",
-    "sq8_quant_topk", "binary_quant_knn", "embedding_decontaminate",
-    "ngram_decontaminate", "knn_filtered", "incremental_dedup_ingest",
-    "dedup_keep_best", "cdc_apply_orders", "zorder_layout",
-    "cluster_balanced_sample", "chunk_pack_pipeline",
-    "rag_context_assembly", "video_frame_samples", "boilerplate_ngrams",
-    "char_entropy_docs", "quality_model_score", "dsir_importance_weights",
-    "pmi_collocations", "lang_id_eval_metrics", "source_drift_chi2",
-    "value_outliers_zscore", "time_weighted_avg_user",
+    "ann_recall_report",    # CHANGED: seeded-quantizer + full SQL
+                            # replay oracle (was the one no_oracle row)
+    "knn_graph_ivf_delete_recall",  # NEW: ivf-tier delete audit
+                                    # (expected-if-healthy, sf1-capable)
+    "kcenter_coreset",      # NEW: E93 greedy farthest-point selection
+    "domain_relevance_select",  # NEW: E94 embedding-space RDS
+    "leakage_safe_split",   # NEW: E95 component-keyed train/eval split
+    "phrase_search_positional",  # NEW: E96 positional phrase search
+    "knn_graph_ivf_recall",  # ivf build now session-memoized
+    # --- (b) the 7 promised r3 re-pins ---
+    "bpe_merge_candidates", "part_pair_cooccurrence", "top_event_paths",
+    "event_transitions", "linear_touch_attribution", "ema_user_value",
+    "per_lang_ols_trend",
+    # --- (c) r4-pinned cohort, heaviest machinery first ---
+    "streaming_interval_join_state", "streaming_sessions_state",
+    "simhash_near_dup", "near_dedup_keep_best", "dup_reach_recursive",
+    "pq_adc_recall", "pq_encode_stats", "kmeans_assign",
+    "embedding_centroids", "embedding_quantization", "matryoshka_recall",
+    "knn_l2", "ann_ivf_knn", "hard_negative_triplets",
+    "rerank_token_overlap", "repetition_summary", "vocab_oov_stats",
+    "k_anonymity_audit", "events_gapfill_hourly", "events_ohlc_hourly",
+    "formats_roundtrip_stats", "dpp_returnflag_revenue",
+    "chunk_documents", "stratified_sample_docs", "weighted_sample_docs",
+    "winsorized_value_stats", "temperature_mixture_quotas",
+    "triangle_count_parts", "approx_sketch_stats",
+    "deterministic_sample_md5", "doc_length_histogram",
+    "edit_distance_pairs", "source_regexp_stats", "file_provenance",
+    "retention_cohorts", "funnel_view_click",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -1674,3 +1674,268 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsa(
         li, "l_returnflag", "p", QSKETCH_QS, accuracy=QSKETCH_ACC
     ).orderBy("l_returnflag", "q_micro")
+
+
+# Coreset / selection operators (round 7: E93-E95)
+# --------------------------------------------------------------------- #
+
+KCENTER_K = 6
+
+
+def _kcenter_sql(k: int) -> str:
+    """Greedy farthest-point sampling unrolled as one CTE per selection
+    round (the pagerank_trade_graph unrolling discipline): c1 is the
+    min-id seed; c{r} picks the corpus row minimizing greatest(cos to
+    every prior center) with (sim asc, id asc) tie-breaks — exactly the
+    argmax-distance step operators.coreset.greedy_kcenter runs as a
+    Spark scan per round."""
+    ctes = [
+        "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec"
+        " FROM embeddings)",
+        "c1 AS (SELECT id, vec FROM v ORDER BY id LIMIT 1)",
+    ]
+    prev = ["c1"]
+    for r in range(2, k + 1):
+        sims = ", ".join(
+            f"list_cosine_similarity(v.vec, {p}.vec)" for p in prev
+        )
+        simexpr = sims if len(prev) == 1 else f"greatest({sims})"
+        notin = ", ".join(f"{p}.id" for p in prev)
+        ctes.append(
+            f"c{r} AS (SELECT v.id, v.vec, {simexpr} AS sim "
+            f"FROM v, {', '.join(prev)} WHERE v.id NOT IN ({notin}) "
+            f"ORDER BY sim ASC, v.id LIMIT 1)"
+        )
+        prev.append(f"c{r}")
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, c1.id AS vec_id,"
+        " CAST(0 AS BIGINT) AS dist_micro FROM c1"
+    ]
+    for r in range(2, k + 1):
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT), c{r}.id,"
+            f" CAST(floor((1.0 - c{r}.sim) * 1000000) AS BIGINT)"
+            f" FROM c{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("kcenter_coreset", oracle=_kcenter_sql(KCENTER_K))
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E93: greedy k-center coreset selection (farthest-point sampling,
+    the 2-approximation of Gonzalez 1985 — the selection step of
+    coverage-driven data pruning): iteratively add the corpus vector
+    farthest in cosine distance from everything selected so far. Spark
+    shape: k map-only scans, each a codegen'd greatest() over the
+    current centers' literal vectors + TakeOrderedAndProject(1) — the
+    corpus never shuffles and only k rows ever reach the driver (the
+    IVF driver-state contract), so at 100 TB the cost is k parallel
+    scans. Fully deterministic (min-id seed, (sim, id) tie-breaks) —
+    the whole selection replays as unrolled SQL CTEs."""
+    from ..operators import coreset
+
+    emb = load_embeddings(spark, sf_dir)
+    rows = coreset.greedy_kcenter(emb, "vec_id", "embedding", k=KCENTER_K)
+    return spark.createDataFrame(
+        [(r["rank"], r["id"], r["dist_micro"]) for r in rows],
+        "sel_rank long, vec_id long, dist_micro long",
+    )
+
+
+DOMSEL_LABEL = 3
+DOMSEL_NPROTO = 8
+DOMSEL_N = 20
+
+
+@register(
+    "domain_relevance_select",
+    oracle=f"""
+    WITH protos AS (
+        SELECT pv, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings
+              WHERE label = {DOMSEL_LABEL} ORDER BY vec_id
+              LIMIT {DOMSEL_NPROTO})
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               ({" + ".join(
+                   f"list_cosine_similarity(e.embedding::DOUBLE[], "
+                   f"(SELECT pv FROM protos WHERE rn = {i + 1}))"
+                   for i in range(DOMSEL_NPROTO)
+               )}) / {DOMSEL_NPROTO}.0 AS s
+        FROM embeddings e
+    )
+    SELECT vec_id, CAST(floor(s * 1000000) AS BIGINT) AS rel_micro
+    FROM scored ORDER BY s DESC, vec_id LIMIT {DOMSEL_N}
+    """,
+)
+def domain_relevance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E94: representation-based data selection (the embedding-space
+    counterpart of DSIR — RDS in Xie et al. 2023 §5): score every
+    corpus vector by mean cosine to a small deterministic prototype
+    panel of the target domain (label {3}'s smallest-id vectors) and
+    keep the top-{20}. One map-only scan (prototypes ride as literals)
+    + TakeOrderedAndProject — no shuffle, corpus-size-independent
+    driver state. The mean is a LEFT-ASSOCIATED ``+`` chain in
+    prototype order (the maxsim_rerank convention) so the float sum
+    replays bitwise in SQL."""
+    from ..operators import coreset
+
+    emb = load_embeddings(spark, sf_dir)
+    protos = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("label") == DOMSEL_LABEL)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(DOMSEL_NPROTO)
+        .collect()
+    ]
+    return coreset.domain_relevance_select(
+        emb, protos, "vec_id", "embedding", DOMSEL_N
+    )
+
+
+LEAK_SPLIT_CUT = "1a"  # md5(rep) < '1a' -> eval (~10.2% of components)
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(u, v, lvl) AS (
+        SELECT u, v, 1 FROM e
+        UNION ALL
+        SELECT e.u, reach.v, reach.lvl + 1
+        FROM e JOIN reach ON reach.u = e.v
+        WHERE reach.lvl < {RECURSIVE_REACH_DEPTH}
+    ),
+    lbl AS (SELECT u AS id, least(u, min(v)) AS rep
+            FROM (SELECT DISTINCT u, v FROM reach) GROUP BY u),
+    assigned AS (
+        SELECT d.doc_id AS id, coalesce(lbl.rep, d.doc_id) AS rep,
+               CASE WHEN md5(CAST(coalesce(lbl.rep, d.doc_id) AS VARCHAR))
+                         < '{LEAK_SPLIT_CUT}'
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents d LEFT JOIN lbl ON lbl.id = d.doc_id
+    ),
+    straddle AS (
+        SELECT count(*) AS n FROM (
+            SELECT rep FROM assigned
+            GROUP BY rep HAVING count(DISTINCT split) > 1)
+    )
+    SELECT a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT a.rep) AS BIGINT) AS n_components,
+           CAST((SELECT n FROM straddle) AS BIGINT) AS n_straddle
+    FROM assigned a GROUP BY a.split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E95: contamination-safe train/eval split — the assignment step
+    every dedup pipeline must END with: a per-DOCUMENT random split
+    leaks near-duplicates across the boundary (the eval twin of a train
+    doc inflates the score), so the split key is the near-dup
+    COMPONENT representative: md5(rep) < '{LEAK_SPLIT_CUT}' sends the
+    whole cluster to eval together. Spark: the shared PPJoin-tier
+    trigram-Jaccard pair join → size-gated connected components →
+    map-only md5 split + one groupBy; the straddle audit (components
+    with members in both splits — 0 by construction since split is a
+    function of rep) is computed, not asserted, so the oracle replays
+    the guarantee itself. Deterministic end to end (md5, min-id reps):
+    stable across engines, partitionings, reruns — the property a
+    100 TB split needs (no RNG state, no shuffle order dependence)."""
+    docs = load_docs(spark, sf_dir)
+    pairs = _keep_best_pairs(docs).localCheckpoint(eager=True)
+    labels = dedup.resolve_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    assigned = labels.select(
+        "id",
+        F.col("rep_id").alias("rep"),
+        F.when(
+            F.md5(F.col("rep_id").cast("string")) < LEAK_SPLIT_CUT, "eval"
+        )
+        .otherwise("train")
+        .alias("split"),
+    ).localCheckpoint(eager=True)
+    n_straddle = (
+        assigned.groupBy("rep")
+        .agg(F.countDistinct("split").alias("__k"))
+        .filter(F.col("__k") > 1)
+        .count()
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_components"),
+        )
+        .withColumn("n_straddle", F.lit(n_straddle).cast("long"))
+    )
+
+
+PHRASE_QUERY = "table hash value"  # 3-term phrase present at every sf
+PHRASE_LIMIT = 20
+
+
+@register(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, ws[i] AS term, i AS pos
+        FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    m AS (
+        SELECT p0.doc_id
+        FROM p p0
+        JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+        WHERE p0.term = 'table' AND p1.term = 'hash' AND p2.term = 'value'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM m GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id LIMIT {PHRASE_LIMIT}
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E96: exact phrase search over positional inverted-index postings
+    — the query class a BM25 bag-of-words (keyword_search_bm25) cannot
+    answer, completing the retrieval family's keyword tier. A k-term
+    phrase occurs at start s iff term i has a posting at s+i, so the
+    match is a chain of k−1 EQUI-joins on (doc_id, pos − i), each side
+    pre-filtered to its own term — at 100 TB the postings table is
+    materialized partitioned by term and each side is a pruned
+    partition read; the joins carry only the phrase terms' postings,
+    never the corpus. Integer-exact end to end (positions and counts —
+    no float seam), deterministic (count desc, doc_id asc)."""
+    from ..operators.hybrid import phrase_search
+
+    docs = load_docs(spark, sf_dir)
+    return phrase_search(
+        docs, "doc_id", "text", PHRASE_QUERY, limit=PHRASE_LIMIT
+    )
