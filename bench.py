@@ -185,6 +185,7 @@ NEW_OPS = [
     "domain_relevance_select",
     "leakage_safe_split",
     "phrase_search_positional",
+    "containment_near_dup",
 ]
 
 

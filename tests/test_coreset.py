@@ -121,3 +121,30 @@ def test_phrase_search_counts_overlapping_occurrences(spark):
 
     with _pytest.raises(ValueError):
         phrase_search(docs, "doc_id", "text", "  ")
+
+
+def test_containment_catches_quoted_subset(spark):
+    """A short doc quoted whole inside a long one: Jaccard is tiny but
+    containment(short -> long) is 1.0 — the case the asymmetric
+    operator exists for."""
+    from vectorsearch_image_embeddings_databricks_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_ab_micro"] == 1_000_000      # short fully contained
+    assert r["cont_ba_micro"] < 200_000         # long barely overlaps back
+    # symmetric Jaccard would never flag this pair at a dup threshold
+    jac = dedup.near_dup_pairs_jaccard(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert jac == []

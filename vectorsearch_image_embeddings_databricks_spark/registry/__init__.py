@@ -52,11 +52,11 @@ DRIVER_PRIORITY: list[str] = [
     # delete audit, and knn_graph_ivf_recall whose build is now
     # session-memoized; then (b) the 7 r3 deferrals DRIVER_PRIORITY
     # promised last round; then (c) the r4-pinned cohort (49 rows —
-    # 36 fit; the 12 deferrals are light single-join relational rows:
+    # 35 fit; the 13 deferrals are light single-join relational rows:
     # customer_order_distribution, customer_order_gaps,
-    # customer_spend_rank, grouping_sets_revenue, important_part_values,
-    # lateral_latest_order, monthly_revenue_trend, order_priority_pivot,
-    # parts_supplier_counts, profit_by_nation_year,
+    # customer_spend_rank, funnel_view_click, grouping_sets_revenue,
+    # important_part_values, lateral_latest_order, monthly_revenue_trend,
+    # order_priority_pivot, parts_supplier_counts, profit_by_nation_year,
     # returned_item_losses, waiting_suppliers —
     # they lead the r8 re-pin list). All
     # remain CI-replay + robustness-matrix green every round.
@@ -69,6 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "domain_relevance_select",  # NEW: E94 embedding-space RDS
     "leakage_safe_split",   # NEW: E95 component-keyed train/eval split
     "phrase_search_positional",  # NEW: E96 positional phrase search
+    "containment_near_dup",  # NEW: E97 asymmetric containment dedup
     "knn_graph_ivf_recall",  # ivf build now session-memoized
     # --- (b) the 7 promised r3 re-pins ---
     "bpe_merge_candidates", "part_pair_cooccurrence", "top_event_paths",
@@ -88,7 +89,7 @@ DRIVER_PRIORITY: list[str] = [
     "triangle_count_parts", "approx_sketch_stats",
     "deterministic_sample_md5", "doc_length_histogram",
     "edit_distance_pairs", "source_regexp_stats", "file_provenance",
-    "retention_cohorts", "funnel_view_click",
+    "retention_cohorts",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -1939,3 +1939,56 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(
         docs, "doc_id", "text", PHRASE_QUERY, limit=PHRASE_LIMIT
     )
+
+
+CONTAIN_THRESHOLD = 0.8
+
+
+@register(
+    "containment_near_dup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ')
+               )) AS sh
+        FROM w
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh)) AS shared,
+               len(a.sh) AS sz_a, len(b.sh) AS sz_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT id_a, id_b,
+           CAST(shared * 1000000 // sz_a AS BIGINT) AS cont_ab_micro,
+           CAST(shared * 1000000 // sz_b AS BIGINT) AS cont_ba_micro
+    FROM p
+    WHERE shared * 1000000 // sz_a >= {int(CONTAIN_THRESHOLD * 1_000_000)}
+       OR shared * 1000000 // sz_b >= {int(CONTAIN_THRESHOLD * 1_000_000)}
+    """,
+)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E97: asymmetric containment pairs — C(A→B) = |A∩B| / |A|,
+    Broder's resemblance/containment split: the subset-duplication
+    detector symmetric Jaccard misses (a short doc quoted whole inside
+    a long one scores near-zero Jaccard but containment 1.0 — the
+    RefinedWeb-style sub-document dedup case). Spark: the shared
+    inverted-index shape (shingle-hash equi-join, never all-pairs;
+    containment admits no symmetric length-ratio prune, so at corpus
+    scale pass max_shingle_df to cap hot shingles — lossy only for
+    pairs sharing nothing rarer, documented in the operator). Counts
+    and sizes are integers; both direction scores are integer-micro
+    floor divisions — no float seam anywhere. Oracle: exact all-pairs
+    list_intersect replay (the oracle tier's quadratic license)."""
+    docs = load_docs(spark, sf_dir)
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=CONTAIN_THRESHOLD
+    )
