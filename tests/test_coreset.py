@@ -148,3 +148,10 @@ def test_containment_catches_quoted_subset(spark):
         docs, "doc_id", "text", n=3, threshold=0.5
     ).collect()
     assert jac == []
+
+
+def test_kcenter_k_exceeds_corpus_and_missing_seed(axes):
+    sel = coreset.greedy_kcenter(axes, "vec_id", "embedding", k=10)
+    assert [s["rank"] for s in sel] == [1, 2, 3, 4]  # stops at corpus size
+    with pytest.raises(ValueError, match="no row"):
+        coreset.greedy_kcenter(axes, "vec_id", "embedding", k=2, first_id=99)

@@ -60,16 +60,26 @@ def greedy_kcenter(
     happens only in the REPORT; the argmax compares raw float64 the
     same way the SQL oracle does.
     """
+    import math
+
     if k < 1:
         raise ValueError("k must be >= 1")
     if first_id is None:
-        seed = (
+        seed_rows = (
             df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(1)
-        ).collect()[0]
+        ).collect()
     else:
-        seed = df.filter(F.col(id_col) == first_id).select(
-            id_col, vec_col
-        ).collect()[0]
+        seed_rows = (
+            df.filter(F.col(id_col) == first_id)
+            .select(id_col, vec_col)
+            .limit(1)
+            .collect()
+        )
+    if not seed_rows:
+        raise ValueError(
+            "empty corpus" if first_id is None else f"no row with id {first_id}"
+        )
+    seed = seed_rows[0]
     selected = [
         {"rank": 1, "id": seed[id_col], "dist_micro": 0,
          "_vec": [float(x) for x in seed[vec_col]]}
@@ -85,7 +95,7 @@ def greedy_kcenter(
         ) if len(selected) > 1 else cosine_similarity(
             vec_col, _lit_vec(selected[0]["_vec"])
         )
-        picked = (
+        rows = (
             df.select(
                 F.col(id_col).alias("__id"),
                 F.col(vec_col).alias("__vec"),
@@ -94,14 +104,21 @@ def greedy_kcenter(
             .filter(~F.col("__id").isin([s["id"] for s in selected]))
             .orderBy(F.asc("__sim"), F.asc("__id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # k exceeds the corpus: return what exists
+            break
+        picked = rows[0]
         selected.append(
             {
                 "rank": r,
                 "id": picked["__id"],
-                # floor-micro of cosine DISTANCE to the selection
-                "dist_micro": int((1.0 - picked["__sim"]) * 1_000_000),
+                # floor-micro of cosine DISTANCE to the selection —
+                # math.floor, not int(): identical to the SQL oracle's
+                # floor() even if float error nudges a distance negative
+                "dist_micro": math.floor(
+                    (1.0 - picked["__sim"]) * 1_000_000
+                ),
                 "_vec": [float(x) for x in picked["__vec"]],
             }
         )

@@ -103,11 +103,14 @@ class IncrementalIndexer:
 
         Within a batch, the highest-id file order wins is irrelevant here
         (keys are unique per source row); duplicates inside a batch are
-        collapsed deterministically by max of a per-key struct. A
-        ``delta-cdf`` batch additionally carries deletes/update-postimages
-        (folded by ``apply_cdf_batch``); a Delta sink applies the result
-        as a MERGE touching only matched files instead of rewriting the
-        snapshot."""
+        collapsed deterministically by max of a per-key struct. With an
+        append-only log and a Delta sink the upsert is a real MERGE
+        (touching only matched files). A ``delta-cdf`` batch
+        additionally carries deletes/update-postimages — those are
+        folded by ``apply_cdf_batch`` into the next snapshot and
+        written whole (a Delta transactional overwrite or the parquet
+        stage-and-swap); per-op MERGE+DELETE routing is a straight
+        extension if partial rewrites matter at the target scale."""
         spark = batch.sparkSession
         if self.source_format == "delta-cdf":
             from ..sources.delta_support import apply_cdf_batch
