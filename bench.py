@@ -186,6 +186,8 @@ NEW_OPS = [
     "leakage_safe_split",
     "phrase_search_positional",
     "containment_near_dup",
+    "mutual_knn_pairs",      # shares the memoized exact build
+    "knn_label_classify",
 ]
 
 

@@ -696,3 +696,82 @@ def test_nn_descent_refinement_improves_ivf_graph(emb):
     assert after > before, (before, after)
     per_src = refined.groupBy("src").agg(F.count("*").alias("d"))
     assert per_src.filter(F.col("d") > 6).count() == 0
+
+
+def test_mutual_pairs_planted_asymmetry(spark):
+    """E98: a<->b reciprocate at degree 1; c's edge to b is NOT
+    reciprocated (b prefers a) — mutual_pairs must keep exactly (a,b)."""
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+        build_knn_graph,
+        mutual_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # a
+        (1, [0.999, 0.0447, 0.0]),   # b: nearest is a
+        (2, [0.7, 0.7141, 0.0]),     # c: nearest is b, but b prefers a
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    g = build_knn_graph(df, "vec_id", "embedding", degree=1)
+    got = {(r["id_a"], r["id_b"]) for r in mutual_pairs(g).collect()}
+    assert got == {(0, 1)}
+
+
+def test_knn_label_classify_structure_and_determinism(spark):
+    """E99 on the fixture: exactly one row per held-out query, correct
+    flag consistent with the label pair, deterministic across runs.
+    (Fixture labels are geometry-uncorrelated, so accuracy ~ chance —
+    the VOTE semantics are pinned by the planted test below and the
+    value-exact oracle.)"""
+    from vectorsearch_image_embeddings_databricks_spark import registry as reg
+
+    out = reg.QUERIES["knn_label_classify"](spark, SF_SMALL).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["correct"] in (0, 1)
+        assert (r["correct"] == 1) == (r["pred_label"] == r["true_label"])
+    again = reg.QUERIES["knn_label_classify"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_knn_vote_majority_and_smaller_label_tiebreak(spark):
+    """The argmax-over-(count, −label) vote the classify row uses:
+    majority wins; an exact tie takes the SMALLER label — planted
+    geometry where the top-5 neighbor labels are [7,7,7,2,2] (query A)
+    and [4,4,9,9,1] (query B: 2-2 tie → 4)."""
+    from vectorsearch_image_embeddings_databricks_spark.index.vector_index import (
+        VectorIndex,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[7] = eps
+        return v
+
+    corpus = [
+        # cluster on axis 0: labels 7,7,7,2,2 at descending similarity
+        (10, vec(0, 0.010), 7), (11, vec(0, 0.020), 7),
+        (12, vec(0, 0.030), 7), (13, vec(0, 0.040), 2),
+        (14, vec(0, 0.050), 2),
+        # cluster on axis 1: labels 4,4,9,9 then a far 1
+        (20, vec(1, 0.010), 4), (21, vec(1, 0.020), 4),
+        (22, vec(1, 0.030), 9), (23, vec(1, 0.040), 9),
+        (24, vec(1, 0.300), 1),
+    ]
+    emb = spark.createDataFrame(corpus, ["vec_id", "embedding", "label"])
+    queries = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(1))], ["query_id", "query_vec"]
+    )
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    nbrs = idx.search_batch(queries, k=5, columns=["label"])
+    pred = (
+        nbrs.groupBy("query_id", "label")
+        .agg(F.count("*").alias("c"))
+        .groupBy("query_id")
+        .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("b"))
+        .select("query_id", (-F.col("b.nl")).alias("pred"))
+        .collect()
+    )
+    got = {r["query_id"]: r["pred"] for r in pred}
+    assert got == {0: 7, 1: 4}  # majority; tie 4-vs-9 → smaller label

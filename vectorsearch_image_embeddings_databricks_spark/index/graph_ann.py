@@ -179,6 +179,23 @@ def build_knn_graph(
     return _top_degree_edges(scored, degree)
 
 
+def mutual_pairs(edges: DataFrame) -> DataFrame:
+    """Reciprocal edges of a kNN graph: ``(id_a, id_b)`` with
+    ``id_a < id_b`` where BOTH directions exist in ``edges`` (src, dst).
+    The standard reliable-pair filter (one-directional neighbors are
+    hubness-prone; mutual ones rarely are — the CCMatrix candidate
+    gate / NN-descent convergence measure). One self-equi-join on the
+    reversed key over |V|·degree rows — the corpus is never touched."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        edges.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+
+
 def _top_degree_edges(scored: DataFrame, degree: int) -> DataFrame:
     """The edge-ranking epilogue every graph tier shares: per-src
     top-``degree`` of ``(src, dst, __cos)`` with the (cos desc, dst asc)

@@ -1997,3 +1997,145 @@ def maxsim_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("maxsim", 6).alias("maxsim")
     )
+
+
+@register(
+    "mutual_knn_pairs",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    e0 AS (
+        SELECT a.id AS src, b.id AS dst,
+               row_number() OVER (
+                   PARTITION BY a.id
+                   ORDER BY list_cosine_similarity(a.vec, b.vec) DESC,
+                            b.id) AS rn
+        FROM v a JOIN v b ON a.id <> b.id
+    ),
+    g AS (SELECT src, dst FROM e0 WHERE rn <= {GRAPH_DEGREE})
+    SELECT a.src AS id_a, a.dst AS id_b
+    FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst
+    """,
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98: mutual (reciprocal) kNN pairs — a IS in b's top-k AND b is
+    in a's top-k. The standard reliable-pair filter on top of a kNN
+    graph (CCMatrix keeps mutual candidates; image-dedup stacks use
+    mutual-NN as the high-precision tier; NN-descent's convergence
+    measure is mutual-edge mass): one-directional neighbors are
+    hubness-prone, mutual ones rarely are. Spark: ONE self-equi-join of
+    the stored edge table on the reversed key — |V|·degree rows joined
+    on (src, dst), never the corpus; here the edges come from the
+    session-shared memoized exact build (zero extra build in a bench
+    run; the production tier is the ivf-built KNNGraphIndex's edges,
+    same join). Output is pure integers."""
+    from ..index.graph_ann import mutual_pairs
+
+    return mutual_pairs(_shared_exact_graph(spark, sf_dir, GRAPH_DEGREE))
+
+
+KNNCLS_LO = 100   # eval slice: vec_id in [100, 140) — 40 held-out queries
+KNNCLS_HI = 140
+
+
+@register(
+    "knn_label_classify",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+               label AS true_label
+        FROM embeddings
+        WHERE vec_id >= {KNNCLS_LO} AND vec_id < {KNNCLS_HI}
+    ),
+    c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        WHERE vec_id < {KNNCLS_LO} OR vec_id >= {KNNCLS_HI}
+    ),
+    nb AS (
+        SELECT query_id, true_label, label FROM (
+            SELECT q.query_id, q.true_label, c.label,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                c.vec_id) AS rn
+            FROM q CROSS JOIN c)
+        WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, label, count(*) AS cnt
+        FROM nb GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT query_id, true_label, label AS pred_label FROM (
+            SELECT votes.*, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cnt DESC, label) AS rn
+            FROM votes)
+        WHERE rn = 1
+    )
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END
+                AS BIGINT) AS correct
+    FROM pred
+    """,
+)
+def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E99: kNN classification eval — predict each held-out vector's
+    label by majority vote of its top-{KNN_K} neighbors in the rest of
+    the corpus (the classic similarity-search application, and the
+    standard embedding-quality probe: kNN accuracy tracks linear-probe
+    accuracy). The eval slice is EXCLUDED from the corpus (no
+    self-vote leakage). Spark: the E2 broadcast-query kNN join returns
+    (query, neighbor, label); the vote is one tiny groupBy + a single
+    argmax aggregate over (count, −label) structs (majority with
+    deterministic smaller-label tie-break — no window). Output is pure
+    integers: (query_id, true_label, pred_label, correct)."""
+    emb = load_embeddings(spark, sf_dir)
+    queries = emb.filter(
+        (F.col("vec_id") >= KNNCLS_LO) & (F.col("vec_id") < KNNCLS_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    corpus = emb.filter(
+        (F.col("vec_id") < KNNCLS_LO) | (F.col("vec_id") >= KNNCLS_HI)
+    )
+    idx = VectorIndex(corpus, key="vec_id", vector_col="embedding")
+    nbrs = idx.search_batch(
+        queries.select("query_id", "query_vec"), k=KNN_K, columns=["label"]
+    )
+    pred = (
+        nbrs.groupBy("query_id", "label")
+        .agg(F.count("*").alias("__cnt"))
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cnt").alias("c"),
+                    (-F.col("label")).alias("nl"),
+                )
+            ).alias("__best")
+        )
+        .select(
+            "query_id",
+            (-F.col("__best.nl")).cast("long").alias("pred_label"),
+        )
+    )
+    return (
+        queries.select("query_id", "true_label")
+        .join(pred, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            F.when(F.col("pred_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("correct"),
+        )
+    )
