@@ -188,6 +188,8 @@ NEW_OPS = [
     "containment_near_dup",
     "mutual_knn_pairs",      # shares the memoized exact build
     "knn_label_classify",
+    # streaming_vector_search is excluded like streaming_cdc_snapshot:
+    # its wall time is tempdir + micro-batch startup, not query compute
 ]
 
 

@@ -52,13 +52,14 @@ DRIVER_PRIORITY: list[str] = [
     # delete audit, and knn_graph_ivf_recall whose build is now
     # session-memoized; then (b) the 7 r3 deferrals DRIVER_PRIORITY
     # promised last round; then (c) the r4-pinned cohort (49 rows —
-    # 33 fit; the 15 deferrals are light single-scan/join relational
+    # 32 fit; the 16 deferrals are light single-scan/join relational
     # rows: customer_order_distribution, customer_order_gaps,
     # customer_spend_rank, file_provenance, funnel_view_click,
     # grouping_sets_revenue, important_part_values, lateral_latest_order,
     # monthly_revenue_trend, order_priority_pivot, parts_supplier_counts,
-    # profit_by_nation_year, returned_item_losses, source_regexp_stats,
-    # waiting_suppliers — they lead the r8 re-pin list). All
+    # profit_by_nation_year, retention_cohorts, returned_item_losses,
+    # source_regexp_stats, waiting_suppliers — they lead the r8 re-pin
+    # list). All
     # remain CI-replay + robustness-matrix green every round.
     # --- (a) changed or added this round: verify first ---
     "ann_recall_report",    # CHANGED: seeded-quantizer + full SQL
@@ -72,6 +73,7 @@ DRIVER_PRIORITY: list[str] = [
     "containment_near_dup",  # NEW: E97 asymmetric containment dedup
     "mutual_knn_pairs",     # NEW: E98 reciprocal-kNN reliable pairs
     "knn_label_classify",   # NEW: E99 kNN classification eval
+    "streaming_vector_search",  # NEW: E100 query-stream x static index
     "knn_graph_ivf_recall",  # ivf build now session-memoized
     # --- (b) the 7 promised r3 re-pins ---
     "bpe_merge_candidates", "part_pair_cooccurrence", "top_event_paths",
@@ -90,7 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "winsorized_value_stats", "temperature_mixture_quotas",
     "triangle_count_parts", "approx_sketch_stats",
     "deterministic_sample_md5", "doc_length_histogram",
-    "edit_distance_pairs", "retention_cohorts",
+    "edit_distance_pairs",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

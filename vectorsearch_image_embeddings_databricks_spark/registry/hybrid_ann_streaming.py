@@ -2139,3 +2139,86 @@ def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+SVS_NQ = 20  # streamed query panel: vec_id < 20, fed in two slices
+
+
+@register(
+    "streaming_vector_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {SVS_NQ}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {KNN_K}
+    """,
+)
+def streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E100: streaming vector search — the ONLINE-SERVING shape of the
+    reference's ``get_index`` → ``similarity_search`` loop (NMR:384-388,
+    where queries arrive one request at a time): a query STREAM joined
+    per micro-batch against the static index. Two query slices fed
+    through availableNow file micro-batches; each batch runs the E2
+    broadcast-query kNN join (per-batch cost ∝ |batch|·corpus-scan,
+    stateless — no watermark needed because the index side is static);
+    results append to a sink whose FINAL content must equal the one-shot
+    batch kNN join over all queries — which IS the SQL oracle
+    (value-exact, the streaming_enrichment discipline). At 100 TB the
+    per-batch join is the local_topk plan and the corpus is never
+    shuffled; query slices arrive at whatever cadence the trigger
+    picks."""
+    import tempfile
+    import uuid
+
+    from .relational_events import _write_ordered_slices
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VectorIndex(emb, key="vec_id", vector_col="embedding")
+    queries = emb.filter(F.col("vec_id") < SVS_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/query_log"
+        out = f"{tmp}/results_{uuid.uuid4().hex[:8]}"
+        _write_ordered_slices(
+            src,
+            [
+                queries.filter(F.col("query_id") < SVS_NQ // 2),
+                queries.filter(F.col("query_id") >= SVS_NQ // 2),
+            ],
+        )
+
+        def serve(batch: DataFrame, batch_id: int) -> None:
+            idx.search_batch(batch, k=KNN_K).write.mode("append").parquet(
+                out
+            )
+
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(serve)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(out).select(
+            "query_id", "vec_id", F.round("score", 6).alias("score")
+        )
+        final.cache().count()  # materialize before the tmpdir vanishes
+    return final
