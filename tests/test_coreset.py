@@ -150,6 +150,66 @@ def test_containment_catches_quoted_subset(spark):
     assert jac == []
 
 
+def test_kcenter_incremental_matches_bruteforce_reference(spark):
+    """r8 rewrite pin: the incremental min-dist plan (fold ONLY the new
+    center with greatest(), localCheckpoint per round) must select the
+    exact same centers, in the same order, with the same micro
+    distances, as a driver-side brute-force FPS over the collected
+    corpus — greatest() is a pure max, so the fold is bitwise-identical
+    to re-scoring the whole selection."""
+    import math
+
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    sel = coreset.greedy_kcenter(emb, "vec_id", "embedding", k=8)
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array(
+        [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
+    )
+
+    def _fold_dot(a, b):
+        # Spark's F.aggregate is a sequential left fold — reproduce its
+        # float64 reduction order exactly (numpy @ is pairwise-summed)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _norm(a):
+        return math.sqrt(_fold_dot(a, a))
+
+    norms = np.array([_norm(v) for v in vecs])
+
+    def cos_to(c):
+        cn = _norm(c)
+        return np.array(
+            [_fold_dot(v, c) / (nv * cn) for v, nv in zip(vecs, norms)]
+        )
+
+    picked = [int(ids[0])]
+    best_sim = cos_to(vecs[0])
+    expected = [(1, picked[0], 0)]
+    for r in range(2, 9):
+        mask = np.isin(ids, picked)
+        sim_masked = np.where(mask, np.inf, best_sim)
+        # (sim asc, id asc) tie-break: ids are sorted, argmin takes first
+        j = int(np.argmin(sim_masked))
+        expected.append(
+            (r, int(ids[j]), math.floor((1.0 - best_sim[j]) * 1_000_000))
+        )
+        picked.append(int(ids[j]))
+        best_sim = np.maximum(best_sim, cos_to(vecs[j]))
+
+    got = [(s["rank"], s["id"], s["dist_micro"]) for s in sel]
+    assert got == expected
+
+
 def test_kcenter_k_exceeds_corpus_and_missing_seed(axes):
     sel = coreset.greedy_kcenter(axes, "vec_id", "embedding", k=10)
     assert [s["rank"] for s in sel] == [1, 2, 3, 4]  # stops at corpus size

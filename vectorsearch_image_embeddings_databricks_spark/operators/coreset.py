@@ -15,9 +15,16 @@ removes redundancy reactively, these choose what to KEEP proactively.
 Spark shape (both): the selected/prototype side stays DRIVER-sized
 (k vectors / a fixed seed panel — the IVF driver-state contract), the
 corpus side is only ever scanned with codegen'd HOF cosine expressions.
-greedy_kcenter runs k scans, each map-only + TakeOrderedAndProject(1) —
-the textbook distributed FPS; nothing shuffles the corpus, so at 100 TB
-the cost is k parallel scans, not a pairwise anything.
+greedy_kcenter maintains an INCREMENTAL nearest-selected-similarity
+column: each round scores the corpus against only the ONE newest center
+and folds with ``greatest()`` into the persisted running max
+(``localCheckpoint`` per round, the repo's multi-action discipline), so
+total work is O(k·n·d) with a CONSTANT-size codegen expression per
+round — not the O(k²·n·d) / linearly-growing-literal plan a naive
+re-score against the whole selection would produce (the same
+literal-blowup class as IVF assignment at nlist > 128, fixed in
+``index/ann.py`` ``assign_via='auto'``). Nothing shuffles the corpus,
+so at 100 TB the cost is k map-only scans, not a pairwise anything.
 
 Determinism: scan order never matters (argmax/top-k take deterministic
 (score, id) tie-breaks); the first center is pinned by the caller
@@ -53,12 +60,19 @@ def greedy_kcenter(
     is the selected point's floor-micro distance to the previously
     selected set (0 for the seed — it is chosen, not scored).
 
-    Each round scores the corpus against the CURRENT selection with one
-    codegen'd ``greatest()`` over k literal-vector cosines (map-only)
-    and takes the (min-sim asc → i.e. farthest, id asc) top-1 — k scans
-    total, no shuffle, no corpus state on the driver. Micro-flooring
-    happens only in the REPORT; the argmax compares raw float64 the
-    same way the SQL oracle does.
+    Incremental min-distance plan: the state DataFrame carries
+    ``__sim`` = the running MAX cosine to the selection so far (the
+    farthest point MINIMIZES it). Each round (a) takes the (sim asc,
+    id asc) top-1 — map-only + TakeOrderedAndProject(1), no shuffle,
+    no corpus state on the driver — then (b) folds ONLY the newly
+    selected center in with ``greatest(__sim, cos(vec, new))`` and
+    ``localCheckpoint(eager=True)``s the result so the plan stays
+    constant-size. ``greatest`` is a pure max (no arithmetic), so the
+    running fold is bitwise-identical to re-scoring every center with
+    one wide ``greatest()`` — the selection, and therefore the SQL
+    oracle, is unchanged; total work drops from O(k²·n·d) to O(k·n·d).
+    Micro-flooring happens only in the REPORT; the argmax compares raw
+    float64 the same way the SQL oracle does.
     """
     import math
 
@@ -81,30 +95,29 @@ def greedy_kcenter(
         )
     seed = seed_rows[0]
     selected = [
-        {"rank": 1, "id": seed[id_col], "dist_micro": 0,
-         "_vec": [float(x) for x in seed[vec_col]]}
+        {"rank": 1, "id": seed[id_col], "dist_micro": 0}
     ]
-    for r in range(2, k + 1):
-        # nearest-selected similarity = greatest over the selection —
-        # the farthest point MINIMIZES it
-        best_sim = F.greatest(
-            *[
-                cosine_similarity(vec_col, _lit_vec(s["_vec"]))
-                for s in selected
-            ]
-        ) if len(selected) > 1 else cosine_similarity(
-            vec_col, _lit_vec(selected[0]["_vec"])
+    if k == 1:
+        return selected
+    # state: every not-yet-selected row with its running nearest-selected
+    # similarity; seeded with cos(vec, seed). Checkpointed so each
+    # round's lineage is one fold deep, never k folds.
+    state = (
+        df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
         )
+        .filter(F.col(id_col) != F.lit(seed[id_col]))
+        .withColumn(
+            "__sim",
+            cosine_similarity(
+                "__vec", _lit_vec([float(x) for x in seed[vec_col]])
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
         rows = (
-            df.select(
-                F.col(id_col).alias("__id"),
-                F.col(vec_col).alias("__vec"),
-                best_sim.alias("__sim"),
-            )
-            .filter(~F.col("__id").isin([s["id"] for s in selected]))
-            .orderBy(F.asc("__sim"), F.asc("__id"))
-            .limit(1)
-            .collect()
+            state.orderBy(F.asc("__sim"), F.asc("__id")).limit(1).collect()
         )
         if not rows:  # k exceeds the corpus: return what exists
             break
@@ -119,12 +132,22 @@ def greedy_kcenter(
                 "dist_micro": math.floor(
                     (1.0 - picked["__sim"]) * 1_000_000
                 ),
-                "_vec": [float(x) for x in picked["__vec"]],
             }
         )
-    return [
-        {k2: v for k2, v in s.items() if k2 != "_vec"} for s in selected
-    ]
+        if r < k:
+            new_vec = _lit_vec([float(x) for x in picked["__vec"]])
+            state = (
+                state.filter(F.col("__id") != F.lit(picked["__id"]))
+                .withColumn(
+                    "__sim",
+                    F.greatest(
+                        F.col("__sim"),
+                        cosine_similarity("__vec", new_vec),
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return selected
 
 
 def domain_relevance_select(
