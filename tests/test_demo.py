@@ -58,3 +58,51 @@ def test_gradio_gate_is_loud():
         pass
     with pytest.raises(ImportError, match="gradio"):
         demo.launch_gradio(engine=None)
+
+
+def test_demo_end_to_end_known_nearest_ordering(spark, tmp_path):
+    """r8 (r7 verdict #8): full build_demo_engine → search_once round
+    trip with a PLANTED nearest neighbor — the stub-encoder twin of the
+    reference's "Not bad!" cell (NMR:449-456). The stub encoders seed
+    from md5(bytes), so an image whose bytes equal the query's utf-8
+    bytes embeds IDENTICALLY (cosine 1.0) and must rank first; the rest
+    of the ordering is pinned against the same stub math computed
+    driver-side. No torch, no gradio."""
+    import hashlib
+
+    import numpy as np
+
+    query = "a dog catching a frisbee"
+    d = tmp_path / "images"
+    d.mkdir()
+    contents = {}
+    # the planted twin: file bytes == query text bytes
+    contents["target.jpg"] = query.encode("utf-8")
+    for i in range(9):
+        contents[f"noise_{i}.jpg"] = b"\xff\xd8\xff\xe0" + bytes([i]) * 40
+    for name, payload in contents.items():
+        (d / name).write_bytes(payload)
+
+    eng = demo.build_demo_engine(spark, str(d), limit=None)
+    out = demo.search_once(eng, query, top_k=10)
+
+    def stub_vec(payload: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+        v = np.random.default_rng(seed).standard_normal(64)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    qv = stub_vec(query.encode("utf-8")).astype(np.float64)
+    qv /= np.linalg.norm(qv)
+    sims = {}
+    for name, payload in contents.items():
+        iv = stub_vec(payload).astype(np.float64)
+        sims[name] = float(iv @ qv / np.linalg.norm(iv))
+    expected = sorted(sims, key=lambda n: -sims[n])
+
+    got = [path.rsplit("/", 1)[-1] for path, _ in out["hits"]]
+    assert got == expected
+    assert got[0] == "target.jpg"
+    # identical md5 seed => identical embedding => cosine exactly ~1
+    assert abs(out["hits"][0][1] - 1.0) < 1e-6
+    # and the planted twin clears the noise floor decisively
+    assert out["hits"][1][1] < 0.9

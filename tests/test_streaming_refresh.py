@@ -152,3 +152,20 @@ def test_continuous_rollup_compact_crash_recovery(spark, tmp_path):
     rollup.compact(spark)
     assert sorted(map(tuple, rollup.current(spark).collect())) == before
     assert rollup.verify_equivalence(spark)
+
+
+def test_tmpdir_scoped_results_survive_unpersist(spark):
+    """r8 durability pin (r7 verdict #4): registry rows that read back a
+    result from a TemporaryDirectory must return a DataFrame that
+    remains collectable after the tmpdir is gone AND after an explicit
+    unpersist — cache() is evictable and would recompute from deleted
+    files; localCheckpoint(eager=True) truncates lineage for real."""
+    from vectorsearch_image_embeddings_databricks_spark import registry as reg
+
+    df = reg.QUERIES["streaming_vector_search"](spark, SF_SMALL)
+    before = sorted(tuple(r) for r in df.collect())
+    # evict every plausible cache layer: the checkpointed RDD must
+    # still serve the data (the tmpdir parquet no longer exists)
+    df.unpersist(blocking=True)
+    after = sorted(tuple(r) for r in df.collect())
+    assert after == before and len(after) > 0

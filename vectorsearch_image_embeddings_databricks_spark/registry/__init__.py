@@ -46,53 +46,52 @@ del _m, _k, _v
 #: behavior, not a guarantee; nothing here may hard-depend on it (the
 #: parity test bounds the list at ≤50 instead of pinning ==50).
 DRIVER_PRIORITY: list[str] = [
-    # ROUND-7 ROTATION (r6 verdict "Next round" #1/#2): (a) the round's
-    # changed/new rows — ann_recall_report's brand-new full-SQL-replay
-    # hash oracle (the last red cell in the contract), the NEW ivf-tier
-    # delete audit, and knn_graph_ivf_recall whose build is now
-    # session-memoized; then (b) the 7 r3 deferrals DRIVER_PRIORITY
-    # promised last round; then (c) the r4-pinned cohort (49 rows —
-    # 32 fit; the 16 deferrals are light single-scan/join relational
-    # rows: customer_order_distribution, customer_order_gaps,
-    # customer_spend_rank, file_provenance, funnel_view_click,
-    # grouping_sets_revenue, important_part_values, lateral_latest_order,
-    # monthly_revenue_trend, order_priority_pivot, parts_supplier_counts,
-    # profit_by_nation_year, retention_cohorts, returned_item_losses,
-    # source_regexp_stats, waiting_suppliers — they lead the r8 re-pin
-    # list). All
-    # remain CI-replay + robustness-matrix green every round.
-    # --- (a) changed or added this round: verify first ---
-    "ann_recall_report",    # CHANGED: seeded-quantizer + full SQL
-                            # replay oracle (was the one no_oracle row)
-    "knn_graph_ivf_delete_recall",  # NEW: ivf-tier delete audit
-                                    # (expected-if-healthy, sf1-capable)
-    "kcenter_coreset",      # NEW: E93 greedy farthest-point selection
-    "domain_relevance_select",  # NEW: E94 embedding-space RDS
-    "leakage_safe_split",   # NEW: E95 component-keyed train/eval split
-    "phrase_search_positional",  # NEW: E96 positional phrase search
-    "containment_near_dup",  # NEW: E97 asymmetric containment dedup
-    "mutual_knn_pairs",     # NEW: E98 reciprocal-kNN reliable pairs
-    "knn_label_classify",   # NEW: E99 kNN classification eval
-    "streaming_vector_search",  # NEW: E100 query-stream x static index
-    "knn_graph_ivf_recall",  # ivf build now session-memoized
-    # --- (b) the 7 promised r3 re-pins ---
-    "bpe_merge_candidates", "part_pair_cooccurrence", "top_event_paths",
-    "event_transitions", "linear_touch_attribution", "ema_user_value",
-    "per_lang_ols_trend",
-    # --- (c) r4-pinned cohort, heaviest machinery first ---
-    "streaming_interval_join_state", "streaming_sessions_state",
-    "simhash_near_dup", "near_dedup_keep_best", "dup_reach_recursive",
-    "pq_adc_recall", "pq_encode_stats", "kmeans_assign",
-    "embedding_centroids", "embedding_quantization", "matryoshka_recall",
-    "knn_l2", "ann_ivf_knn", "hard_negative_triplets",
-    "rerank_token_overlap", "repetition_summary", "vocab_oov_stats",
-    "k_anonymity_audit", "events_gapfill_hourly", "events_ohlc_hourly",
-    "formats_roundtrip_stats", "dpp_returnflag_revenue",
-    "chunk_documents", "stratified_sample_docs", "weighted_sample_docs",
-    "winsorized_value_stats", "temperature_mixture_quotas",
-    "triangle_count_parts", "approx_sketch_stats",
-    "deterministic_sample_md5", "doc_length_histogram",
-    "edit_distance_pairs",
+    # ROUND-8 ROTATION (r7 verdict "Next round" #3): this round closes
+    # the rotation debt — after r8 no registry row's last driver pin is
+    # older than r5. Window = (a) the rows whose implementation changed
+    # this round AND carry behavioral weight (kcenter_coreset's
+    # incremental rewrite; the three rows named in the r7 verdict's
+    # durability fix; image_pipeline, which is both changed and
+    # r2-pinned), then (b) the 16 promised r4 deferrals, then (c) every
+    # remaining r1/r2-pinned row — 5+16+8+21 = 50 exactly.
+    # The other 8 rows touched this round (video_frame_samples,
+    # python_stream_source_rollup, python_stream_sink_roundtrip,
+    # incremental_refresh, streaming_dedup_state,
+    # streaming_sessions_state, streaming_interval_join_state,
+    # streaming_enrichment_rollup) got ONLY the one-line
+    # cache()->localCheckpoint materialization swap (values provably
+    # unaffected); all 8 were hash-verified locally via the targeted
+    # sf0.01 replay AND the full-contract replay this round, and all
+    # are r5+-pinned already, so they yield their window slots to the
+    # r1/r2 cohort. All rows remain CI-replay + robustness-matrix
+    # green every round.
+    # --- (a) changed this round: verify first ---
+    "kcenter_coreset",      # CHANGED: incremental min-dist rewrite
+                            # (O(k·n·d), selection bitwise-identical)
+    "streaming_vector_search",   # CHANGED: durable localCheckpoint
+    "continuous_rollup",         # CHANGED: durable localCheckpoint
+    "streaming_cdc_snapshot",    # CHANGED: durable localCheckpoint
+    "image_pipeline",            # CHANGED (same swap) + r2-pinned
+    # --- (b) the 16 promised r4 re-pins ---
+    "customer_order_distribution", "customer_order_gaps",
+    "customer_spend_rank", "file_provenance", "funnel_view_click",
+    "grouping_sets_revenue", "important_part_values",
+    "lateral_latest_order", "monthly_revenue_trend",
+    "order_priority_pivot", "parts_supplier_counts",
+    "profit_by_nation_year", "retention_cohorts",
+    "returned_item_losses", "source_regexp_stats", "waiting_suppliers",
+    # --- (c) the r1-pinned cohort ---
+    "cube_order_stats", "doc_fingerprints", "events_hourly_window",
+    "events_sliding_window", "knn_batch_bigcorpus", "order_quartiles",
+    "set_ops_users", "top_terms",
+    # --- (c) the r2-pinned cohort ---
+    "ann_ivf_exhaustive", "bitext_mine_margin", "bucketed_join_revenue",
+    "curation_rules_summary", "duplicate_groups", "events_variant",
+    "keyword_search_bm25", "mixture_rebalance", "moving_avg_revenue",
+    "multimodal_meta", "near_dup_pairs_cosine", "pack_sequences",
+    "pii_scrub_stats", "profile_documents", "range_join_events",
+    "session_stats", "session_window_stats", "stratified_sample_md5",
+    "udtf_token_explode", "unpivot_order_measures", "vector_norms",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

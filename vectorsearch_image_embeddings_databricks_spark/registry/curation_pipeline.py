@@ -1241,7 +1241,7 @@ def streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("bal"), 2).cast("double").alias("balance"),
             )
         )
-        final.cache().count()  # materialize before the tmpdir vanishes
+        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
         return final
 
 
@@ -1490,7 +1490,7 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_ms").cast("long").alias("ts_ms"),
             F.lower(F.hex("frame")).alias("frame_md5"),
         )
-        res.cache().count()  # materialize before the tmpdir vanishes
+        res = res.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
         return res
 
 

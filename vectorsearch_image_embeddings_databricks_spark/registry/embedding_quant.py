@@ -1003,7 +1003,7 @@ def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
-    out.cache().count()  # materialize before the memory sink is dropped
+    out = out.localCheckpoint(eager=True)  # durable past the memory-sink drop (cache is evictable)
     spark.catalog.dropTempView(sink)
     return out
 
@@ -1095,7 +1095,7 @@ def python_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
-    out.cache().count()
+    out = out.localCheckpoint(eager=True)  # truncate lineage: cache is evictable
     return out
 
 

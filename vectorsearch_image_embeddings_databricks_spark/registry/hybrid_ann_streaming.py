@@ -1283,7 +1283,7 @@ def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexer.refresh(spark)
         assert indexer.verify_equivalence(spark)
         final = indexer.current(spark).select("vec_id", "label")
-        final.cache().count()  # materialize before the tmpdir vanishes
+        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
         return final
 
 
@@ -1350,7 +1350,7 @@ def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.col("sum_value").cast("double").alias("sum_value"),
         ).withColumn("sum_value", F.round("sum_value", 4))
-        final.cache().count()  # materialize before the tmpdir vanishes
+        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
         return final
 
 
@@ -1423,7 +1423,7 @@ def image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("embedding").alias("dim"),
             F.round(l2_norm("embedding"), 4).cast("double").alias("norm"),
         )
-        res.cache().count()
+        res = res.localCheckpoint(eager=True)  # truncate lineage: cache is evictable
         return res
 
 
@@ -2240,8 +2240,14 @@ def streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        final = spark.read.parquet(out).select(
-            "query_id", "vec_id", F.round("score", 6).alias("score")
+        # localCheckpoint, not cache(): a cached DataFrame is evictable
+        # and would recompute from the deleted tmpdir; the checkpoint
+        # truncates lineage so the result is durable past the cleanup
+        final = (
+            spark.read.parquet(out)
+            .select(
+                "query_id", "vec_id", F.round("score", 6).alias("score")
+            )
+            .localCheckpoint(eager=True)
         )
-        final.cache().count()  # materialize before the tmpdir vanishes
     return final

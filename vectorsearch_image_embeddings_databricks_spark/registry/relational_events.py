@@ -377,7 +377,7 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_value"),
             )
         )
-        final.cache().count()  # materialize before the tmpdir vanishes
+        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
         return final
 
 
@@ -467,7 +467,7 @@ def streaming_sessions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "session_start_us", "session_end_us", "n_events"
             )
         )
-        final.cache().count()  # materialize before the tmpdir vanishes
+        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
         return final
 
 
@@ -549,7 +549,7 @@ def streaming_interval_join_state(spark: SparkSession, sf_dir: str) -> DataFrame
             F.unix_micros("view_time").alias("view_us"),
             F.unix_micros("click_time").alias("click_us"),
         )
-        final.cache().count()  # materialize before the tmpdir vanishes
+        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
         return final
 
 
@@ -628,7 +628,7 @@ def streaming_enrichment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_value"),
             )
         )
-        final.cache().count()  # materialize before the tmpdir vanishes
+        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
         return final
 
 
