@@ -13,7 +13,16 @@ Corpus: deterministic numpy gaussian directions (seed 42), dim 64 —
 matching the fixture embedding shape; written once to
 .scaledata/synth200k/embeddings.parquet (gitignored).
 
+r8 addition (r7 verdict #5): GRAPH200K_CLUSTERS=<k> switches the
+synthesis to a PLANTED-CLUSTER mixture — k unit-direction centers
+(seed 43), each point = normalize(center + GRAPH200K_SIGMA * gaussian)
+with the cluster drawn uniformly (seed 42). sigma=0.1 at dim 64 puts
+points at cos ≈ 0.78 to their center — the strongly-clustered regime
+real embedding corpora live in, vs the structure-free worst case the
+default measures. Written to .scaledata/synth<N>k_c<k>/.
+
 Run: python tools/graph_200k.py [n_vectors]
+     GRAPH200K_CLUSTERS=64 python tools/graph_200k.py   # clustered
 """
 import os
 import sys
@@ -23,9 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 DIM = 64
+CLUSTERS = int(os.environ.get("GRAPH200K_CLUSTERS", "0"))
+SIGMA = float(os.environ.get("GRAPH200K_SIGMA", "0.1"))
 DST = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scaledata", f"synth{N // 1000}k",
+    ".scaledata",
+    f"synth{N // 1000}k" + (f"_c{CLUSTERS}" if CLUSTERS else ""),
 )
 NQ = 32  # query panel (corpus members, ids 0..NQ-1)
 DEGREE = int(os.environ.get("GRAPH200K_DEGREE", "16"))
@@ -52,7 +64,16 @@ def gen() -> str:
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(42)
-    X = rng.standard_normal((N, DIM)).astype(np.float32)
+    if CLUSTERS:
+        centers = np.random.default_rng(43).standard_normal(
+            (CLUSTERS, DIM)
+        )
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        assign = rng.integers(0, CLUSTERS, size=N)
+        X = centers[assign] + SIGMA * rng.standard_normal((N, DIM))
+        X = X.astype(np.float32)
+    else:
+        X = rng.standard_normal((N, DIM)).astype(np.float32)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     tbl = pa.table(
         {
