@@ -108,3 +108,49 @@ def test_frontier_ivf_points_reproduce(spark):
         assert rows_scored == want[nprobe]["rows_scored"], (
             nprobe, rows_scored,
         )
+
+
+def _clustered():
+    with open(os.path.join(ROOT, "ANN_FRONTIER.md")) as f:
+        md = f.read()
+    m = re.search(r"```json clustered200k\n(.*?)\n```", md, re.S)
+    assert m, "ANN_FRONTIER.md must embed the clustered200k JSON block"
+    return json.loads(m.group(1))
+
+
+def test_clustered_frontier_summary_invariants():
+    """r8 clustered-geometry sweep (r7 verdict #5): pin the committed
+    conclusions, not just the prose — fixed entries collapse on
+    clustered data (walks cannot cross cluster basins), one-shot
+    IVF-routed adaptive entries recover, degree lifts the recall
+    ceiling past 0.95, and NN-descent refine is a no-op when the
+    quantizer already co-locates true neighbors."""
+    data = _clustered()
+    assert data["clusters"] == 64 and data["n"] == 200000
+    rows = {
+        (r["degree"], r["refine"], r["entries"]): r["grid"]
+        for r in data["results"]
+        if "grid" in r
+    }
+    # 1. fixed entries flat and broken at every budget/degree
+    for key, grid in rows.items():
+        if key[2] == "fixed":
+            assert all(v <= 0.40 for v in grid.values())
+    # 2. adaptive dominates fixed by >= 0.44 at every shared config
+    for (d, ref, ent), grid in rows.items():
+        if ent == "adaptive":
+            other = rows[(d, ref, "fixed")]
+            for cfg, v in grid.items():
+                if cfg in other:
+                    assert v - other[cfg] >= 0.44
+    # 3. degree lifts the ceiling: d16 adaptive tops out < 0.95, d32
+    #    adaptive crosses it already at b48 h6
+    assert max(rows[(16, 0, "adaptive")].values()) < 0.95
+    assert rows[(32, 0, "adaptive")]["48x6"] >= 0.95
+    # 4. refine is a no-op on clustered geometry: identical recall at
+    #    every shared config
+    for cfg, v in rows[(16, 1, "adaptive")].items():
+        assert rows[(16, 0, "adaptive")][cfg] == v
+    # 5. the 0.95 crossing stays cheap: ~2% of the corpus per query
+    extra = [r for r in data["results"] if "grid" not in r][0]
+    assert extra["corpus_fraction_d32_adaptive_48x6"] < 0.03
