@@ -137,7 +137,18 @@ def unigram_nll(
             F.avg(-F.log("p")).alias("nll"),
         )
     )
-    return distributed_ntile(per_doc, ["nll", "id"], n_buckets)
+    # Bucket on the ROUNDED score (the value the row reports), not the
+    # raw float: two engines computing nll in different summation
+    # orders disagree at ulp level, and near-tied docs (replicated
+    # corpora produce many) then sort in opposite orders across a
+    # bucket boundary — measured at sf1: 8/50k docs flipped buckets
+    # under raw-nll ordering while agreeing on all reported values.
+    # Rounding first makes the order a pure function of the reported
+    # (nll, id) pair, identical across engines.
+    per_doc = per_doc.withColumn("__nll_r", F.round("nll", 6))
+    return distributed_ntile(per_doc, ["__nll_r", "id"], n_buckets).drop(
+        "__nll_r"
+    )
 
 
 def _range_ranked(

@@ -986,7 +986,8 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tokens,
            round(nll, 6) AS nll,
-           CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INTEGER) AS bucket
+           CAST(ntile(3) OVER (ORDER BY round(nll, 6), doc_id)
+                AS INTEGER) AS bucket
     FROM d
     """,
 )
