@@ -14,7 +14,9 @@ import subprocess
 import sys
 import time
 
-QUERIES = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+if len(sys.argv) < 2:
+    sys.exit("usage: sf1_sweep_r8.py <q1,q2,...> [per-query budget s]")
+QUERIES = sys.argv[1].split(",")
 BUDGET = int(sys.argv[2]) if len(sys.argv) > 2 else 240
 SF1 = "/root/repo/.scaledata/sf1"
 
