@@ -7,6 +7,7 @@ schema of each DuckDB oracle result against the Spark result's schema
 (via toPandas dtypes) and flags any residual mismatch.
 """
 import importlib.util
+import os
 import sys
 
 import duckdb
@@ -30,6 +31,9 @@ spark = (
 )
 
 con = duckdb.connect()
+_spill = os.environ.get("DUCKDB_SPILL_DIR", "/tmp/duckdb_spill")
+os.makedirs(_spill, exist_ok=True)
+con.execute(f"SET temp_directory='{_spill}'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"

@@ -40,6 +40,11 @@ df = mod.entry(spark)
 print(f"entry rows: {len(df.collect())}  ({time.time()-t0:.2f}s)")
 
 con = duckdb.connect()
+# Keep DuckDB spill OUT of the repo tree (r8 committed 14 GB of
+# duckdb_temp_storage-*.tmp by accident; never again).
+_spill = os.environ.get("DUCKDB_SPILL_DIR", "/tmp/duckdb_spill")
+os.makedirs(_spill, exist_ok=True)
+con.execute(f"SET temp_directory='{_spill}'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"

@@ -10,6 +10,7 @@ sweep. Emits one status line per query:
   FAIL    — ran but mismatched / raised (a real finding)
 """
 import json
+import os
 import subprocess
 import sys
 import time
@@ -18,7 +19,8 @@ if len(sys.argv) < 2:
     sys.exit("usage: sf1_sweep_r8.py <q1,q2,...> [per-query budget s]")
 QUERIES = sys.argv[1].split(",")
 BUDGET = int(sys.argv[2]) if len(sys.argv) > 2 else 240
-SF1 = "/root/repo/.scaledata/sf1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(REPO, ".scaledata", "sf1")
 
 results = {}
 for q in QUERIES:
@@ -27,7 +29,7 @@ for q in QUERIES:
         p = subprocess.run(
             [sys.executable, "tools/replay.py", SF1, q],
             capture_output=True, text=True, timeout=BUDGET,
-            cwd="/root/repo",
+            cwd=REPO,
         )
         out = p.stdout + p.stderr
         dt = time.time() - t0
