@@ -624,6 +624,38 @@ def test_ivf_append_grows_index_without_retrain(spark):
     assert top and top[0]["vec_id"] == 450
 
 
+def test_ivf_append_plan_stays_constant_depth(spark, tmp_path):
+    """r9 verdict #3: append() must localCheckpoint the assignment
+    union — cache() is not durable, and after eviction N appends would
+    re-execute an N-deep Union+assignment lineage (the defect class
+    KNNGraphIndex.append fixed in r6). After >=3 appends the assigned
+    plan must contain NO Union at all (lineage truncated to the
+    checkpoint scan), and the index must still serve search and save
+    even after its blocks are explicitly unpersisted."""
+    import contextlib
+    import io
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    ivf = IVFIndex(emb.filter(F.col("vec_id") < 200), nlist=8, max_iter=8)
+    for lo, hi in [(200, 300), (300, 400), (400, 500)]:
+        ivf.append(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf.assigned.explain("formatted")
+    plan = buf.getvalue()
+    assert "Union" not in plan, plan
+    # survives block loss: unpersist (simulated eviction) must leave the
+    # index recomputable/servable — the checkpointed RDD is the source
+    ivf.assigned.unpersist()
+    q = emb.filter(F.col("vec_id") == 450).collect()[0]["embedding"]
+    assert ivf.search(q, k=1, nprobe=8).collect()[0]["vec_id"] == 450
+    ivf.save(str(tmp_path / "ivf"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    assert loaded.assigned.count() == ivf.assigned.count()
+
+
 def test_ann_recall_report_meets_baseline_bar(spark):
     """The driver-visible recall audit must clear BASELINE.md's bar:
     mean recall@5 >= 0.9 at nprobe=4/nlist=8, and be deterministic

@@ -775,3 +775,81 @@ def test_knn_vote_majority_and_smaller_label_tiebreak(spark):
     )
     got = {r["query_id"]: r["pred"] for r in pred}
     assert got == {0: 7, 1: 4}  # majority; tie 4-vs-9 → smaller label
+
+
+def _synth_geometry(spark, n, dim, seed, clusters=None, sigma=0.05):
+    """Deterministic unit-vector corpus: planted clusters (the easy,
+    real-embedding-like regime) or structure-free (quantizer-hostile)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    if clusters:
+        C = rng.normal(size=(clusters, dim))
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        X = C[rng.integers(0, clusters, n)] + sigma * rng.normal(
+            size=(n, dim)
+        )
+    else:
+        X = rng.normal(size=(n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_refine_auto_skips_on_clustered_refines_on_structure_free(spark):
+    """r9 verdict #6: 'auto' refine adopts the r8 clustered-frontier
+    finding (ANN_FRONTIER.md: NN-descent is bit-identical-output waste
+    on clustered geometry, repair on structure-free). On a planted-
+    cluster corpus the quantizer's cell-coassignment recall clears the
+    bar -> auto == the raw build, refine skipped; on structure-free
+    data it misses the bar -> auto == exactly one NN-descent round."""
+    from vectorsearch_image_embeddings_databricks_spark.index.ann import IVFIndex
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+        cell_coassignment_recall,
+        resolve_refine_rounds,
+    )
+
+    def edge_set(df):
+        return {(r["src"], r["dst"]) for r in df.collect()}
+
+    clustered = _synth_geometry(spark, 400, 16, seed=7, clusters=8)
+    ivf_c = IVFIndex(
+        clustered, key="vec_id", vector_col="embedding",
+        nlist=16, replication=2, seed=1,
+    )
+    assert cell_coassignment_recall(ivf_c) >= 0.9
+    assert resolve_refine_rounds("auto", ivf_c) == 0
+    raw = build_knn_graph(
+        clustered, "vec_id", "embedding", degree=6,
+        strategy="ivf", ivf=ivf_c,
+    )
+    auto = build_knn_graph(
+        clustered, "vec_id", "embedding", degree=6,
+        strategy="ivf", ivf=ivf_c, refine="auto",
+    )
+    assert edge_set(auto) == edge_set(raw)  # refine skipped
+
+    free = _synth_geometry(spark, 400, 16, seed=7)
+    ivf_f = IVFIndex(
+        free, key="vec_id", vector_col="embedding",
+        nlist=16, replication=2, seed=1,
+    )
+    assert cell_coassignment_recall(ivf_f) < 0.9
+    assert resolve_refine_rounds("auto", ivf_f) == 1
+    raw_f = build_knn_graph(
+        free, "vec_id", "embedding", degree=6, strategy="ivf", ivf=ivf_f
+    )
+    auto_f = build_knn_graph(
+        free, "vec_id", "embedding", degree=6,
+        strategy="ivf", ivf=ivf_f, refine="auto",
+    )
+    refined = refine_knn_graph(
+        raw_f, free, "vec_id", "embedding", degree=6, rounds=1
+    )
+    assert edge_set(auto_f) == edge_set(refined)  # one repair round ran
+    assert edge_set(auto_f) != edge_set(raw_f)  # ...and it mattered
+    # ints pass through unchanged; exact tier under 'auto' never refines
+    assert resolve_refine_rounds(2, ivf_f) == 2
+    assert resolve_refine_rounds("auto", None) == 0

@@ -849,7 +849,16 @@ class IVFIndex:
         assigned = self._assign_topn(
             new_df, self.vector_col, self.replication
         )
-        self.assigned = self.assigned.unionByName(assigned).cache()
+        # localCheckpoint per append, not cache(): a cached union chain
+        # is lineage-deep — after eviction, N appends re-execute an
+        # N-deep Union+assignment plan (the same defect KNNGraphIndex.
+        # append fixed in r6). Checkpointing truncates lineage so the
+        # plan stays constant-depth regardless of append count. Blocks
+        # are executor-local (lost on executor decommission); durable
+        # persistence is save()'s job.
+        self.assigned = self.assigned.unionByName(assigned).localCheckpoint(
+            eager=True
+        )
         return self
 
     def save(self, path: str) -> None:

@@ -66,6 +66,7 @@ def build_knn_graph(
     nprobe: int = 4,
     seed: int = 42,
     ivf=None,
+    refine: int | str = 0,
 ) -> DataFrame:
     """Edge table ``(src, dst)``: for every vector its ``degree``
     most-cosine-similar OTHER vectors (ties to the smaller dst id).
@@ -81,6 +82,14 @@ def build_knn_graph(
     existing quantizer + assignment instead of training a throwaway one
     — the ``KNNGraphIndex.build`` path, where the same quantizer also
     routes queries and receives appends.
+
+    ``refine``: NN-descent rounds applied to the fresh graph — an int,
+    or ``'auto'`` (r8 frontier finding): skip refine when the build
+    quantizer's measured cell-coassignment recall clears
+    ``AUTO_REFINE_COASSIGNMENT_BAR`` (clustered geometry — refine is a
+    no-op there), run 1 round otherwise (structure-free geometry, where
+    refine repairs cross-cell edge loss). Always 0 for
+    ``strategy='exact'`` under ``'auto'`` (nothing to repair).
     """
     if strategy == "exact":
         left = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__vs"))
@@ -176,7 +185,20 @@ def build_knn_graph(
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
-    return _top_degree_edges(scored, degree)
+    edges = _top_degree_edges(scored, degree)
+    rounds = resolve_refine_rounds(
+        refine, ivf if strategy == "ivf" else None
+    )
+    if rounds:
+        edges = refine_knn_graph(
+            edges,
+            df.select(F.col(id_col), F.col(vec_col)),
+            id_col,
+            vec_col,
+            degree=degree,
+            rounds=rounds,
+        )
+    return edges
 
 
 def mutual_pairs(edges: DataFrame) -> DataFrame:
@@ -526,6 +548,91 @@ def refine_knn_graph(
     return edges
 
 
+def cell_coassignment_recall(
+    ivf, sample_n: int = 32, k: int = 5
+) -> float:
+    """Fraction of exact top-``k`` neighbor pairs (over a deterministic
+    ``sample_n``-query panel) that share at least one quantizer cell
+    under ``ivf``'s replicated assignment — the quantity that BOUNDS an
+    ivf-built graph's direct-candidate recall (ANN_FRONTIER.md measured
+    it at 0.77 on 200k structure-free vectors vs ~1.0 on clustered
+    geometry, which is the whole story of why NN-descent refine repairs
+    the former and is a no-op on the latter).
+
+    Cost is sample-bounded, corpus-linear: ONE pass over the corpus
+    scoring ``sample_n`` broadcast queries (TakeOrdered top-k per
+    query), then two broadcast joins of the tiny pair table against the
+    assignment table — negligible next to the build matmul it gates.
+    Deterministic: the panel is the ``sample_n`` smallest keys, ties by
+    (cos desc, id asc)."""
+    key, vec = ivf.key, ivf.vector_col
+    corpus = ivf.assigned.select(key, vec).dropDuplicates([key])
+    q = (
+        corpus.orderBy(key)
+        .limit(sample_n)
+        .select(F.col(key).alias("__qid"), F.col(vec).alias("__qv"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__cos"), F.asc("__nid"))
+    pairs = (
+        corpus.join(F.broadcast(q), F.col(key) != F.col("__qid"))
+        .select(
+            "__qid",
+            F.col(key).alias("__nid"),
+            cosine_similarity("__qv", vec).alias("__cos"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__qid", "__nid")
+        .localCheckpoint(eager=True)
+    )
+    total = pairs.count()
+    if not total:
+        return 1.0
+    qcells = ivf.assigned.select(
+        F.col(key).alias("__qid"), F.col("centroid_id").alias("__cell")
+    )
+    ncells = ivf.assigned.select(
+        F.col(key).alias("__nid"), F.col("centroid_id").alias("__cell")
+    )
+    hit = (
+        qcells.join(F.broadcast(pairs), "__qid")
+        .join(ncells, ["__nid", "__cell"])
+        .select("__qid", "__nid")
+        .distinct()
+        .count()
+    )
+    pairs.unpersist()
+    return hit / total
+
+
+#: 'auto' refine skips NN-descent when at least this fraction of exact
+#: top-k pairs already share a quantizer cell (the build generated them
+#: as direct candidates — nothing cross-cell left to repair).
+AUTO_REFINE_COASSIGNMENT_BAR = 0.9
+
+
+def resolve_refine_rounds(
+    refine: int | str,
+    ivf,
+    threshold: float = AUTO_REFINE_COASSIGNMENT_BAR,
+    sample_n: int = 32,
+    k: int = 5,
+) -> int:
+    """Turn a ``refine`` spec into a concrete NN-descent round count.
+    Ints pass through. ``'auto'`` (r8 clustered-frontier finding,
+    ANN_FRONTIER.md: refine is bit-identical-output waste on clustered
+    geometry — its 847 s at 200k bought +0.000 recall — but repairs
+    low-coassignment builds): measure
+    :func:`cell_coassignment_recall` under the build quantizer and skip
+    refine (0 rounds) when it clears ``threshold``, else run 1 round."""
+    if refine == "auto":
+        if ivf is None:
+            return 0  # exact tier: the graph is already exact
+        r = cell_coassignment_recall(ivf, sample_n=sample_n, k=k)
+        return 0 if r >= threshold else 1
+    return int(refine)
+
+
 def cell_representatives(ivf, per_cell: int = 1) -> DataFrame:
     """``(centroid_id, __id)``: each IVF cell's ``per_cell`` most-central
     members (max cosine to the cell centroid, id tie-break) — the static
@@ -796,7 +903,7 @@ class KNNGraphIndex:
         nprobe: int = 4,
         seed: int = 42,
         per_cell: int = 1,
-        refine_rounds: int = 0,
+        refine_rounds: int | str = 0,
         centroids: list | None = None,
     ) -> "KNNGraphIndex":
         """Build edges + quantizer + entry reps in one pass. ONE
@@ -805,7 +912,9 @@ class KNNGraphIndex:
         here (or pinned with explicit ``centroids``, the registry's
         SQL-replayable convention). ``refine_rounds`` optionally applies
         NN-descent rounds to the fresh graph (the ivf-build repair
-        discipline)."""
+        discipline); ``'auto'`` gates them on the quantizer's measured
+        cell-coassignment recall (see :func:`resolve_refine_rounds` —
+        skip on clustered geometry where refine is a measured no-op)."""
         from .ann import IVFIndex
 
         vectors = df.select(key, vector_col)
@@ -822,6 +931,9 @@ class KNNGraphIndex:
             vectors, key, vector_col, degree=degree,
             strategy=strategy, nlist=nlist, nprobe=nprobe, seed=seed,
             ivf=ivf if strategy == "ivf" else None,
+        )
+        refine_rounds = resolve_refine_rounds(
+            refine_rounds, ivf if strategy == "ivf" else None
         )
         if refine_rounds:
             edges = refine_knn_graph(

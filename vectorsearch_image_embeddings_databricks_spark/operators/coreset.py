@@ -136,6 +136,7 @@ def greedy_kcenter(
         )
         if r < k:
             new_vec = _lit_vec([float(x) for x in picked["__vec"]])
+            prev = state
             state = (
                 state.filter(F.col("__id") != F.lit(picked["__id"]))
                 .withColumn(
@@ -147,6 +148,10 @@ def greedy_kcenter(
                 )
                 .localCheckpoint(eager=True)
             )
+            # release the superseded round's blocks eagerly — otherwise
+            # up to k checkpointed corpus-sized copies sit in
+            # MEMORY_AND_DISK until the GC-driven ContextCleaner runs
+            prev.unpersist()
     return selected
 
 

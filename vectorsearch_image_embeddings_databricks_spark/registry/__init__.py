@@ -46,52 +46,41 @@ del _m, _k, _v
 #: behavior, not a guarantee; nothing here may hard-depend on it (the
 #: parity test bounds the list at ≤50 instead of pinning ==50).
 DRIVER_PRIORITY: list[str] = [
-    # ROUND-8 ROTATION (r7 verdict "Next round" #3): this round closes
-    # the rotation debt — after r8 no registry row's last driver pin is
-    # older than r5. Window = (a) the rows whose implementation changed
-    # this round AND carry behavioral weight (kcenter_coreset's
-    # incremental rewrite; the three rows named in the r7 verdict's
-    # durability fix; image_pipeline, which is both changed and
-    # r2-pinned), then (b) the 16 promised r4 deferrals, then (c) every
-    # remaining r1/r2-pinned row — 5+16+8+21 = 50 exactly.
-    # The other 8 rows touched this round (video_frame_samples,
-    # python_stream_source_rollup, python_stream_sink_roundtrip,
-    # incremental_refresh, streaming_dedup_state,
-    # streaming_sessions_state, streaming_interval_join_state,
-    # streaming_enrichment_rollup) got ONLY the one-line
-    # cache()->localCheckpoint materialization swap (values provably
-    # unaffected); all 8 were hash-verified locally via the targeted
-    # sf0.01 replay AND the full-contract replay this round, and all
-    # are r5+-pinned already, so they yield their window slots to the
-    # r1/r2 cohort. All rows remain CI-replay + robustness-matrix
-    # green every round.
-    # --- (a) changed this round: verify first ---
-    "kcenter_coreset",      # CHANGED: incremental min-dist rewrite
-                            # (O(k·n·d), selection bitwise-identical)
-    "streaming_vector_search",   # CHANGED: durable localCheckpoint
-    "continuous_rollup",         # CHANGED: durable localCheckpoint
-    "streaming_cdc_snapshot",    # CHANGED: durable localCheckpoint
-    "image_pipeline",            # CHANGED (same swap) + r2-pinned
-    # --- (b) the 16 promised r4 re-pins ---
-    "customer_order_distribution", "customer_order_gaps",
-    "customer_spend_rank", "file_provenance", "funnel_view_click",
-    "grouping_sets_revenue", "important_part_values",
-    "lateral_latest_order", "monthly_revenue_trend",
-    "order_priority_pivot", "parts_supplier_counts",
-    "profit_by_nation_year", "retention_cohorts",
-    "returned_item_losses", "source_regexp_stats", "waiting_suppliers",
-    # --- (c) the r1-pinned cohort ---
-    "cube_order_stats", "doc_fingerprints", "events_hourly_window",
-    "events_sliding_window", "knn_batch_bigcorpus", "order_quartiles",
-    "set_ops_users", "top_terms",
-    # --- (c) the r2-pinned cohort ---
-    "ann_ivf_exhaustive", "bitext_mine_margin", "bucketed_join_revenue",
-    "curation_rules_summary", "duplicate_groups", "events_variant",
-    "keyword_search_bm25", "mixture_rebalance", "moving_avg_revenue",
-    "multimodal_meta", "near_dup_pairs_cosine", "pack_sequences",
-    "pii_scrub_stats", "profile_documents", "range_join_events",
-    "session_stats", "session_window_stats", "stratified_sample_md5",
-    "udtf_token_explode", "unpivot_order_measures", "vector_norms",
+    # ROUND-9 ROTATION (r8 verdict "Next round" #4): after r8 the
+    # oldest latest-pins are the 42 r5 rows — they ARE this window,
+    # headed by the two rows whose machinery changed this round, plus
+    # six heavy r6 rows to fill the 50. Changed this round: IVFIndex.
+    # append now localCheckpoints its assignment union (r8 verdict #3;
+    # exercised by knn_graph_append — r5-pinned, in the cohort below —
+    # and knn_graph_update), and greedy_kcenter unpersists superseded
+    # per-round state (value-neutral, re-pinned anyway per discipline).
+    # build_knn_graph gained an OPT-IN refine='auto' (default unchanged;
+    # no registry row uses it — pinned by pytest instead). After r9 no
+    # row's latest pin is older than r6.
+    # --- (a) changed machinery this round ---
+    "kcenter_coreset",      # CHANGED: eager unpersist of prior rounds
+    "knn_graph_update",     # exercises IVFIndex.append (checkpoint fix)
+    # --- (b) the 42-row r5-pinned cohort (heaviest first) ---
+    "knn_graph_append",     # also exercises IVFIndex.append
+    "quantile_sketch_audit", "curation_pipeline", "incremental_refresh",
+    "embed_documents_stub", "minhash_near_dedup",
+    "near_dup_pairs_jaccard", "scd2_customers", "hybrid_rrf",
+    "knn_exact", "knn_batch", "dedup_exact_summary",
+    "above_avg_balance_no_orders", "asof_click_attribution",
+    "audio_chunks", "bigram_top", "bolt_stock_suppliers",
+    "brand_bracket_revenue", "cheapest_supplier_per_part",
+    "corpus_stats", "customers_without_orders", "events_daily",
+    "events_json", "forecast_revenue", "lang_id_pred",
+    "large_volume_customers", "late_order_priority",
+    "linestatus_priority_counts", "market_share", "pricing_summary",
+    "promo_revenue", "region_revenue", "rolling_fingerprints",
+    "rollup_revenue", "salted_priority_revenue", "shipping_priority",
+    "small_qty_revenue", "text_quality", "token_counts",
+    "top_orders_per_customer", "top_supplier_revenue",
+    "volume_shipping",
+    # --- (c) six heavy r6 rows filling the window ---
+    "cosine_lsh_near_dup", "semantic_dedup", "knn_graph_beam",
+    "knn_graph_delete", "bpe_train_merges", "pagerank_trade_graph",
 ]
 
 def ordered_queries() -> dict[str, QueryFn]:

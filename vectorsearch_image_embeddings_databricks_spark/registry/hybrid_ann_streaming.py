@@ -1283,7 +1283,11 @@ def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexer.refresh(spark)
         assert indexer.verify_equivalence(spark)
         final = indexer.current(spark).select("vec_id", "label")
-        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
+        # localCheckpoint survives the tmpdir delete (cache is evictable and
+        # would recompute from the gone path); note blocks live only on
+        # executors — on a real cluster, executor loss after the tmpdir
+        # delete loses the result, so production would write a table
+        final = final.localCheckpoint(eager=True)
         return final
 
 
@@ -1350,7 +1354,11 @@ def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.col("sum_value").cast("double").alias("sum_value"),
         ).withColumn("sum_value", F.round("sum_value", 4))
-        final = final.localCheckpoint(eager=True)  # durable past the tmpdir cleanup (cache is evictable)
+        # localCheckpoint survives the tmpdir delete (cache is evictable and
+        # would recompute from the gone path); note blocks live only on
+        # executors — on a real cluster, executor loss after the tmpdir
+        # delete loses the result, so production would write a table
+        final = final.localCheckpoint(eager=True)
         return final
 
 
@@ -2242,7 +2250,10 @@ def streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         # localCheckpoint, not cache(): a cached DataFrame is evictable
         # and would recompute from the deleted tmpdir; the checkpoint
-        # truncates lineage so the result is durable past the cleanup
+        # truncates lineage so eviction can't re-read the gone path.
+        # (Blocks are executor-local, not fault-tolerant: on a real
+        # cluster an executor loss here loses the result — production
+        # would persist to a table instead of a session-scoped tmpdir.)
         final = (
             spark.read.parquet(out)
             .select(
