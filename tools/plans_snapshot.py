@@ -5,9 +5,10 @@ at sf0.001; paste into PLANS.md (commentary is maintained by hand).
 """
 import contextlib
 import io
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
