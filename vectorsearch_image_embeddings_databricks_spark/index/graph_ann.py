@@ -1077,13 +1077,14 @@ class KNNGraphIndex:
                 self.edges, self.vectors, self.key, self.vector_col,
                 degree=self.degree, rounds=refine_rounds,
             ).localCheckpoint(eager=True)
-        # quantizer: drop colliding stored assignments, assign the batch
-        # (checkpointed for the same lineage-growth reason as vectors)
+        # quantizer: drop colliding stored assignments, assign the batch.
+        # IVFIndex.append itself localCheckpoints the union (r9 fix), so
+        # the anti-join layer folds into that checkpoint — no second
+        # materialization here.
         self.ivf.assigned = self.ivf.assigned.join(
             new_ids, self.key, "left_anti"
         )
         self.ivf.append(news)
-        self.ivf.assigned = self.ivf.assigned.localCheckpoint(eager=True)
         self.reps = cell_representatives(
             self.ivf, self.per_cell
         ).localCheckpoint(eager=True)
