@@ -560,29 +560,34 @@ def cell_coassignment_recall(
     the former and is a no-op on the latter).
 
     Cost is sample-bounded, corpus-linear: ONE pass over the corpus
-    scoring ``sample_n`` broadcast queries (TakeOrdered top-k per
-    query), then two broadcast joins of the tiny pair table against the
-    assignment table — negligible next to the build matmul it gates.
-    Deterministic: the panel is the ``sample_n`` smallest keys, ties by
-    (cos desc, id asc)."""
+    scoring the ``sample_n`` broadcast queries through
+    ``VectorIndex.search_batch(local_topk=True)`` — partition-local
+    top-k, so the exchange carries |partitions|·sample_n·k candidate
+    rows, never |corpus|·sample_n — then two broadcast joins of the
+    tiny pair table against the assignment table. Negligible next to
+    the build matmul it gates. Deterministic: the panel is the
+    ``sample_n`` smallest keys, ties by (cos desc, id asc)."""
+    from .vector_index import VectorIndex
+
     key, vec = ivf.key, ivf.vector_col
     corpus = ivf.assigned.select(key, vec).dropDuplicates([key])
-    q = (
+    panel = (
         corpus.orderBy(key)
         .limit(sample_n)
         .select(F.col(key).alias("__qid"), F.col(vec).alias("__qv"))
     )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__cos"), F.asc("__nid"))
+    # k+1 then drop the self-hit (every query is its own top-1); the
+    # residual per-query rank cut runs on the (sample_n x k+1)-row result
+    nbrs = VectorIndex(corpus, key=key, vector_col=vec).search_batch(
+        panel, k=k + 1, query_key="__qid", query_vector_col="__qv",
+        local_topk=True,
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc(key))
     pairs = (
-        corpus.join(F.broadcast(q), F.col(key) != F.col("__qid"))
-        .select(
-            "__qid",
-            F.col(key).alias("__nid"),
-            cosine_similarity("__qv", vec).alias("__cos"),
-        )
+        nbrs.filter(F.col("__qid") != F.col(key))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select("__qid", "__nid")
+        .select("__qid", F.col(key).alias("__nid"))
         .localCheckpoint(eager=True)
     )
     total = pairs.count()
