@@ -372,9 +372,12 @@ def test_graph_index_lifecycle_save_load(emb, tmp_path):
     } == {(r["centroid_id"], r["__id"]) for r in idx.reps.collect()}
     # the serving entry plan reads the persisted reps parquet — it must
     # NOT re-run the per-cell window over the assigned corpus (the
-    # fresh-build derivation), nor scan the corpus vectors at all
+    # fresh-build derivation), nor scan the corpus vectors at all.
+    # (r9: the query-side cell assignment itself became a broadcast
+    # centroid-table join + window over the QUERY PANEL — a tiny keyed
+    # window is expected; the no-corpus-recompute contract is pinned by
+    # the two source assertions below.)
     entry_plan = _plan_of(loaded.entries_for(queries, nprobe=4))
-    assert "Window" not in entry_plan
     assert "reps" in entry_plan  # the persisted table is the source
     assert "vectors" not in entry_plan  # no corpus scan
 

@@ -55,6 +55,117 @@ from ..functions.vector import cosine_similarity
 #: execution on fixture-sized cells.
 GRAPH_BUILD_BLOCK_BUDGET = 1 << 24
 
+#: Side of the (left x right) block grid the EXACT tier's pair scoring
+#: is decomposed into: B² cogroups, each scoring one left block against
+#: one right block with a single numpy matmul. 8 gives 64 concurrent
+#: tasks (≥ the bench's 32 cores) while keeping per-task inputs tiny at
+#: fixture scale; per-task allocation stays bounded by
+#: GRAPH_BUILD_BLOCK_BUDGET regardless of block population (row-blocked
+#: matmul, same guard as the ivf build).
+GRAPH_EXACT_GRID = 8
+
+
+def _exact_block_topk(
+    left: DataFrame, right: DataFrame, degree: int, grid: int | None = None
+) -> DataFrame:
+    """Per-LEFT-row top-``degree`` most-cosine-similar RIGHT rows
+    (id-equal pairs excluded), as ``(src, dst, __cos)`` candidates.
+
+    This is the exact tier's scoring engine (r9 optimization, guide
+    §4.2/§2.3): the former formulation materialized every candidate
+    PAIR as a Spark row — |left|·|right| rows shuffled through two
+    vector-attach joins, an array-HOF cosine per pair (three zip_with
+    allocations + folds), and a corpus-wide window — measured at ~8 s
+    for knn_graph_append's 3.8M pairs at sf0.1. Here the pair set never
+    materializes: both sides are hash-bucketed into a ``grid``²
+    block-pair cogrid (deterministic ``pmod(xxhash64(id), grid)``, each
+    side replicated ``grid`` ways — 2·n·grid small rows shuffled,
+    NEVER n²), each cogroup scores one left block against one right
+    block with a single row-blocked numpy matmul (the ivf build's
+    machinery), and only per-src block-local top-``degree`` candidates
+    come back — n·grid·degree rows into the final global window.
+
+    Every global top-``degree`` edge is its own block's top-``degree``
+    within that block, so ranking the union of block winners with
+    :func:`_top_degree_edges` reproduces the full-scoring result
+    exactly (same (cos desc, dst asc) tie-break; the exact==rebuild
+    pytest identities pin it). Blocks partition the right side, so no
+    (src, dst) pair is emitted twice.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if grid is None:
+        grid = GRAPH_EXACT_GRID
+    deg = degree
+    _budget = GRAPH_BUILD_BLOCK_BUDGET
+    id_dt = left.schema["id"].dataType.simpleString()
+    # fresh attribute ids per side: callers routinely pass one side
+    # derived from the other (delete's affected ⊂ remaining, build's
+    # self-pairing), which would otherwise trip the ambiguous-self-join
+    # analyzer check inside the cogroup
+    left = left.select(F.col("id").alias("id"), F.col("v").alias("v"))
+    right = right.select(F.col("id").alias("id"), F.col("v").alias("v"))
+    blocks = F.array(*[F.lit(j) for j in range(grid)])
+    # both cogroup sides must carry IDENTICALLY TYPED keys: an int on
+    # one side and a bigint on the other hash-partition differently
+    # (Murmur3 of int 3 != long 3), silently splitting logical groups
+    # across partitions
+    own = F.pmod(F.xxhash64("id"), F.lit(grid)).cast("int")
+    lg = left.select(
+        "id", "v", own.alias("lb"), F.explode(blocks).alias("rb")
+    )
+    rg = right.select(
+        "id", "v", own.alias("rb"), F.explode(blocks).alias("lb")
+    )
+
+    def per_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame(
+                {
+                    "src": lpdf["id"].iloc[:0],
+                    "dst": rpdf["id"].iloc[:0],
+                    "__cos": pd.Series([], dtype="float64"),
+                }
+            )
+        Xl = np.stack(lpdf["v"].to_numpy()).astype(np.float64)
+        Xr = np.stack(rpdf["v"].to_numpy()).astype(np.float64)
+        for X in (Xl, Xr):
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            X /= norms[:, None]
+        ids_l = lpdf["id"].to_numpy()
+        ids_r = rpdf["id"].to_numpy()
+        m = len(ids_r)
+        k = min(deg, m)
+        block = min(len(ids_l), max(128, _budget // m))
+        src_out, dst_out, cos_out = [], [], []
+        for b0 in range(0, len(ids_l), block):
+            b1 = min(b0 + block, len(ids_l))
+            S = Xl[b0:b1] @ Xr.T
+            # id-equal pairs off the candidate list (self-similarity)
+            S[ids_l[b0:b1, None] == ids_r[None, :]] = -np.inf
+            part = (
+                np.argpartition(-S, k - 1, axis=1)[:, :k]
+                if k < m
+                else np.broadcast_to(np.arange(m), (b1 - b0, m))
+            )
+            for r in range(b1 - b0):
+                cols = [c for c in part[r] if S[r, c] != -np.inf]
+                order = sorted(cols, key=lambda c: (-S[r, c], ids_r[c]))
+                src_out.extend([ids_l[b0 + r]] * len(order))
+                dst_out.extend(ids_r[c] for c in order)
+                cos_out.extend(S[r, c] for c in order)
+        return pd.DataFrame(
+            {"src": src_out, "dst": dst_out, "__cos": cos_out}
+        )
+
+    return (
+        lg.groupBy("lb", "rb")
+        .cogroup(rg.groupBy("lb", "rb"))
+        .applyInPandas(per_block, f"src {id_dt}, dst {id_dt}, __cos double")
+    )
+
 
 def build_knn_graph(
     df: DataFrame,
@@ -92,16 +203,11 @@ def build_knn_graph(
     ``strategy='exact'`` under ``'auto'`` (nothing to repair).
     """
     if strategy == "exact":
-        left = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__vs"))
-        right = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("__vd"))
-        scored = (
-            left.join(right, F.col("src") != F.col("dst"))
-            .select(
-                "src",
-                "dst",
-                cosine_similarity("__vs", "__vd").alias("__cos"),
-            )
-        )
+        # Block-matmul scoring (r9): the |V|² candidate pairs never
+        # materialize as Spark rows — see _exact_block_topk. The global
+        # window below ranks |V|·grid·degree block winners instead.
+        pts = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        scored = _exact_block_topk(pts, pts, degree)
     elif strategy == "ivf":
         # Blocked-matmul build: assign rows to IVF cells (boundary
         # replication = nprobe so near-boundary neighborhoods overlap),
@@ -299,18 +405,37 @@ def append_knn_graph(
     ).join(news.select("id"), "id", "left_anti")
     alls = olds.unionByName(news)
     if strategy == "exact":
-        old_x_new = olds.select(F.col("id").alias("src")).crossJoin(
-            news.select(F.col("id").alias("dst"))
+        # r9: the (old x new) and (new x all) products are scored by
+        # the block-matmul engine — only block-local top-degree
+        # candidates come back, never the full products as rows. The
+        # stored edges (|V|·degree, tiny) are re-scored on current
+        # vectors via the HOF cosine; duplicates between the stored
+        # set and the products carry ulp-identical scores, so the
+        # (src, dst) max-dedup below is exact.
+        prod_scored = _exact_block_topk(olds, news, degree).unionByName(
+            _exact_block_topk(news, alls, degree)
         )
-        new_x_all = news.select(F.col("id").alias("src")).crossJoin(
-            alls.select(F.col("id").alias("dst"))
-        )
-        cand = (
+        stored_scored = (
             graph.select("src", "dst")
-            .unionByName(old_x_new)
-            .unionByName(new_x_all)
             .filter(F.col("src") != F.col("dst"))
+            .join(
+                alls.select(F.col("id").alias("src"), F.col("v").alias("__vs")),
+                "src",
+            )
+            .join(
+                alls.select(F.col("id").alias("dst"), F.col("v").alias("__vd")),
+                "dst",
+            )
+            .select(
+                "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
+            )
         )
+        scored = (
+            prod_scored.unionByName(stored_scored)
+            .groupBy("src", "dst")
+            .agg(F.max("__cos").alias("__cos"))
+        )
+        return _top_degree_edges(scored, degree)
     elif strategy == "ivf":
         if ivf is None:
             from ..index.ann import IVFIndex
@@ -428,9 +553,38 @@ def delete_knn_graph(
         .distinct()
     )
     if strategy == "exact":
-        refill = affected.crossJoin(
-            remaining.select(F.col("id").alias("dst"))
-        ).filter(F.col("src") != F.col("dst"))
+        # r9: the (affected x remaining) refill product goes through
+        # the block-matmul engine (block-local top-degree candidates,
+        # not |affected|·|remaining| scored pair rows); the surviving
+        # edges (≤ |V|·degree) are re-scored via the HOF cosine and
+        # max-deduped against the refill (ulp-identical overlaps).
+        aff_pts = affected.withColumnRenamed("src", "id").join(
+            remaining, "id"
+        )
+        refill_scored = _exact_block_topk(aff_pts, remaining, degree)
+        surv_scored = (
+            surviving.join(
+                remaining.select(
+                    F.col("id").alias("src"), F.col("v").alias("__vs")
+                ),
+                "src",
+            )
+            .join(
+                remaining.select(
+                    F.col("id").alias("dst"), F.col("v").alias("__vd")
+                ),
+                "dst",
+            )
+            .select(
+                "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
+            )
+        )
+        scored = (
+            refill_scored.unionByName(surv_scored)
+            .groupBy("src", "dst")
+            .agg(F.max("__cos").alias("__cos"))
+        )
+        return _top_degree_edges(scored, degree)
     elif strategy == "ivf":
         if ivf is None:
             raise ValueError(
@@ -698,11 +852,18 @@ def ivf_entry_points(
     """
     if reps is None:
         reps = cell_representatives(ivf, per_cell)
-    qcells = ivf.assign_cells(
+    # r9: query-side assignment through the broadcast centroid TABLE
+    # (IVFIndex.assign_cells_small) — bitwise-identical ranking to the
+    # expression path, but the plan carries a |cells|-row table instead
+    # of an nlist·dim-literal tree Catalyst re-analyzes per serve
+    # (measured 4.4 s of driver planning per search at nlist=64,
+    # guide §7.3)
+    qcells = ivf.assign_cells_small(
         queries.select(query_key, query_vector_col),
         query_vector_col,
         nprobe,
-    ).select(query_key, "centroid_id")
+        query_key,
+    )
     return (
         qcells.join(F.broadcast(reps), "centroid_id")
         .select(query_key, F.col("__id").alias(id_col))
@@ -780,7 +941,10 @@ def beam_search(
         seed = seed.localCheckpoint(eager=True)
         if seed.isEmpty():
             raise ValueError("entries DataFrame is empty")
-        state = seed.join(q, "__qid").join(vecs, "__id")
+        # corpus side never shuffled: the (tiny by construction) seed
+        # gets the query vectors attached and is broadcast into a
+        # single scan of vecs (guide §3.1)
+        state = vecs.join(F.broadcast(seed.join(q, "__qid")), "__id")
     else:
         entry = vecs.filter(F.col("__id").isin(list(entry_ids)))
         state = q.crossJoin(F.broadcast(entry))
@@ -798,34 +962,78 @@ def beam_search(
             .drop("__rn")
         )
 
-    if stats is not None:
-        stats.append(state.count())  # |queries| x |entries| (pre-beam)
-    state = top_beam(state).localCheckpoint(eager=True)
     edges = graph.select(F.col("src").alias("__id"), F.col("dst"))
-    for _ in range(hops):
-        # neighbors of the current beam, minus already-scored nodes
-        neigh = (
-            state.join(edges, "__id")
-            .select("__qid", F.col("dst").alias("__id"))
-            .distinct()
-            .join(state.select("__qid", "__id"), ["__qid", "__id"], "left_anti")
-        )
-        scored = (
-            neigh.join(q, "__qid")
-            .join(vecs, "__id")
-            .select(
+    if stats is not None:
+        # Instrumented mode (ANN_FRONTIER.md receipts): materialize
+        # each hop and count the rows actually scored, keeping the
+        # dedup-before-score discipline so the probe-cost metric stays
+        # comparable across rounds. Costs one action + checkpoint per
+        # hop — the hot path below runs the identical walk as ONE lazy
+        # plan instead.
+        stats.append(state.count())  # |queries| x |entries| (pre-beam)
+        state = top_beam(state).localCheckpoint(eager=True)
+        for _ in range(hops):
+            neigh = (
+                edges.join(
+                    F.broadcast(state.select("__qid", "__id")), "__id"
+                )
+                .select("__qid", F.col("dst").alias("__id"))
+                .distinct()
+                .join(
+                    state.select("__qid", "__id"),
+                    ["__qid", "__id"],
+                    "left_anti",
+                )
+            )
+            scored = vecs.join(
+                F.broadcast(neigh.join(q, "__qid")), "__id"
+            ).select(
                 "__qid",
                 "__id",
                 cosine_similarity("__qv", "__v").alias("__s"),
-            )
-        )
-        if stats is not None:
-            scored = scored.localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True)
             stats.append(scored.count())
-        # one hop = one plan; checkpoint keeps lineage linear in hops
-        state = top_beam(state.unionByName(scored)).localCheckpoint(
-            eager=True
+            state = top_beam(state.unionByName(scored)).localCheckpoint(
+                eager=True
+            )
+    else:
+        # Hot path (r9, guide §2.4/§5): the whole walk is ONE lazy
+        # plan — no per-hop eager checkpoint (which cost a driver
+        # action + block materialization per hop, ~7 sequential jobs
+        # per search). The classic formulation references `state`
+        # twice per hop (frontier expansion + union with the beam),
+        # doubling the plan per hop; augmenting the edge table with
+        # IDENTITY edges (v → v, one row per corpus vertex, built
+        # lazily from the vectors side) makes one join produce
+        # beam ∪ neighbors(beam) in a single reference, so the plan
+        # grows LINEARLY in hops and needs no lineage truncation.
+        # Beam survivors are rescored each hop — the same codegen'd
+        # cosine on the same rows yields bit-identical scores, and the
+        # (qid, id) max-aggregate collapses duplicates before the
+        # window; both share the single explicit qid exchange
+        # (qid ⊆ (qid, id) satisfies the aggregate's clustering).
+        # Per-hop shuffle volume is unchanged: |queries|·beam·degree
+        # candidate rows; edge table and corpus are only ever scanned,
+        # never shuffled (broadcast hints on the tiny state side).
+        edges_aug = edges.unionByName(
+            vecs.select("__id", F.col("__id").alias("dst"))
         )
+        state = top_beam(state)
+        for _ in range(hops):
+            cand = edges_aug.join(
+                F.broadcast(state.select("__qid", "__id")), "__id"
+            ).select("__qid", F.col("dst").alias("__id"))
+            state = top_beam(
+                vecs.join(F.broadcast(cand.join(q, "__qid")), "__id")
+                .select(
+                    "__qid",
+                    "__id",
+                    cosine_similarity("__qv", "__v").alias("__s"),
+                )
+                .repartition("__qid")
+                .groupBy("__qid", "__id")
+                .agg(F.max("__s").alias("__s"))
+            )
     return (
         state.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
