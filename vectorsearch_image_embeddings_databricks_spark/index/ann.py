@@ -482,34 +482,61 @@ class CosineLSHIndex:
     def _band_keys(self, vector_col: str) -> F.Column:
         """array<struct<band,bh>> band keys for ``vector_col`` under THIS
         index's hyperplanes — reused verbatim for the other side of a
-        cross-table join so both sides hash into the same buckets."""
-        sig_bits = [
-            F.when(dot(vector_col, _query_literal(p)) > 0, 1).otherwise(0)
+        cross-table join so both sides hash into the same buckets.
+
+        Built as ONE ``F.expr`` SQL string (r9, guide §7.3 family): the
+        former Column-API construction issued ~num_bits·dim py4j calls
+        (one per plane-component literal) per index USE — measured
+        6–8 s of pure driver time per run at 36×64. The SQL text parses
+        in one py4j round-trip into the same Catalyst tree: the same
+        zip_with(transform(cast double))/aggregate sequential fold over
+        the same nearest-double literals (``CAST('<repr>' AS DOUBLE)``
+        round-trips exactly — the property the DuckDB oracle already
+        relies on), so every bit and band key is bitwise-unchanged
+        (pytest pins formula equality against the python reference)."""
+        def dot_sql(p) -> str:
+            lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p)
+            return (
+                f"aggregate(zip_with(transform(`{vector_col}`, "
+                "x -> CAST(x AS DOUBLE)), "
+                f"array({lits}), (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+
+        bits = [
+            f"(CASE WHEN {dot_sql(p)} > 0 THEN 1 ELSE 0 END)"
             for p in self.planes
         ]
         nbands = self.num_bits // self.band_bits
         band_keys = []
         for b in range(nbands):
-            chunk = sig_bits[b * self.band_bits : (b + 1) * self.band_bits]
-            acc = F.lit(0)
-            for bit in chunk:
-                acc = acc * 2 + bit
-            band_keys.append(F.struct(F.lit(b).alias("band"), acc.alias("bh")))
-        return F.array(*band_keys)
+            acc = "0"
+            for bit in bits[b * self.band_bits : (b + 1) * self.band_bits]:
+                acc = f"({acc} * 2 + {bit})"
+            band_keys.append(f"named_struct('band', {b}, 'bh', {acc})")
+        return F.expr("array(" + ", ".join(band_keys) + ")")
 
-    def candidate_pairs(self) -> DataFrame:
-        """(id_a, id_b, vec_a, vec_b) sharing ≥1 band — candidates for an
-        exact verify. The band self-join carries BARE IDS (plus the band
-        key): candidate volume is the expensive part of an LSH join, and
-        shuffling two float vectors per candidate multiplies it ~20x
-        (measured at the round-4 sf1 smoke); the deduped survivor set
-        fetches its vectors back by id instead."""
-        banded = self.signed.select(
-            F.col(self.key).alias("id"),
-            F.explode("__bands").alias("bk"),
-        ).select("id", "bk.band", "bk.bh")
+    def _candidate_ids(self) -> DataFrame:
+        """Deduped ``(id_a, id_b)`` sharing ≥1 band — the bare-id
+        candidate join shared by :meth:`candidate_pairs` and
+        :meth:`similarity_self_join`.
+
+        The banded postings are MATERIALIZED once (r9): the signature
+        expression is an interpreted HOF fold (~30 µs/row/bit — the
+        semantic_dedup measurement), and as a lazy self-join input BOTH
+        shuffle-map stages would recompute it over the whole corpus —
+        the single signature pass halves the dominant candidate-stage
+        cost. |rows|·bands tiny posting rows, id + two ints each."""
+        banded = (
+            self.signed.select(
+                F.col(self.key).alias("id"),
+                F.explode("__bands").alias("bk"),
+            )
+            .select("id", "bk.band", "bk.bh")
+            .localCheckpoint(eager=True)
+        )
         a, b = banded.alias("a"), banded.alias("b")
-        ids = (
+        return (
             a.join(
                 b,
                 (F.col("a.band") == F.col("b.band"))
@@ -522,6 +549,15 @@ class CosineLSHIndex:
             )
             .distinct()
         )
+
+    def candidate_pairs(self) -> DataFrame:
+        """(id_a, id_b, vec_a, vec_b) sharing ≥1 band — candidates for an
+        exact verify. The band self-join carries BARE IDS (plus the band
+        key): candidate volume is the expensive part of an LSH join, and
+        shuffling two float vectors per candidate multiplies it ~20x
+        (measured at the round-4 sf1 smoke); the deduped survivor set
+        fetches its vectors back by id instead."""
+        ids = self._candidate_ids()
         fa = self.signed.select(
             F.col(self.key).alias("id_a"),
             F.col(self.vector_col).alias("vec_a"),
@@ -534,12 +570,35 @@ class CosineLSHIndex:
 
     def similarity_self_join(self, threshold: float) -> DataFrame:
         """Near-dup pairs with cos ≥ threshold: LSH candidates → exact
-        cosine verify. Same output schema as the exact operator."""
-        from ..functions.vector import cosine_similarity
+        cosine verify. Same output schema as the exact operator.
 
+        r9: each side's L2 norm is computed once per ROW on the
+        survivor fetch and the per-pair verify is a single dot fold —
+        the inlined ``cosine_similarity`` re-derived both norms per
+        PAIR (three array folds instead of one, ~3× the verify stage's
+        arithmetic at a few hundred thousand candidates). The norm of
+        the same array is the same float wherever it is computed, so
+        ``dot/(na·nb)`` is bitwise-identical to the inlined form."""
+        from ..functions.vector import dot as vdot, l2_norm
+
+        ids = self._candidate_ids()
+        fa = self.signed.select(
+            F.col(self.key).alias("id_a"),
+            F.col(self.vector_col).alias("vec_a"),
+            l2_norm(self.vector_col).alias("__na"),
+        )
+        fb = self.signed.select(
+            F.col(self.key).alias("id_b"),
+            F.col(self.vector_col).alias("vec_b"),
+            l2_norm(self.vector_col).alias("__nb"),
+        )
         return (
-            self.candidate_pairs()
-            .withColumn("cos", cosine_similarity("vec_a", "vec_b"))
+            ids.join(fa, "id_a")
+            .join(fb, "id_b")
+            .withColumn(
+                "cos",
+                vdot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb")),
+            )
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos")
         )
@@ -557,28 +616,50 @@ class CosineLSHIndex:
         on (band, bh), exact-verify candidates. The two-large-sides scale
         path (embedding decontamination against a big eval pool, bitext
         candidate generation): shuffle keyed on 8-byte band hashes, never
-        a cross join; each side's bands are |rows|·nbands postings."""
-        from ..functions.vector import cosine_similarity
+        a cross join; each side's bands are |rows|·nbands postings.
+
+        r9: the band join and its dedup carry BARE IDS (the self-join's
+        round-4 slimming applied here — vectors multiplied the
+        candidate shuffle and the distinct ~20×), and the verify
+        computes each side's norm once per ROW on the survivor fetch:
+        ``dot/(na·nb)`` is bitwise-identical to the inlined
+        ``cosine_similarity`` (same arrays, same folds)."""
+        from ..functions.vector import dot as vdot, l2_norm
 
         left = self.signed.select(
             F.col(self.key).alias("id_a"),
-            F.col(self.vector_col).alias("vec_a"),
             F.explode("__bands").alias("bk"),
-        ).select("id_a", "vec_a", "bk.band", "bk.bh")
+        ).select("id_a", "bk.band", "bk.bh")
         right = (
             other.withColumn("__obands", self._band_keys(other_vec))
             .select(
                 F.col(other_key).alias("id_b"),
-                F.col(other_vec).alias("vec_b"),
                 F.explode("__obands").alias("bk"),
             )
-            .select("id_b", "vec_b", "bk.band", "bk.bh")
+            .select("id_b", "bk.band", "bk.bh")
+        )
+        ids = (
+            left.join(right, ["band", "bh"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        fa = self.signed.select(
+            F.col(self.key).alias("id_a"),
+            F.col(self.vector_col).alias("vec_a"),
+            l2_norm(self.vector_col).alias("__na"),
+        )
+        fb = other.select(
+            F.col(other_key).alias("id_b"),
+            F.col(other_vec).alias("vec_b"),
+            l2_norm(other_vec).alias("__nb"),
         )
         return (
-            left.join(right, ["band", "bh"])
-            .select("id_a", "id_b", "vec_a", "vec_b")
-            .distinct()
-            .withColumn("cos", cosine_similarity("vec_a", "vec_b"))
+            ids.join(fa, "id_a")
+            .join(fb, "id_b")
+            .withColumn(
+                "cos",
+                vdot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb")),
+            )
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos")
         )

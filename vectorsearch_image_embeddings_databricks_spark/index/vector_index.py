@@ -111,16 +111,26 @@ class VectorIndex:
     # query
     # ------------------------------------------------------------------ #
 
-    def _score(self, query_col, query_norm=None) -> F.Column:
+    def _score(self, query_col, query_norm=None, vec_norm=None) -> F.Column:
         """Cosine score. When the query norm is known (literal query vector,
         or precomputed per-query column in the batch path) we fold it into
         a constant instead of re-deriving sqrt(dot(q,q)) per corpus row —
-        at 100 TB that halves the per-row arithmetic."""
+        at 100 TB that halves the per-row arithmetic. ``vec_norm``
+        (r9) is the same factoring on the CORPUS side: the batch path
+        evaluates the score once per (row × query) pair, so an inline
+        corpus norm is re-derived |queries| times per row — pass a
+        per-row precomputed column instead (same array, same fold —
+        bitwise-identical score)."""
         if self.assume_normalized:
             return dot(self.vector_col, query_col)
         num = dot(self.vector_col, query_col)
         qn = query_norm if query_norm is not None else F.sqrt(dot(query_col, query_col))
-        return num / (F.sqrt(dot(self.vector_col, self.vector_col)) * qn)
+        vn = (
+            vec_norm
+            if vec_norm is not None
+            else F.sqrt(dot(self.vector_col, self.vector_col))
+        )
+        return num / (vn * qn)
 
     def search(
         self,
@@ -204,10 +214,25 @@ class VectorIndex:
             if c not in (self.key, score_col, query_key)
         ]
         scored_cols = [self.key] + ([] if local_topk else extra)
-        scored = self.df.crossJoin(q).select(
+        # r9: corpus-row norm computed ONCE per row before the cross
+        # join — inline it and the score expression re-derives it per
+        # (row × query) pair, |queries|× the arithmetic for the same
+        # bitwise value
+        corpus = (
+            self.df
+            if self.assume_normalized
+            else self.df.withColumn(
+                "__vn", F.sqrt(dot(self.vector_col, self.vector_col))
+            )
+        )
+        scored = corpus.crossJoin(q).select(
             query_key,
             *scored_cols,
-            self._score(F.col("__qv"), query_norm=F.col("__qn")).alias(score_col),
+            self._score(
+                F.col("__qv"),
+                query_norm=F.col("__qn"),
+                vec_norm=None if self.assume_normalized else F.col("__vn"),
+            ).alias(score_col),
         )
         if local_topk:
             scored = self._partition_local_topk(

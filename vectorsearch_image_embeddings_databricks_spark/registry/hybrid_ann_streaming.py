@@ -1476,9 +1476,13 @@ def knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     old = emb.filter(F.col("vec_id") < GRAPH_APPEND_SPLIT)
     new = emb.filter(F.col("vec_id") >= GRAPH_APPEND_SPLIT)
+    # r9: no eager checkpoint of the stored graph — the matmul-tier
+    # append references it exactly once (the stored-edge re-score), so
+    # the build folds into the append's single lazy plan instead of
+    # paying a separate driver action + materialization
     g_old = build_knn_graph(
         old, "vec_id", "embedding", degree=GRAPH_DEGREE
-    ).localCheckpoint(eager=True)
+    )
     return append_knn_graph(
         g_old, old, new, "vec_id", "embedding", degree=GRAPH_DEGREE
     )
@@ -1619,9 +1623,13 @@ def knn_graph_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inserts = emb.filter(F.col("vec_id") >= GRAPH_UPD_SPLIT)
     new = updated.unionByName(inserts)
+    # r9: g_old is referenced exactly once by the matmul-tier append
+    # (stored-edge re-score), so it stays lazy; `appended` keeps its
+    # checkpoint — refine references the edge table multiple times per
+    # round (sym, reversed, 2-hop closure)
     g_old = build_knn_graph(
         old, "vec_id", "embedding", degree=GRAPH_DEGREE
-    ).localCheckpoint(eager=True)
+    )
     appended = append_knn_graph(
         g_old, old, new, "vec_id", "embedding", degree=GRAPH_DEGREE
     ).localCheckpoint(eager=True)
