@@ -689,10 +689,18 @@ def test_temperature_quota_sum_and_order_preservation(spark, counts, total):
         r["lang"]: r for r in temperature_quotas(docs, "lang", total).collect()
     }
     assert sum(r["quota"] for r in out.values()) <= total
-    # bigger groups never get smaller quotas (sqrt is monotone)
-    ordered = sorted(out.values(), key=lambda r: r["n_docs"])
-    quotas = [r["quota"] for r in ordered]
-    assert quotas == sorted(quotas)
+    # bigger groups never get smaller quotas beyond the single
+    # largest-remainder unit: the sqrt weight (hence the base quota) is
+    # monotone in n_docs, but the shortfall is redistributed as +1
+    # units by remainder rank (ties to the smaller group value), so a
+    # smaller-or-equal group can legitimately sit exactly one above a
+    # larger one (hypothesis found counts=[1,1,1], total=10 → quotas
+    # 4,3,3 — the old strict-sort assertion was wrong, not the
+    # operator)
+    for a in out.values():
+        for b in out.values():
+            if a["n_docs"] < b["n_docs"]:
+                assert a["quota"] <= b["quota"] + 1
 
 
 @settings(max_examples=6, deadline=None)
