@@ -701,6 +701,115 @@ def test_nn_descent_refinement_improves_ivf_graph(emb):
     assert per_src.filter(F.col("d") > 6).count() == 0
 
 
+def test_exact_tier_tie_break_and_zero_norm_convention(spark):
+    """ADVICE r9 pins: (1) with MORE than ``degree`` equal cosines in
+    one scoring block, the block-local cut must keep the
+    (cos desc, dst asc)-preferred dsts — the tie-aware widening in
+    _exact_block_topk/_pair_topk, where a bare argpartition kept an
+    arbitrary subset; (2) zero-norm vectors score cos 0.0 against
+    everything in every numpy scorer (never NaN/null), one convention
+    across build, append and delete. Both are invisible on the random
+    fixtures (no exact ties, no zero vectors), so this planted corpus
+    is their only guard."""
+    rows = [(i, [0.0] * 8) for i in range(6)] + [
+        (i, [1.0] + [0.0] * 7) for i in range(6, 20)
+    ]
+    dup = spark.createDataFrame(rows, "id long, v array<double>")
+    g = build_knn_graph(dup, "id", "v", degree=3)
+    got = sorted((r["src"], r["dst"]) for r in g.collect())
+    # zero srcs: cos 0.0 with EVERYTHING (zero-norm convention) -> all
+    # candidates tie -> dst asc keeps the 3 smallest other ids; unit
+    # srcs: cos 1.0 with every other unit -> the 3 smallest other units
+    exp = []
+    for s in range(6):
+        exp += [(s, d) for d in range(4) if d != s][:3]
+    for s in range(6, 20):
+        exp += [(s, d) for d in range(6, 10) if d != s][:3]
+    assert got == sorted(exp)
+    # deterministic under adversarial partitioning (block population
+    # changes, the cut must not)
+    g2 = build_knn_graph(dup.repartition(7), "id", "v", degree=3)
+    assert sorted((r["src"], r["dst"]) for r in g2.collect()) == got
+    # the maintenance paths share the convention: appending the unit
+    # block onto the zero-only graph equals the full rebuild even
+    # though every overlap score is an exact tie
+    old = dup.filter(F.col("id") < 6)
+    new = dup.filter(F.col("id") >= 6)
+    g_old = build_knn_graph(old, "id", "v", degree=3)
+    app = append_knn_graph(g_old, old, new, "id", "v", degree=3)
+    assert sorted((r["src"], r["dst"]) for r in app.collect()) == got
+    # and deleting back down re-ranks the tied survivors identically
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+        delete_knn_graph,
+    )
+
+    deleted = spark.createDataFrame([(19,), (18,)], "id long")
+    dl = delete_knn_graph(
+        build_knn_graph(dup, "id", "v", degree=3).localCheckpoint(),
+        dup, deleted, "id", "v", degree=3,
+    )
+    reb = build_knn_graph(
+        dup.filter(F.col("id") < 18), "id", "v", degree=3
+    )
+    assert sorted((r["src"], r["dst"]) for r in dl.collect()) == sorted(
+        (r["src"], r["dst"]) for r in reb.collect()
+    )
+
+
+def test_refine_pair_engine_matches_hof_reference(emb):
+    """r10: refine_knn_graph scores its candidate set through the
+    numpy pair engine (_pair_topk). On the tie-free fixture the result
+    must equal the former per-pair HOF-cosine formulation exactly —
+    the equivalence the registry oracle (knn_graph_update) replays in
+    SQL. Pinned here so a scorer drift fails fast in pytest rather
+    than at the oracle."""
+    from vectorsearch_image_embeddings_databricks_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from vectorsearch_image_embeddings_databricks_spark.index.graph_ann import (
+        _top_degree_edges,
+    )
+
+    base = emb.filter(F.col("vec_id") < 120)
+    coarse = build_knn_graph(
+        base, "vec_id", "embedding", degree=4,
+        strategy="ivf", nlist=8, nprobe=2,
+    ).localCheckpoint(eager=True)
+    refined = refine_knn_graph(
+        coarse, base, "vec_id", "embedding", degree=4, rounds=1
+    )
+    edges = coarse.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = edges.unionByName(rev).distinct()
+    hop2 = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    )
+    cand = (
+        sym.unionByName(hop2)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    vs = base.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("__vs")
+    )
+    vd = base.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("__vd")
+    )
+    hof = _top_degree_edges(
+        cand.join(vs, "src")
+        .join(vd, "dst")
+        .select(
+            "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
+        ),
+        4,
+    )
+    assert sorted(
+        (r["src"], r["dst"]) for r in refined.collect()
+    ) == sorted((r["src"], r["dst"]) for r in hof.collect())
+
+
 def test_mutual_pairs_planted_asymmetry(spark):
     """E98: a<->b reciprocate at degree 1; c's edge to b is NOT
     reciprocated (b prefers a) — mutual_pairs must keep exactly (a,b)."""

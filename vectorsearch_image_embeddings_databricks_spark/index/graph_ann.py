@@ -69,7 +69,8 @@ def _exact_block_topk(
     left: DataFrame, right: DataFrame, degree: int, grid: int | None = None
 ) -> DataFrame:
     """Per-LEFT-row top-``degree`` most-cosine-similar RIGHT rows
-    (id-equal pairs excluded), as ``(src, dst, __cos)`` candidates.
+    (id-equal pairs excluded), as ``(src, dst, __cos)`` candidates —
+    the single-product form of :func:`_exact_block_topk_multi`.
 
     This is the exact tier's scoring engine (r9 optimization, guide
     §4.2/§2.3): the former formulation materialized every candidate
@@ -89,8 +90,37 @@ def _exact_block_topk(
     within that block, so ranking the union of block winners with
     :func:`_top_degree_edges` reproduces the full-scoring result
     exactly (same (cos desc, dst asc) tie-break; the exact==rebuild
-    pytest identities pin it). Blocks partition the right side, so no
+    pytest identities pin it — and the block-local cut is TIE-AWARE,
+    see per_block, so the guarantee holds even with > degree equal
+    cosines in one block). Blocks partition the right side, so no
     (src, dst) pair is emitted twice.
+
+    Conventions and bounds (r10, ADVICE r9): a zero-norm vector scores
+    cos 0.0 against everything (its norm is substituted by 1.0 before
+    the dot — the convention every numpy scorer in this module shares);
+    per-task memory is O(|left block|·dim) for the stacked frame plus
+    the row-blocked score matrix bounded by GRAPH_BUILD_BLOCK_BUDGET —
+    the exact tier is the fixture/oracle tier, corpus-scale builds use
+    ``strategy='ivf'`` whose per-task input is cell-bounded.
+    """
+    return _exact_block_topk_multi([(left, right)], degree, grid)
+
+
+def _exact_block_topk_multi(
+    sides: list[tuple[DataFrame, DataFrame]],
+    degree: int,
+    grid: int | None = None,
+) -> DataFrame:
+    """Union of per-left-row top-``degree`` candidates over SEVERAL
+    (left, right) products in ONE cogroup stage (r10, guide §2.4).
+    append's exact tier scores two products — (old × new) and
+    (new × all); as two separate cogroup calls each paid its own pair
+    of exchanges plus a Python stage (~1 s of fixed stage latency each
+    at fixture scale, tools/probe_append_r10.py) around
+    sub-millisecond matmuls. Tagging every row with its product index
+    ``m`` and cogrouping on (m, lb, rb) runs every product through one
+    stage; groups never mix products, and per-group scoring is
+    byte-identical to the single-product form.
     """
     import numpy as np
     import pandas as pd
@@ -99,25 +129,33 @@ def _exact_block_topk(
         grid = GRAPH_EXACT_GRID
     deg = degree
     _budget = GRAPH_BUILD_BLOCK_BUDGET
-    id_dt = left.schema["id"].dataType.simpleString()
-    # fresh attribute ids per side: callers routinely pass one side
-    # derived from the other (delete's affected ⊂ remaining, build's
-    # self-pairing), which would otherwise trip the ambiguous-self-join
-    # analyzer check inside the cogroup
-    left = left.select(F.col("id").alias("id"), F.col("v").alias("v"))
-    right = right.select(F.col("id").alias("id"), F.col("v").alias("v"))
+    id_dt = sides[0][0].schema["id"].dataType.simpleString()
     blocks = F.array(*[F.lit(j) for j in range(grid)])
-    # both cogroup sides must carry IDENTICALLY TYPED keys: an int on
-    # one side and a bigint on the other hash-partition differently
-    # (Murmur3 of int 3 != long 3), silently splitting logical groups
-    # across partitions
+    # all cogroup key columns must be IDENTICALLY TYPED on both sides:
+    # an int on one side and a bigint on the other hash-partition
+    # differently (Murmur3 of int 3 != long 3), silently splitting
+    # logical groups across partitions
     own = F.pmod(F.xxhash64("id"), F.lit(grid)).cast("int")
-    lg = left.select(
-        "id", "v", own.alias("lb"), F.explode(blocks).alias("rb")
-    )
-    rg = right.select(
-        "id", "v", own.alias("rb"), F.explode(blocks).alias("lb")
-    )
+    lg = rg = None
+    for m, (left, right) in enumerate(sides):
+        # fresh attribute ids per side: callers routinely pass one side
+        # derived from the other (delete's affected ⊂ remaining, build's
+        # self-pairing), which would otherwise trip the
+        # ambiguous-self-join analyzer check inside the cogroup
+        l_i = left.select(
+            F.col("id").alias("id"), F.col("v").alias("v")
+        ).select(
+            "id", "v", F.lit(m).alias("m"),
+            own.alias("lb"), F.explode(blocks).alias("rb"),
+        )
+        r_i = right.select(
+            F.col("id").alias("id"), F.col("v").alias("v")
+        ).select(
+            "id", "v", F.lit(m).alias("m"),
+            own.alias("rb"), F.explode(blocks).alias("lb"),
+        )
+        lg = l_i if lg is None else lg.unionByName(l_i)
+        rg = r_i if rg is None else rg.unionByName(r_i)
 
     def per_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf) or not len(rpdf):
@@ -145,14 +183,24 @@ def _exact_block_topk(
             S = Xl[b0:b1] @ Xr.T
             # id-equal pairs off the candidate list (self-similarity)
             S[ids_l[b0:b1, None] == ids_r[None, :]] = -np.inf
-            part = (
-                np.argpartition(-S, k - 1, axis=1)[:, :k]
-                if k < m
-                else np.broadcast_to(np.arange(m), (b1 - b0, m))
-            )
+            # tie-aware cut (ADVICE r9): argpartition alone keeps/drops
+            # candidates tied at the k-th score arbitrarily — with
+            # > degree equal cosines in one block (duplicate vectors)
+            # the (cos desc, dst asc)-preferred dst could be dropped.
+            # Widen each row's selection to every column scoring >= its
+            # k-th selected score, then let the exact sort truncate.
+            if k < m:
+                part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+                thr = np.take_along_axis(S, part, axis=1).min(axis=1)
+            else:
+                thr = np.full(b1 - b0, -np.inf)
             for r in range(b1 - b0):
-                cols = [c for c in part[r] if S[r, c] != -np.inf]
-                order = sorted(cols, key=lambda c: (-S[r, c], ids_r[c]))
+                cols = (
+                    np.flatnonzero(S[r] >= thr[r])
+                    if thr[r] != -np.inf
+                    else np.flatnonzero(S[r] != -np.inf)
+                )
+                order = sorted(cols, key=lambda c: (-S[r, c], ids_r[c]))[:k]
                 src_out.extend([ids_l[b0 + r]] * len(order))
                 dst_out.extend(ids_r[c] for c in order)
                 cos_out.extend(S[r, c] for c in order)
@@ -161,9 +209,115 @@ def _exact_block_topk(
         )
 
     return (
-        lg.groupBy("lb", "rb")
-        .cogroup(rg.groupBy("lb", "rb"))
+        lg.groupBy("m", "lb", "rb")
+        .cogroup(rg.groupBy("m", "lb", "rb"))
         .applyInPandas(per_block, f"src {id_dt}, dst {id_dt}, __cos double")
+    )
+
+
+def _pair_topk(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    degree: int,
+    grid: int | None = None,
+) -> DataFrame:
+    """Score an EXPLICIT candidate pair set and keep each src's
+    top-``degree``, as ``(src, dst, __cos)`` — the pair-list sibling of
+    :func:`_exact_block_topk` (r10, guide §4.2): the same numpy engine
+    (normalize each side with zero-norm → 1.0, i.e. a zero vector
+    scores cos 0.0, then a float64 dot), never a per-pair Catalyst HOF
+    fold. This is what NN-descent refinement and the append/delete
+    stored-edge re-scores route through, so the whole exact/refine
+    family shares ONE scoring convention (ADVICE r9). ``pairs`` must be
+    distinct ``(src, dst)`` rows with src != dst whose endpoints all
+    appear in ``vectors`` (``(id, v)``).
+
+    Shape: the dst vector rides a plain equi-join (|pairs| rows — the
+    same volume the HOF formulation shuffled, minus the second vector);
+    the src side is a hash-bucketed cogroup against the vector table
+    (``pmod(xxhash64(src), grid)``, both keys int — see the key-type
+    note in :func:`_exact_block_topk`). Every pair of a given src lands
+    in ONE group, so the group-local top-``degree`` cut IS the global
+    per-src answer — and it is tie-UNAMBIGUOUS (no block-boundary tie
+    hazard): (cos desc, dst asc) totally orders a src's distinct dsts.
+    Emitting only the winners keeps the downstream
+    :func:`_top_degree_edges` window input at |V|·degree rows instead
+    of the full candidate volume (|V|·4d² for an NN-descent round).
+
+    Per-task memory is O(|bucket pairs|·dim) row-blocked under
+    GRAPH_BUILD_BLOCK_BUDGET; ``grid`` sizes task granularity exactly
+    like the exact tier's block grid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if grid is None:
+        grid = GRAPH_EXACT_GRID
+    deg = degree
+    _budget = GRAPH_BUILD_BLOCK_BUDGET
+    id_dt = vectors.schema["id"].dataType.simpleString()
+    vecs = vectors.select(F.col("id").alias("id"), F.col("v").alias("v"))
+    withd = pairs.select("src", "dst").join(
+        vecs.select(F.col("id").alias("dst"), F.col("v").alias("__vd")),
+        "dst",
+    )
+    pl = withd.select(
+        "src",
+        "dst",
+        "__vd",
+        F.pmod(F.xxhash64("src"), F.lit(grid)).cast("int").alias("gb"),
+    )
+    vr = vecs.select(
+        "id",
+        "v",
+        F.pmod(F.xxhash64("id"), F.lit(grid)).cast("int").alias("gb"),
+    )
+
+    def per_bucket(ppdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src": ppdf["src"].iloc[:0],
+                "dst": ppdf["dst"].iloc[:0],
+                "__cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(ppdf) or not len(vpdf):
+            return empty
+        m = ppdf.merge(
+            vpdf.rename(columns={"id": "src", "v": "__vs"}), on="src"
+        )
+        n = len(m)
+        if not n:
+            return empty
+        dim = len(m["__vs"].iloc[0])
+        block = max(128, _budget // max(dim, 1))
+        vs_col = m["__vs"].to_numpy()
+        vd_col = m["__vd"].to_numpy()
+        cos = np.empty(n, dtype=np.float64)
+        for b0 in range(0, n, block):
+            b1 = min(b0 + block, n)
+            Xs = np.stack(vs_col[b0:b1]).astype(np.float64)
+            Xd = np.stack(vd_col[b0:b1]).astype(np.float64)
+            for X in (Xs, Xd):
+                norms = np.linalg.norm(X, axis=1)
+                norms[norms == 0] = 1.0
+                X /= norms[:, None]
+            cos[b0:b1] = np.einsum("ij,ij->i", Xs, Xd)
+        out = pd.DataFrame({"src": m["src"], "dst": m["dst"], "__cos": cos})
+        # group-local == global per-src cut (all of a src's pairs share
+        # this bucket); the key below is a total order, so head(deg) is
+        # deterministic regardless of input row order
+        out = out.sort_values(
+            ["src", "__cos", "dst"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return out.groupby("src", sort=False).head(deg)
+
+    return (
+        pl.groupBy("gb")
+        .cogroup(vr.groupBy("gb"))
+        .applyInPandas(per_bucket, f"src {id_dt}, dst {id_dt}, __cos double")
     )
 
 
@@ -267,13 +421,21 @@ def build_knn_graph(
                 S = Xn[b0:b1] @ Xn.T  # (b1-b0) x m
                 # self-similarity off the candidate list, block-relative
                 S[np.arange(b1 - b0), np.arange(b0, b1)] = -np.inf
-                # top-k per row: argpartition then exact (cos desc, id asc)
+                # top-k per row: argpartition widened to ties at the
+                # k-th score (ADVICE r9 — the bare argpartition cut
+                # keeps/drops equal cosines arbitrarily), then the
+                # exact (cos desc, id asc) sort truncates to k
                 part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+                thr = np.take_along_axis(S, part, axis=1).min(axis=1)
                 for r in range(b1 - b0):
-                    cols = part[r]
+                    cols = (
+                        np.flatnonzero(S[r] >= thr[r])
+                        if thr[r] != -np.inf
+                        else np.flatnonzero(S[r] != -np.inf)
+                    )
                     order = sorted(
                         cols, key=lambda c: (-S[r, c], ids[c])
-                    )
+                    )[:k]
                     src_out.extend([ids[b0 + r]] * len(order))
                     dst_out.extend(ids[c] for c in order)
                     cos_out.extend(S[r, c] for c in order)
@@ -407,28 +569,25 @@ def append_knn_graph(
     if strategy == "exact":
         # r9: the (old x new) and (new x all) products are scored by
         # the block-matmul engine — only block-local top-degree
-        # candidates come back, never the full products as rows. The
-        # stored edges (|V|·degree, tiny) are re-scored on current
-        # vectors via the HOF cosine; duplicates between the stored
-        # set and the products carry ulp-identical scores, so the
-        # (src, dst) max-dedup below is exact.
-        prod_scored = _exact_block_topk(olds, news, degree).unionByName(
-            _exact_block_topk(news, alls, degree)
+        # candidates come back, never the full products as rows.
+        # r10 (ADVICE r9): the stored edges (|V|·degree, tiny) are
+        # re-scored on current vectors through the SAME numpy engine
+        # (_pair_topk: normalize-then-dot, zero-norm → cos 0.0) instead
+        # of the Catalyst HOF cosine — one scoring convention across
+        # the union. A pair scored by both branches carries the same
+        # normalize-then-dot double up to BLAS accumulation order, so
+        # the (src, dst) max-dedup below is value-approximate at ULP
+        # scale (not provably bitwise); the append==rebuild identity is
+        # replay-verified at sf0.01 and sf0.1 and pytest-pinned on the
+        # fixtures, where no candidate scores tie.
+        # one tagged cogroup stage for BOTH products (r10, guide §2.4)
+        prod_scored = _exact_block_topk_multi(
+            [(olds, news), (news, alls)], degree
         )
-        stored_scored = (
-            graph.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .join(
-                alls.select(F.col("id").alias("src"), F.col("v").alias("__vs")),
-                "src",
-            )
-            .join(
-                alls.select(F.col("id").alias("dst"), F.col("v").alias("__vd")),
-                "dst",
-            )
-            .select(
-                "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
-            )
+        stored_scored = _pair_topk(
+            graph.select("src", "dst").filter(F.col("src") != F.col("dst")),
+            alls,
+            degree,
         )
         scored = (
             prod_scored.unionByName(stored_scored)
@@ -492,15 +651,13 @@ def append_knn_graph(
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
-    scored = (
-        cand.distinct()
-        .join(alls.select(F.col("id").alias("src"), F.col("v").alias("__vs")), "src")
-        .join(alls.select(F.col("id").alias("dst"), F.col("v").alias("__vd")), "dst")
-        .select(
-            "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
-        )
+    # r10: the cell-mate candidate re-score goes through the numpy pair
+    # engine (guide §4.2) — this is the PRODUCTION append path, where
+    # the per-pair HOF cosine was the last interpreted fold in the
+    # maintenance family
+    return _top_degree_edges(
+        _pair_topk(cand.distinct(), alls, degree), degree
     )
-    return _top_degree_edges(scored, degree)
 
 
 def delete_knn_graph(
@@ -555,30 +712,18 @@ def delete_knn_graph(
     if strategy == "exact":
         # r9: the (affected x remaining) refill product goes through
         # the block-matmul engine (block-local top-degree candidates,
-        # not |affected|·|remaining| scored pair rows); the surviving
-        # edges (≤ |V|·degree) are re-scored via the HOF cosine and
-        # max-deduped against the refill (ulp-identical overlaps).
+        # not |affected|·|remaining| scored pair rows). r10 (ADVICE
+        # r9): the surviving edges (≤ |V|·degree) re-score through the
+        # SAME numpy engine (_pair_topk — normalize-then-dot, zero-norm
+        # → cos 0.0) rather than the HOF cosine; overlaps with the
+        # refill are value-approximate at ULP scale (BLAS accumulation
+        # order), and the delete==rebuild identity is replay-verified
+        # at sf0.01/sf0.1 and pytest-pinned on the fixtures.
         aff_pts = affected.withColumnRenamed("src", "id").join(
             remaining, "id"
         )
         refill_scored = _exact_block_topk(aff_pts, remaining, degree)
-        surv_scored = (
-            surviving.join(
-                remaining.select(
-                    F.col("id").alias("src"), F.col("v").alias("__vs")
-                ),
-                "src",
-            )
-            .join(
-                remaining.select(
-                    F.col("id").alias("dst"), F.col("v").alias("__vd")
-                ),
-                "dst",
-            )
-            .select(
-                "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
-            )
-        )
+        surv_scored = _pair_topk(surviving, remaining, degree)
         scored = (
             refill_scored.unionByName(surv_scored)
             .groupBy("src", "dst")
@@ -611,20 +756,11 @@ def delete_knn_graph(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     cand = surviving.unionByName(refill).distinct()
-    scored = (
-        cand.join(
-            remaining.select(F.col("id").alias("src"), F.col("v").alias("__vs")),
-            "src",
-        )
-        .join(
-            remaining.select(F.col("id").alias("dst"), F.col("v").alias("__vd")),
-            "dst",
-        )
-        .select(
-            "src", "dst", cosine_similarity("__vs", "__vd").alias("__cos")
-        )
+    # r10: numpy pair engine for the refill re-score (see append) —
+    # no per-pair HOF fold on the production delete path either
+    return _top_degree_edges(
+        _pair_topk(cand, remaining, degree), degree
     )
-    return _top_degree_edges(scored, degree)
 
 
 def refine_knn_graph(
@@ -652,22 +788,40 @@ def refine_knn_graph(
     which matters only at degrees far above these). At most ``2d + 4d²``
     candidates per node, one equi-join on the shared endpoint: a round
     costs O(|V|·d²) scored pairs regardless of corpus size.
-    Scoring is the codegen'd HOF cosine; per-round ``localCheckpoint``
-    keeps lineage linear in ``rounds``. Deterministic: (cos desc, id)
-    tie-breaks, no sampling.
+
+    Scoring (r10, guide §4.2): the candidate pairs route through
+    :func:`_pair_topk` — the vectorized numpy pair engine the exact
+    tier already uses — instead of a per-pair Catalyst HOF cosine
+    (three zip_with/aggregate array folds per candidate, the last
+    per-pair interpreted scorer in the graph family), and only per-src
+    winners reach the global ranking window. ``localCheckpoint``
+    BETWEEN rounds keeps lineage linear in ``rounds``; the final
+    round's result is returned LAZY — each refine reference of the
+    previous round's edge table (sym, reversed, the 2-hop self-join)
+    needs a materialization barrier, but the returned table is the
+    caller's to materialize exactly when it reuses it
+    (``KNNGraphIndex.build``/``append`` already checkpoint it; a
+    single-consumer caller folds it into its one action).
+    Deterministic: (cos desc, id) tie-breaks, no sampling.
 
     Measured (tools/graph_sf1.py, 20k vectors): one round lifts the
     ivf-built graph's exact-edge overlap and the downstream beam recall
     at equal degree — see SCALE_SF1.md.
     """
-    vecs_s = vectors.select(
-        F.col(id_col).alias("src"), F.col(vec_col).alias("__vs")
-    )
-    vecs_d = vectors.select(
-        F.col(id_col).alias("dst"), F.col(vec_col).alias("__vd")
+    vecs = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
     edges = graph.select("src", "dst")
-    for _ in range(rounds):
+    prev = None
+    for r in range(rounds):
+        if r:
+            # materialize the previous round (it is referenced several
+            # times below), then free the round before it (§5) — its
+            # blocks are superseded the moment this barrier completes
+            edges = edges.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = edges
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
@@ -689,16 +843,7 @@ def refine_knn_graph(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        edges = _top_degree_edges(
-            cand.join(vecs_s, "src")
-            .join(vecs_d, "dst")
-            .select(
-                "src",
-                "dst",
-                cosine_similarity("__vs", "__vd").alias("__cos"),
-            ),
-            degree,
-        ).localCheckpoint(eager=True)
+        edges = _top_degree_edges(_pair_topk(cand, vecs, degree), degree)
     return edges
 
 
