@@ -456,16 +456,22 @@ class CosineLSHIndex:
         num_bits: int | None = None,
         band_bits: int | None = None,
         seed: int = 42,
+        n_rows: int | None = None,
     ) -> None:
         self.key = key
         self.vector_col = vector_col
+        self.__banded = None
         if band_bits is None:
             if num_bits is not None:
                 band_bits = 4  # legacy shape: 4-bit bands of num_bits
             else:
                 import math
 
-                n = df.count()
+                # n_rows: a caller that already counted df (e.g. for a
+                # guard) passes it to skip a duplicate count action —
+                # the auto-sizing FORMULA is unchanged (r10, guide §1;
+                # passing a wrong count is the caller's bug)
+                n = df.count() if n_rows is None else int(n_rows)
                 band_bits = min(20, max(4, math.ceil(math.log2(max(n, 2) / 64))))
         if num_bits is None:
             num_bits = band_bits * band_bits  # bands = band_bits
@@ -526,15 +532,22 @@ class CosineLSHIndex:
         semantic_dedup measurement), and as a lazy self-join input BOTH
         shuffle-map stages would recompute it over the whole corpus —
         the single signature pass halves the dominant candidate-stage
-        cost. |rows|·bands tiny posting rows, id + two ints each."""
-        banded = (
-            self.signed.select(
-                F.col(self.key).alias("id"),
-                F.explode("__bands").alias("bk"),
+        cost. |rows|·bands tiny posting rows, id + two ints each.
+        Memoized on the index (r10, ADVICE r9): ``candidate_pairs`` and
+        ``similarity_self_join`` on one index now share one eager
+        posting job instead of each triggering its own at
+        DataFrame-construction time."""
+        banded = self.__banded
+        if banded is None:
+            banded = (
+                self.signed.select(
+                    F.col(self.key).alias("id"),
+                    F.explode("__bands").alias("bk"),
+                )
+                .select("id", "bk.band", "bk.bh")
+                .localCheckpoint(eager=True)
             )
-            .select("id", "bk.band", "bk.bh")
-            .localCheckpoint(eager=True)
-        )
+            self.__banded = banded
         a, b = banded.alias("a"), banded.alias("b")
         return (
             a.join(
@@ -932,6 +945,12 @@ class IVFIndex:
         ``q CROSS JOIN cents`` + row_number shape the adaptive-beam
         SQL oracle replays. Not for the corpus side: the cross-join
         shuffles |df|·nlist rows where the expression path is map-only.
+
+        ``key`` must be UNIQUE per row (ADVICE r9): the ranking window
+        partitions by it, so two rows sharing a key value would merge
+        their centroid rankings into one top-``nprobe`` list. Query
+        panels are keyed batches by construction; use
+        :meth:`assign_cells` (per-row, key-agnostic) for anything else.
         """
         spark = df.sparkSession
         cents = spark.createDataFrame(

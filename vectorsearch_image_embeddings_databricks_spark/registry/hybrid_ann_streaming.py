@@ -974,7 +974,15 @@ def cosine_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpora — the OPERATOR's auto-sizing clamps at 20 and is "
             "unaffected"
         )
-    lsh = CosineLSHIndex(corpus, key="vec_id", vector_col="embedding")
+    # r10: the ladder guard above already counted the checkpointed
+    # corpus — pass it through so the index skips a duplicate sizing
+    # count, and pin dim=64 (the committed oracle hard-codes 64-dim
+    # planes) so the dim probe action is skipped too. Formula and
+    # banding unchanged — same count, same planes.
+    lsh = CosineLSHIndex(
+        corpus, key="vec_id", vector_col="embedding",
+        dim=64, n_rows=n_corpus,
+    )
     res = lsh.similarity_self_join(LSH_DUP_THRESHOLD)
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
@@ -1626,7 +1634,11 @@ def knn_graph_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: g_old is referenced exactly once by the matmul-tier append
     # (stored-edge re-score), so it stays lazy; `appended` keeps its
     # checkpoint — refine references the edge table multiple times per
-    # round (sym, reversed, 2-hop closure)
+    # round (sym, reversed, 2-hop closure). r10 (guide §2.4): refine no
+    # longer checkpoints its final round, so the whole row runs in TWO
+    # actions — the appended barrier, then ONE job computing refine +
+    # rebuild (independent subtrees, scheduled concurrently) + audit —
+    # instead of four sequential checkpointed stages.
     g_old = build_knn_graph(
         old, "vec_id", "embedding", degree=GRAPH_DEGREE
     )
