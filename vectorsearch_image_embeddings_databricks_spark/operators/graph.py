@@ -97,6 +97,7 @@ def pagerank(
     ranks = vertex.select(
         "node", F.lit(scale).cast("long").alias("rank_scaled")
     )
+    prev = None
     for _ in range(iters):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
@@ -123,6 +124,13 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint above fully materialized this round, so
+        # the previous round's blocks are dead weight — free them NOW
+        # (guide §5; kcenter's r9 discipline). rank_0 is never
+        # checkpointed, hence the None guard.
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
     return ranks
 
 

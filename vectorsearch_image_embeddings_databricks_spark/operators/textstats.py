@@ -889,6 +889,7 @@ def bpe_train(
     ).localCheckpoint(eager=False)
     learned: list[tuple] = []
     sep = _BPE_CLOSE + _BPE_OPEN
+    prev = None
     for r in range(merges):
         syms = F.split(
             F.expr("substring(enc, 2, length(enc) - 2)"), sep
@@ -914,10 +915,19 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # the collect above is the action that materialized this
+        # round's LAZY checkpoint — the round-before-last's blocks are
+        # now unreferenced; free them (guide §5, the per-round
+        # unpersist discipline). At 100 TB the vocab table is 100M+
+        # rows per superseded round.
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not pairs:
             break
         a, b, c = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["c"])
         learned.append((r + 1, a, b, a + b, c))
+        prev = state
         state = state.select(
             F.replace(
                 "enc",

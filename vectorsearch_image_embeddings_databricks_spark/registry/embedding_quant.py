@@ -983,10 +983,17 @@ def python_stream_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         deadline = time.time() + 120
+        # adaptive backoff (r10): the fixed 0.2 s poll added up to one
+        # period of pure detection latency per run; start fine-grained
+        # and back off so a fast drain is seen almost immediately while
+        # a slow one still polls at the old cadence. Batch counts and
+        # results are driven by batch_size, not poll frequency.
+        delay = 0.01
         while _sink_rows() < PYDS_STREAM_ROWS:
             if time.time() > deadline:
                 raise TimeoutError("tick_stream never drained its keyspace")
-            time.sleep(0.2)
+            time.sleep(delay)
+            delay = min(delay * 1.6, 0.2)
     finally:
         q.stop()
         q.awaitTermination()
@@ -1079,10 +1086,15 @@ def python_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         deadline = time.time() + 120
+        # adaptive backoff (r10) — see python_stream_source_rollup; the
+        # manifest probe is a local file stat, so fine-grained early
+        # polls are nearly free
+        delay = 0.01
         while _committed() < PYDS_STREAM_ROWS:
             if time.time() > deadline:
                 raise TimeoutError("manifest sink never committed the keyspace")
-            time.sleep(0.2)
+            time.sleep(delay)
+            delay = min(delay * 1.6, 0.2)
     finally:
         q.stop()
         q.awaitTermination()
