@@ -229,6 +229,16 @@ def build_session() -> SparkSession:
 
 
 def main() -> None:
+    # Capture-robust stdout (r10, VERDICT r9 #5): PERF_r09 lost its
+    # round-over-round comparison because BENCH_r08's stdout capture
+    # was truncated. Guarantee the one-line JSON is the FIRST (and
+    # only) thing on stdout: duplicate the real stdout fd now, then
+    # point fd 1 at stderr for the whole run so nothing the JVM/py4j
+    # layer prints (Ivy resolution, launcher chatter) can land ahead
+    # of the result line. Methodology and timings are untouched — this
+    # changes where logging goes, not what is measured.
+    result_fd = os.dup(1)
+    os.dup2(2, 1)
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup so the first measured query isn't paying JIT cost
@@ -310,7 +320,10 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     line = json.dumps(payload)
-    print(line)
+    # the saved real-stdout fd: the JSON line is the first and only
+    # stdout output (fd 1 has pointed at stderr since startup)
+    os.write(result_fd, (line + "\n").encode())
+    os.close(result_fd)
     # Also persist the artifact: the driver captures stdout with a
     # bounded window, and BENCH_r03's stored line was truncated past
     # recovery (only the tail 67 of 78 query timings survived). The

@@ -16,9 +16,16 @@ reported in "over_budget" — investigate, don't hand-wave.
 
 Excluded by documented receipt: knn_graph_ivf_delete_recall (567 s at
 sf1 — the one-time delete-audit receipt lives in SF1_VALUES.md; too
-heavy for a recurring lane). The exact-tier graph rows (knn_graph_beam
-etc.) are excluded by construction: their build is deliberately
-quadratic oracle machinery, measured at sf0.1 in bench.py only.
+heavy for a recurring lane). The exact-tier graph SERVE rows
+(knn_graph_beam etc.) are excluded by construction: their build is
+deliberately quadratic oracle machinery, measured at sf0.1 in bench.py
+only. The graph MUTATION trio joined in r10 (VERDICT r9 #3): their
+builds are equally quadratic by contract, but they are exactly the
+rows the r9/r10 block-matmul/pair-engine rewrites rewired, so the lane
+proves the per-task-bounded scoring engine holds one decade past the
+bench sf instead of arguing it (receipt 2026-08-18, local[16]:
+update 14.0/5.1 s, append 9.3/8.8 s, delete 7.0/3.7 s across two
+passes — tools/graph_sf1_mutations_r10.py).
 
 Usage: python tools/bench_sf1.py   (run on a QUIET host; ~8-12 min)
 """
@@ -56,6 +63,10 @@ HEAVY = [
     ("lm_perplexity_buckets", 12.0),     # SCALE_SF1 4.9 s
     ("boilerplate_ngrams", 8.0),         # SCALE_SF1 3.3 s
     ("bpe_train_merges", 8.0),           # SF1_VALUES 3.0 s
+    # graph mutation trio (r10, VERDICT r9 #3): receipts above
+    ("knn_graph_append", 20.0),          # r10 receipt 8.8 s best-of-2
+    ("knn_graph_update", 12.0),          # r10 receipt 5.1 s best-of-2
+    ("knn_graph_delete", 15.0),          # r10 receipt 3.7 s best-of-2
 ]
 
 
